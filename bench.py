@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the registry's headline queries on local[$SPARK_GRAFT_CPUS]
+(default sf0.1, local[32]) and prints exactly ONE JSON line:
+
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect bottleneck). One warm-up run of a tiny query first so JVM
+/ codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Queries timed by the bench; widened as operator coverage grows.
+HEADLINE: tuple[str, ...] = (
+    "echem_flagship",
+    "q01_pushdown_scan",
+    "q05_last_match_per_key",
+    "q08_scalar_arithmetic",
+    "q11_det_sample",
+    "q14_group_index",
+    "q16_upsert_first_wins",
+    "q17_multi_join",
+    "q21_pricing_summary",
+)
+
+
+def main() -> None:
+    from echem_dft_etl_spark.registry import all_queries
+    from echem_dft_etl_spark.session import get_session
+
+    spark = get_session(app_name="echem-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm up session (JVM, parquet footer reads, codegen).
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets large clusters (the design point is ~100 TB on ~1000
+executors); tests run on ``local[N]``. The session config is therefore
+expressed as *ratios and toggles* that hold at any scale rather than
+absolute sizes tuned to the laptop:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion) so the same logical plans survive a
+  100x scale-up without re-tuning.
+- Arrow on for every Python<->JVM boundary (pandas UDFs, toPandas).
+- Session timezone pinned to UTC so timestamp semantics are identical to
+  the DuckDB oracle used by the correctness harness.
+- Nested-schema pruning on so struct-heavy tables (the materials model,
+  SURVEY.md §1.2) only read the accessed subfields off parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_session(
+    app_name: str = "echem-dft-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, falling back
+    to ``local[*]``) so tests and bench share one entry point; on a real
+    cluster the caller passes its own master / lets spark-submit set it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: coalesce post-shuffle partitions, split skewed ones, and
+        # switch join strategies at runtime — the knobs that make one
+        # logical plan work from sf0.001 to 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # The corpus stores TIMESTAMP(NANOS) (events.ts); Spark has no
+        # nanosecond timestamp type, so read nanos as int64 and let the
+        # source layer truncate to microseconds (matching how
+        # microsecond-native engines, incl. the DuckDB oracle, read it).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep driver results bounded; operators never collect big data.
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

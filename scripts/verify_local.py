@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate at any scale factor.
+
+Usage: python scripts/verify_local.py [sf_dir]   (default /root/testdata/sf0.01)
+
+Runs every registry query on Spark and its oracle on DuckDB over the same
+parquet, compares row count + column names + exact values, prints one
+line per query.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    import duckdb
+
+    from echem_dft_etl_spark.registry import all_queries
+    from echem_dft_etl_spark.session import get_session
+    from echem_dft_etl_spark.sources import TABLES
+    from tests.test_oracle_parity import _normalize_rows
+
+    spark = get_session(app_name="verify-local")
+    spark.sparkContext.setLogLevel("WARN")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = 0
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, SF_DIR)
+            s_cols = [c.lower() for c in df.columns]
+            s_rows = [tuple(r) for r in df.collect()]
+            if spec.oracle is None:
+                print(f"  {name}: rows-only, {len(s_rows)} rows "
+                      f"[{time.time()-t0:.1f}s]")
+                continue
+            cur = duck.sql(spec.oracle)
+            d_cols = [c.lower() for c in cur.columns]
+            d_rows = [tuple(r) for r in cur.fetchall()]
+            sc, sn = _normalize_rows(s_cols, s_rows)
+            dc, dn = _normalize_rows(d_cols, d_rows)
+            problems = []
+            if sc != dc:
+                problems.append(f"cols {sc} vs {dc}")
+            if len(sn) != len(dn):
+                problems.append(f"rowcount {len(sn)} vs {len(dn)}")
+            elif sc == dc:
+                bad = [(a, b) for a, b in zip(sn, dn) if a != b]
+                if bad:
+                    problems.append(f"{len(bad)} value mismatches, first: {bad[0]}")
+            if problems:
+                failures += 1
+                print(f"  {name}: FAIL {problems} [{time.time()-t0:.1f}s]")
+            else:
+                print(f"  {name}: OK {len(sn)} rows [{time.time()-t0:.1f}s]")
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"  {name}: ERROR {type(exc).__name__}: {exc}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
