@@ -556,9 +556,9 @@ def q16_upsert_first_wins(spark, sf_dir):
     oracle="""
     SELECT n.n_name, r.r_name,
            COUNT(*) AS n_li,
-           SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
-               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
-             AS revenue_c4
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -590,10 +590,12 @@ def q17_multi_join(spark, sf_dir):
     "q21_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS sum_disc_c4,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+             AS sum_disc_c4,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
              / COUNT(*) / 100.0 AS avg_price,
@@ -623,3 +625,479 @@ def q21_pricing_summary(spark, sf_dir):
         (F.sum(pc).cast("double") / F.count("*") / 100.0).alias("avg_price"),
         F.count("*").alias("count_order"),
     )
+
+
+# =====================================================================
+# X1-X5: sort/top-k, set ops, rollup, analytic windows, join family
+# =====================================================================
+
+
+@_register(
+    "x01_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders
+    ORDER BY total_cents DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey_ids=("X1",),
+)
+def x01_topk_orders(spark, sf_dir):
+    """Global top-k (X1): ORDER BY + LIMIT plans as TakeOrderedAndProject
+    — a per-partition heap + driver merge of k rows, never a full sort.
+    Tie-broken on the unique order key so the selected set is stable."""
+    o = _ld(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("total_cents")
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "x01_group_topk",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rk
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal DESC, c_custkey)
+                      AS INTEGER) AS rk
+          FROM customer)
+    WHERE rk <= 3
+    """,
+    survey_ids=("X1", "X4"),
+)
+def x01_group_topk(spark, sf_dir):
+    """Per-group top-k (X1/X4): row_number window + filter. One shuffle
+    on the group key; with AQE, skewed groups split. rank<=k filters
+    push below the window's sort via Spark's WindowGroupLimit at scale."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        _ld(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@_register(
+    "x02_set_ops",
+    oracle="""
+    WITH k95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-01-01'),
+         k96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'both' AS bucket, o_custkey FROM (SELECT * FROM k95 INTERSECT SELECT * FROM k96)
+    UNION ALL
+    SELECT 'only95' AS bucket, o_custkey FROM (SELECT * FROM k95 EXCEPT SELECT * FROM k96)
+    UNION ALL
+    SELECT 'only96' AS bucket, o_custkey FROM (SELECT * FROM k96 EXCEPT SELECT * FROM k95)
+    """,
+    survey_ids=("X2",),
+)
+def x02_set_ops(spark, sf_dir):
+    """Set operations (X2): INTERSECT / EXCEPT / UNION ALL over yearly
+    customer key sets. Spark plans INTERSECT/EXCEPT as (left-semi /
+    left-anti) aggregated joins — same shuffle key throughout."""
+    o = _ld(spark, sf_dir, "orders")
+
+    def year_keys(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    k95, k96 = year_keys(1995), year_keys(1996)
+    tag = lambda df, t: df.select(F.lit(t).alias("bucket"), "o_custkey")  # noqa: E731
+    return (
+        tag(k95.intersect(k96), "both")
+        .unionAll(tag(k95.exceptAll(k96), "only95"))
+        .unionAll(tag(k96.exceptAll(k95), "only96"))
+    )
+
+
+@_register(
+    "x03_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ids=("X3",),
+)
+def x03_rollup(spark, sf_dir):
+    """Hierarchical rollup (X3): grand total + per-flag + per-(flag,
+    status) in one pass. Spark expands grouping sets map-side; partial
+    aggregation still applies, so the fact table is read once."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "x03_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey_ids=("X3",),
+)
+def x03_cube(spark, sf_dir):
+    """Full cube (X3) over two low-cardinality dimensions."""
+    return (
+        _ld(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "x04_analytic_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY ROUND(o_totalprice * 100, 0) DESC,
+                                      o_orderkey) AS INTEGER) AS price_rank,
+           LAG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_cents,
+           LEAD(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS next_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_cents,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INTEGER)
+             AS quartile
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+    survey_ids=("X4",),
+)
+def x04_analytic_windows(spark, sf_dir):
+    """Ranking + analytic windows with frames (X4): rank, lag/lead,
+    running sum over an explicit ROWS frame, ntile — all sharing one
+    (partition, order) so Spark evaluates them in a single window node
+    after one shuffle+sort."""
+    o = _ld(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    cents = _cents(F.col("o_totalprice"))
+    by_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        cents.desc(), F.col("o_orderkey")
+    )
+    frame = by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("cents"),
+        F.rank().over(by_price).alias("price_rank"),
+        F.lag(cents).over(by_time).alias("prev_cents"),
+        F.lead(cents).over(by_time).alias("next_cents"),
+        F.sum(cents).over(frame).alias("running_cents"),
+        F.ntile(4).over(by_time).alias("quartile"),
+    )
+
+
+@_register(
+    "x05_left_outer_agg",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+                AS BIGINT) AS spend_cents
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    survey_ids=("X5",),
+)
+def x05_left_outer_agg(spark, sf_dir):
+    """Left outer join preserving customers with zero orders (X5).
+    Planned as shuffled hash / sort-merge on the key; at scale the agg
+    is pushed partial on the probe side before the exchange."""
+    c = _ld(spark, sf_dir, "customer")
+    o = _ld(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.count(o.o_orderkey).alias("n_orders"),
+            F.coalesce(F.sum(_cents(o.o_totalprice)), F.lit(0))
+            .cast("bigint")
+            .alias("spend_cents"),
+        )
+    )
+
+
+@_register(
+    "x05_semi_anti",
+    oracle="""
+    SELECT 'with_high_value' AS bucket, c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    UNION ALL
+    SELECT 'no_orders' AS bucket, c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    survey_ids=("X5",),
+)
+def x05_semi_anti(spark, sf_dir):
+    """Left-semi and left-anti joins (X5): existence and absence tests
+    without row multiplication — the same primitives the upsert operator
+    (Q16) and dedup-against-existing use."""
+    c = _ld(spark, sf_dir, "customer")
+    o = _ld(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    semi = c.join(high, c.c_custkey == high.o_custkey, "left_semi").select(
+        F.lit("with_high_value").alias("bucket"), "c_custkey"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("bucket"), "c_custkey"
+    )
+    return semi.unionAll(anti)
+
+
+@_register(
+    "x05_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    survey_ids=("X5",),
+)
+def x05_full_outer(spark, sf_dir):
+    """Full outer join (X5) of two aggregates, preserving keys present
+    on either side only (NULL counts on the other)."""
+    cn = (
+        _ld(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        _ld(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@_register(
+    "x05_range_join",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.band
+    FROM part p
+    JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'),
+                 (26, 40, 'large'), (41, 50, 'xl')) b(lo, hi, band)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    """,
+    survey_ids=("X5",),
+)
+def x05_range_join(spark, sf_dir):
+    """Non-equi (range) join (X5): banding a measure against a small
+    interval dimension. The dim is broadcast so the theta-join is a
+    map-side BroadcastNestedLoopJoin — no shuffle of the fact side."""
+    spark_ = spark
+    bands = spark_.createDataFrame(
+        [(1, 10, "small"), (11, 25, "medium"), (26, 40, "large"), (41, 50, "xl")],
+        "lo int, hi int, band string",
+    )
+    p = _ld(spark, sf_dir, "part")
+    return p.join(
+        F.broadcast(bands),
+        (p.p_size >= bands.lo) & (p.p_size <= bands.hi),
+    ).select("p_partkey", "p_size", "band")
+
+
+# =====================================================================
+# X6-X9: percentiles, datetime, JSON, sessionization
+# =====================================================================
+
+
+@_register(
+    "x06_percentiles_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.25)
+             / 100.0 AS p25_price,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.5)
+             / 100.0 AS median_price,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.75)
+             / 100.0 AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("X6",),
+)
+def x06_percentiles_distinct(spark, sf_dir):
+    """Exact distinct count + exact interpolated percentiles (X6).
+
+    Percentile inputs are integer cents and the probed quantiles are
+    dyadic (g ∈ {0.25, 0.5, 0.75} interpolation factors are exact in
+    binary), so interpolation is bit-identical across engines. The
+    approximate forms (approx_count_distinct / percentile_approx) are the
+    scale path — exercised in tests, not oracle-compared, since sketches
+    are engine-specific by construction."""
+    li = _ld(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        (F.percentile(cents, F.lit(0.25)) / 100.0).alias("p25_price"),
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.percentile(cents, F.lit(0.75)) / 100.0).alias("p75_price"),
+    )
+
+
+@_register(
+    "x07_datetime",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS month_cents
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    survey_ids=("X7",),
+)
+def x07_datetime(spark, sf_dir):
+    """Date/time bucketing (X7): date_trunc to month (cast to DATE so
+    both engines emit the same logical value), year/month extraction,
+    grouped totals."""
+    o = _ld(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("bigint").alias("month_cents"),
+    )
+
+
+@_register(
+    "x08_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids=("X8",),
+)
+def x08_json_extract(spark, sf_dir):
+    """JSON field extraction (X8) over the events.props payload column,
+    aggregated per event type. ``get_json_object`` evaluates JVM-side;
+    for fixed schemas ``from_json`` + nested pruning is the scale path
+    (exercised in tests)."""
+    ev = _ld(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k.cast("int")).alias("min_k"),
+        F.max(k.cast("int")).alias("max_k"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+    )
+
+
+@_register(
+    "x09_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value_cents,
+               CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+    survey_ids=("X9",),
+)
+def x09_sessionize(spark, sf_dir):
+    """Gap-based sessionization, batch form (X9): 30-minute max gap,
+    per-session aggregates. See operators/sessions.py for the
+    single-shuffle two-window formulation; the streaming variant
+    (session_window + watermark) is in streaming/windows.py with this
+    query as its replay-correctness proxy."""
+    from .operators.sessions import session_aggregate, sessionize
+
+    ev = _ld(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30.0, tie_col="event_id")
+    return session_aggregate(
+        sess, "user_id", "ts", value_cents=_cents(F.col("value"))
+    ).withColumn("sum_value_cents", F.col("sum_value_cents").cast("bigint"))
+
+
+@_register(
+    "x09_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    survey_ids=("X9",),
+)
+def x09_tumbling_window(spark, sf_dir):
+    """Tumbling event-time windows in batch (X9) via ``window()`` — the
+    exact grouping Structured Streaming uses, so streaming results can
+    be replay-checked against this."""
+    from .operators.sessions import tumbling_window_agg
+
+    ev = _ld(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, "ts", "1 hour", group_extra=["event_type"])
