@@ -1,0 +1,246 @@
+"""Deduplication operators for document corpora (SURVEY X11 + the
+LLM-data-pipeline extension set).
+
+Generalizes the reference's key-dedup-on-insert (``ON CONFLICT (MP_id)
+DO NOTHING``, ``my_dag.py:201-202``) from exact keys to content:
+
+- **exact / normalized dedup** — hash-groupBy on the (normalized) text;
+  first-wins survivor picked by a deterministic ``row_number`` tie-break
+  (NOT ``dropDuplicates``, whose survivor is partition-order arbitrary).
+- **MinHash + LSH near-dup** — shingle → minhash signature → banded
+  bucket join → exact-Jaccard verification of candidates only. The LSH
+  band join is what makes near-dup detection feasible at 100 TB: the
+  candidate set is ~linear in data size instead of O(n²); the quadratic
+  verify stage runs only inside buckets.
+- **SimHash** — one 32-bit signature per document computed in a single
+  array-aggregate pass (no token-row explosion), pairs compared by
+  Hamming distance via ``bit_count(xor)``.
+- **n-gram Jaccard** — exact pairwise similarity over word-3-gram sets,
+  candidate-pruned by the inverted shingle index.
+
+All hashing follows the cross-engine conventions in
+``functions/hashing.py`` (md5-derived integers, modular permutations),
+so every stage — including the LSH bucket assignment — is reproducible
+verbatim in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import MERSENNE31, det_hash_str, minhash_perm
+from ..functions.text import norm_text, tokens, word_ngrams
+
+#: Default MinHash geometry: 8 permutations in 4 bands of 2 rows.
+#: P(candidate | jaccard j) = 1 - (1 - j^2)^4 — ~0.99 at j = 0.8.
+N_PERMS = 8
+N_BANDS = 4
+ROWS_PER_BAND = 2
+
+
+def first_wins_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Exact dedup, first-writer-wins (X11, generalizing Q16).
+
+    Survivor per key group = smallest ``order_col``; adds ``n_copies``.
+    Deterministic by construction — re-running on the survivors is a
+    no-op (idempotence test in tests/test_dedup.py).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    wc = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per document: (doc_id, shingle).
+
+    The inverted index this produces is the workhorse of both the LSH
+    bucket join and exact-Jaccard verification.
+    """
+    toks = tokens(F.col("text"))
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(toks, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): column-wise MinHash signature.
+
+    One hash of each shingle string, then k cheap modular permutations
+    reduced with ``min`` — a single groupBy with map-side partial mins,
+    one shuffle regardless of k.
+    """
+    h = det_hash_str(F.col("shingle"))
+    hashed = shingled.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min(minhash_perm(F.col("h"), j)).alias(f"mh_{j}") for j in range(n_perms)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    Bands are (band_index, concatenated-row-values) keys; the self-join
+    on the band key only compares documents inside a bucket. At scale
+    this is the standard banded-LSH equi-join: shuffle on band key,
+    quadratic only within buckets.
+    """
+    band_entries = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_",
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        band_entries.append(
+            sigs.select(
+                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    bands = band_entries[0]
+    for e in band_entries[1:]:
+        bands = bands.unionAll(e)
+    left = bands.select(
+        F.col("doc_id").alias("a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), "band", "band_key"
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingled: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only.
+
+    intersection via equi-join on (pair, shingle); union by
+    inclusion-exclusion from per-doc set sizes. Integer counts → the
+    similarity is a single exact division.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        candidates.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "n_inter", "na", "nb", "jaccard")
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame, threshold: float = 0.8, shingle_n: int = 3
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate detection."""
+    shingled = doc_shingles(docs, shingle_n)
+    sigs = minhash_signatures(shingled)
+    cands = lsh_candidate_pairs(sigs)
+    return jaccard_verify(shingled, cands, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, candidate-pruned by the
+    inverted shingle index (pairs must share ≥1 shingle). The exact
+    counterpart to the MinHash path — quadratic only within shingle
+    posting lists."""
+    shingled = doc_shingles(docs, shingle_n)
+    sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    cands = (
+        sa.join(sb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(shingled, cands, threshold)
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): SimHash over token hashes, single-pass.
+
+    Per token, bit b contributes +1 if set in the token hash else -1;
+    the signature sets bit b iff the total is positive. Computed as one
+    ``aggregate`` over the token array with an int-array accumulator —
+    no row explosion, stays inside codegen, scales as O(tokens × bits)
+    work with zero extra shuffle.
+    """
+    # Hash each token once, then fold ±1 bit votes into an int array.
+    # Shift amounts must be Python literals in the Column API, so bit
+    # tests are literal masks (h & (1<<j)) and the final signature is a
+    # zip with a literal powers-of-two array.
+    tok_hashes = F.transform(tokens(F.col("text")), det_hash_str)
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    acc = F.aggregate(
+        tok_hashes,
+        zero,
+        lambda a, h: F.zip_with(
+            a,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("bigint")
+                    for j in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    sig = F.aggregate(
+        F.zip_with(
+            acc,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits.
+
+    Test-scale form joins all pairs; the scale path buckets signatures
+    by band (same LSH idea) first — see lsh_candidate_pairs.
+    """
+    sigs = simhash_signatures(docs, bits)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis operators over document corpora (SURVEY X13 + the
+LLM-data-pipeline extension set): token statistics, top-token/n-gram
+frequencies, heuristic language ID, quality scoring, and content
+fingerprinting.
+
+Everything is built-in string/array expressions (split, filter,
+transform, aggregate) evaluated JVM-side; counts are exact integers and
+every ratio is a single double division, so the DuckDB oracles match
+bit-for-bit. The only shuffle in any of these is the final groupBy on
+the token / doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, det_hash_str
+from ..functions.text import norm_text, tokens, word_ngrams
+
+#: Tiny per-language stopword lists for the heuristic language ID.
+#: Deliberately small + deterministic; the operator demonstrates the
+#: n-gram/stopword-ratio technique, not linguistic completeness.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+
+def _stop_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in the language's stopword set."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics (X13): counts via whitespace
+    tokenization plus a BPE-ish regex word count (letters / digits /
+    single punctuation as separate units)."""
+    toks = tokens(F.col("text"))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    bpe_ish = F.size(
+        F.expr(r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+        sum_len.alias("sum_token_chars"),
+        (sum_len.cast("double") / F.size(toks).cast("double")).alias("avg_token_len"),
+        bpe_ish.cast("bigint").alias("n_bpe_units"),
+        F.length(norm_text(F.col("text"))).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k tokens by frequency (ties broken lexically)."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(k)
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Global top-k word n-grams by frequency (ties broken lexically)."""
+    return (
+        docs.select(F.explode(word_ngrams(tokens(F.col("text")), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(k)
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID (LLM-pipeline op): stopword-hit ratios per
+    candidate language; highest ratio wins, ties resolved in fixed
+    ('de','en','es','fr') order; zero hits → 'und'. A real system plugs
+    a model here; the engine surface (per-doc scores + argmax) is what
+    this operator demonstrates."""
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        *[_stop_hits(toks, lang).alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    # First language (in sorted order) achieving the max wins the tie.
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        *[F.col(f"hits_{l}").cast("bigint").alias(f"hits_{l}") for l in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality (LLM-pipeline op): length score,
+    stopword ratio, mean token length, combined as a fixed affine blend.
+    Every component is an integer ratio → deterministic doubles."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    stop_hits = _stop_hits(toks, "en").cast("bigint")
+    len_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    stop_ratio = stop_hits.cast("double") / n_tok.cast("double")
+    avg_len = sum_len.cast("double") / n_tok.cast("double")
+    score = len_score * 0.5 + stop_ratio * 0.3 + (avg_len / 10.0) * 0.2
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        len_score.alias("len_score"),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive content fingerprint (LLM-pipeline op): a
+    positional polynomial over token hashes,
+    ``Σ_i hash(tok_i) · i  mod (2³¹−1)`` — one ``aggregate`` pass per
+    document, reproducible in any engine via the md5 hash convention.
+    Detects reorderings that bag-of-tokens signatures (SimHash) miss."""
+    toks = tokens(F.col("text"))
+    fp = F.pmod(
+        F.aggregate(
+            F.zip_with(
+                F.transform(toks, lambda t: F.pmod(det_hash_str(t), F.lit(MERSENNE31))),
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda h, i: h * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, v: F.pmod(a + v, F.lit(MERSENNE31)),
+        ),
+        F.lit(MERSENNE31),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, fp).otherwise(F.lit(0).cast("bigint")).alias("fingerprint"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )

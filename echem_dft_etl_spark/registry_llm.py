@@ -1,0 +1,504 @@
+"""Registry entries for the LLM-data-pipeline operators: text analysis,
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + LSH ANN).
+
+Oracle SQL here is largely *generated* from the same constants the Spark
+operators use (stopword lists, MinHash permutation coefficients, LSH
+hyperplane hashes), so both engines provably execute the same math —
+the Spark side is an idiomatic distributed plan, the SQL side a
+re-derivation for checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import KNUTH, MERSENNE31, MOD32
+from .operators import dedup, similarity, textstats
+from .registry import _register, _ld
+
+# --- shared DuckDB fragments (same conventions as functions/text.py) --
+
+_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+    " ' '), t -> t <> '')"
+)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_HSTR = "(('0x' || substr(md5({e}), 1, 12))::BIGINT)"
+_SHINGLES = (
+    "list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+_P = MERSENNE31
+
+
+def _perm_sql(h_expr: str, j: int) -> str:
+    a, b = 2 * j + 1, 7919 * (j + 1)
+    return f"(({a} * (({h_expr}) % {_P}) + {b}) % {_P})"
+
+
+# =====================================================================
+# Text analysis (X13)
+# =====================================================================
+
+
+@_register(
+    "t13_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS BIGINT) AS sum_token_chars,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(regexp_extract_all(text,
+                '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)) AS BIGINT)
+             AS n_bpe_units,
+           CAST(length({_NORM}) AS BIGINT) AS n_chars_norm
+    FROM t
+    """,
+    survey_ids=("X13",),
+)
+def t13_token_stats(spark, sf_dir):
+    """Per-document token statistics: whitespace tokens, distinct
+    tokens, character sums, and a BPE-ish regex unit count. See
+    operators/textstats.py."""
+    return textstats.token_stats(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
+    "t13_top_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         tok AS (SELECT unnest(toks) AS token FROM t)
+    SELECT token, COUNT(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+    survey_ids=("X13",),
+)
+def t13_top_tokens(spark, sf_dir):
+    """Corpus-wide token frequencies, top 25 (tie-broken lexically):
+    explode → hash agg with map-side combine → TakeOrdered."""
+    return textstats.top_tokens(_ld(spark, sf_dir, "documents"), k=25)
+
+
+@_register(
+    "t13_top_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         ng AS (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS ngram
+                FROM t WHERE len(toks) >= 2)
+    SELECT ngram, COUNT(*) AS n
+    FROM ng GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 25
+    """,
+    survey_ids=("X13",),
+)
+def t13_top_bigrams(spark, sf_dir):
+    """Corpus-wide word-bigram frequencies, top 25."""
+    return textstats.top_ngrams(_ld(spark, sf_dir, "documents"), n=2, k=25)
+
+
+def _stop_list_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(toks, x -> list_contains([{words}], x)))"
+        " AS BIGINT)"
+    )
+
+
+_LANGS = sorted(textstats.STOPWORDS)
+_BEST = "greatest(" + ", ".join(f"hits_{l}" for l in _LANGS) + ")"
+
+
+@_register(
+    "t13_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id,
+                      {", ".join(f"{_stop_list_sql(l)} AS hits_{l}" for l in _LANGS)}
+               FROM t)
+    SELECT doc_id, {", ".join(f"hits_{l}" for l in _LANGS)},
+           CASE WHEN {_BEST} = 0 THEN 'und'
+                {" ".join(f"WHEN hits_{l} = {_BEST} THEN '{l}'" for l in _LANGS)}
+           END AS lang_pred
+    FROM s
+    """,
+    survey_ids=("X13",),
+)
+def t13_language_id(spark, sf_dir):
+    """Heuristic stopword-ratio language ID (argmax over per-language
+    hit counts, deterministic tie order). operators/textstats.py."""
+    return textstats.language_id(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
+    "t13_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      {_stop_list_sql('en')} AS stop_hits,
+                      CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                           AS BIGINT) AS sum_len
+               FROM t)
+    SELECT doc_id, n_tokens, stop_hits,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS len_score,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
+             + CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 10.0 * 0.2
+             AS quality
+    FROM s
+    """,
+    survey_ids=("X13",),
+)
+def t13_quality_score(spark, sf_dir):
+    """Heuristic quality score: affine blend of length score, stopword
+    ratio and mean token length. operators/textstats.py."""
+    return textstats.quality_score(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
+    "t13_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         pr AS (SELECT doc_id, len(toks) AS n_tokens,
+                       list_transform(range(1, len(toks) + 1),
+                          i -> ({_HSTR.format(e='toks[i]')} % {_P})
+                               * CAST(i AS BIGINT)) AS prods
+                FROM t)
+    SELECT doc_id,
+           list_reduce(list_concat([CAST(0 AS BIGINT)], prods),
+                       (a, v) -> (a + v) % {_P}) AS fingerprint,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM pr
+    """,
+    survey_ids=("X13",),
+)
+def t13_fingerprint(spark, sf_dir):
+    """Order-sensitive positional-polynomial content fingerprint over
+    token hashes. operators/textstats.py."""
+    return textstats.fingerprint(_ld(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Deduplication family (X11 + LLM ops)
+# =====================================================================
+
+
+@_register(
+    "d11_dedup_exact",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY text) AS n_copies
+               FROM documents)
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+    FROM d WHERE rn = 1
+    """,
+    survey_ids=("X11", "Q16"),
+)
+def d11_dedup_exact(spark, sf_dir):
+    """Exact dedup on raw text, first-wins survivor (lowest doc_id) —
+    hash-groupBy semantics via a deterministic window, generalizing the
+    reference's ON CONFLICT DO NOTHING (my_dag.py:201)."""
+    out = dedup.first_wins_dedup(
+        _ld(spark, sf_dir, "documents"), ["text"], "doc_id"
+    )
+    return out.select("doc_id", F.col("n_copies").cast("bigint").alias("n_copies"))
+
+
+@_register(
+    "d11_dedup_normalized",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm_key FROM documents),
+         d AS (SELECT doc_id, norm_key,
+                      ROW_NUMBER() OVER (PARTITION BY norm_key ORDER BY doc_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY norm_key) AS n_copies
+               FROM n)
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies
+    FROM d WHERE rn = 1
+    """,
+    survey_ids=("X11",),
+)
+def d11_dedup_normalized(spark, sf_dir):
+    """Whitespace/case-normalized exact dedup (X11): the normalize-then-
+    first-wins form."""
+    docs = _ld(spark, sf_dir, "documents")
+    from .functions.text import norm_text
+
+    keyed = docs.select("doc_id", norm_text(F.col("text")).alias("norm_key"))
+    out = dedup.first_wins_dedup(keyed, ["norm_key"], "doc_id")
+    return out.select("doc_id", F.col("n_copies").cast("bigint").alias("n_copies"))
+
+
+def _minhash_cte() -> str:
+    """Shared CTE prefix: tokens → distinct shingles → string hash."""
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+           FROM t WHERE len(toks) >= 3),
+    hh AS (SELECT doc_id, {_HSTR.format(e='shingle')} AS h FROM sh)
+    """
+
+
+_MINHASH_AGGS = ", ".join(
+    f"MIN({_perm_sql('h', j)}) AS mh_{j}" for j in range(dedup.N_PERMS)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, CAST(mh_{2*b} AS VARCHAR) || '_' || "
+    f"CAST(mh_{2*b+1} AS VARCHAR) AS band_key FROM sigs"
+    for b in range(dedup.N_BANDS)
+)
+
+
+@_register(
+    "d12_minhash_lsh",
+    oracle=_minhash_cte()
+    + f""",
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+    SELECT i.a, i.b, i.n_inter, za.n_sh AS na, zb.n_sh AS nb,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.8
+    """,
+    survey_ids=("X11", "X12"),
+)
+def d12_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (shingle → 8 minhashes → 4
+    band buckets → candidate join → exact-Jaccard verify ≥ 0.8). The
+    full scale-path pipeline; see operators/dedup.py."""
+    return dedup.near_dup_pairs_minhash(
+        _ld(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@_register(
+    "d14_ngram_jaccard",
+    oracle=_minhash_cte()
+    + """,
+    cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+             FROM sh sa JOIN sh sb
+               ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+    SELECT i.a, i.b, i.n_inter, za.n_sh AS na, zb.n_sh AS nb,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+    """,
+    survey_ids=("X11",),
+)
+def d14_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5, candidate-pruned by the
+    inverted shingle index (no minhash approximation)."""
+    return dedup.ngram_jaccard_pairs(
+        _ld(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@_register(
+    "d13_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    th AS (SELECT doc_id, {_HSTR.format(e='tk')} AS h FROM tok),
+    bitsum AS (SELECT doc_id, b.b,
+                      SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+               GROUP BY doc_id, b.b),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(g.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sig g ON g.doc_id = d.doc_id
+    """,
+    survey_ids=("X11",),
+)
+def d13_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document — computed in Spark as a
+    single array-aggregate pass (no token-row explosion; see
+    operators/dedup.py), re-derived relationally in the oracle."""
+    return dedup.simhash_signatures(_ld(spark, sf_dir, "documents"), bits=32)
+
+
+@_register(
+    "d13_simhash_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    th AS (SELECT doc_id, {_HSTR.format(e='tk')} AS h FROM tok),
+    bitsum AS (SELECT doc_id, b.b,
+                      SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+               GROUP BY doc_id, b.b),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+    """,
+    survey_ids=("X11",),
+)
+def d13_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming distance ≤ 6."""
+    out = dedup.simhash_near_pairs(
+        _ld(spark, sf_dir, "documents"), max_hamming=6, bits=32
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# =====================================================================
+# Similarity search (X12 + LLM ops)
+# =====================================================================
+
+#: Dot product of two list columns, left-to-right double accumulation —
+#: mirrors Spark's aggregate fold including the 0.0 initial value.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_concat([CAST(0 AS DOUBLE)],"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_QID_SQL = ", ".join(str(i) for i in _QUERY_IDS)
+
+
+@_register(
+    "s12_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id IN ({_QID_SQL})),
+    sc AS (SELECT q.query_id, e.vec_id,
+                  {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+    rk AS (SELECT query_id, vec_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+           FROM sc)
+    SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10
+    """,
+    survey_ids=("X12",),
+)
+def s12_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 per query vector (exact baseline):
+    broadcast queries, map-side scoring via zip_with/aggregate, per-query
+    ranking. operators/similarity.py."""
+    return similarity.cosine_topk(
+        _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10
+    )
+
+
+@_register(
+    "s12_cosine_near_pairs",
+    oracle=f"""
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           {_cosine_sql('x.embedding', 'y.embedding')} AS cosine
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= 0.45
+    """,
+    survey_ids=("X12",),
+)
+def s12_cosine_near_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs: all (a,b) with cosine ≥ 0.45."""
+    return similarity.cosine_near_pairs(
+        _ld(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def _hp_sql(j: int, i_expr: str) -> str:
+    """Hyperplane component h[j][i] — mirrors similarity.hyperplane_component."""
+    return (
+        f"(CAST((({j} * 64 + {i_expr} + 1) * {KNUTH}) % {MOD32} AS DOUBLE)"
+        f" / {float(MOD32)} - 0.5)"
+    )
+
+
+def _hp_dot_sql(vec: str, j: int) -> str:
+    return (
+        f"list_reduce(list_concat([CAST(0 AS DOUBLE)],"
+        f" list_transform(range(1, len({vec}) + 1),"
+        f" i -> CAST({vec}[i] AS DOUBLE) * {_hp_sql(j, '(i - 1)')})),"
+        f" (x, y) -> x + y)"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_hp_dot_sql('embedding', j)} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(similarity.N_HYPERPLANES)
+)
+
+
+@_register(
+    "s12_ann_lsh",
+    oracle=f"""
+    WITH be AS (SELECT vec_id, embedding,
+                       CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+                FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+          FROM be WHERE vec_id IN ({_QID_SQL})),
+    cand AS (SELECT q.query_id, e.vec_id,
+                    {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine
+             FROM be e JOIN q ON e.bucket = q.q_bucket
+             WHERE e.vec_id <> q.query_id),
+    rk AS (SELECT query_id, vec_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+           FROM cand)
+    SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5
+    """,
+    survey_ids=("X12",),
+)
+def s12_ann_lsh(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH: bucket
+    by 8 deterministic sign bits, candidate join within the query's
+    bucket, exact cosine re-rank, top 5. The 100 TB scale path for
+    X12 — candidates shrink ~2^8-fold vs brute force."""
+    return similarity.ann_lsh_topk(
+        _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
+    )
