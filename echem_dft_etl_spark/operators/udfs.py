@@ -1,0 +1,130 @@
+"""The engine's Python-UDF surface (SURVEY Q10, X14).
+
+Three exemplars, each the idiomatic Arrow-batched form — never
+row-at-a-time Python:
+
+- **Scalar pandas UDF** — the reference's record→text serializer
+  ``write_jdftx`` (``dags/utils.py:3-48``): formats a structured record
+  into a DFT input deck. Shown both as a pure column expression
+  (``serialize_run_expr``, zero Python) and as a ``pandas_udf``
+  (``serialize_run_udf``) — the expression form is the hot path; the
+  UDF form is the template for logic that genuinely needs Python.
+- **Grouped-map applyInPandas** — per-group ``np.polyfit`` exactly as
+  ``analyze_electrochem`` does (``my_dag.py:171``), the UDAF surface.
+  Matches the relational exact-sum regression (registry
+  ``echem_flagship``) — the same oracle checks both.
+- **mapInPandas** — the streaming-batch iterator form used by the
+  multimodal and external-process operators (see multimodal.py /
+  pipe.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def serialize_run_expr(
+    lattice: Column, charge: Column, ion_names: Column
+) -> Column:
+    """Record → DFT-input text as a pure column expression (Q10).
+
+    Mirrors ``write_jdftx`` (``utils.py:3-48``): lattice block emitted
+    TRANSPOSED (``R[j][i]``, see ``utils.py:11``), one ``ion`` line per
+    site, then fixed settings + the per-run ``elec-initial-charge``.
+    Numbers are formatted with explicit printf-style patterns so any
+    engine reproduces the text byte-for-byte.
+    """
+    lattice_lines = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(2)),
+                    # transpose: row i prints R[j][i]
+                    lambda j: F.format_string(
+                        "%.6f",
+                        F.element_at(F.element_at(lattice, (j + 1).cast("int")), (i + 1).cast("int")),
+                    ),
+                ),
+            ),
+        ),
+    )
+    ion_lines = F.concat_ws(
+        "\n", F.transform(ion_names, lambda n: F.concat(F.lit("ion "), n))
+    )
+    return F.concat_ws(
+        "\n",
+        F.lit("lattice \\"),
+        lattice_lines,
+        ion_lines,
+        F.lit("coords-type Cartesian"),
+        F.format_string("elec-initial-charge %.2f", charge),
+    )
+
+
+def make_serialize_run_udf():
+    """Arrow-batched pandas UDF form of :func:`serialize_run_expr` —
+    bit-identical output, Python implementation. Built lazily (a
+    pandas_udf declaration needs an active session to parse its return
+    type). The template for serializers too complex for expressions."""
+
+    @pandas_udf("string")
+    def serialize_run_udf(
+        lattice: pd.Series, charge: pd.Series, ion_names: pd.Series
+    ) -> pd.Series:
+        def one(lat, chg, ions) -> str:
+            lat_txt = "\n".join(
+                " ".join(f"{lat[j][i]:.6f}" for j in range(3)) for i in range(3)
+            )
+            ion_txt = "\n".join(f"ion {n}" for n in ions)
+            return (
+                "lattice \\"
+                + "\n"
+                + lat_txt
+                + "\n"
+                + ion_txt
+                + "\ncoords-type Cartesian\n"
+                + f"elec-initial-charge {chg:.2f}"
+            )
+
+        return pd.Series(
+            [one(l, c, n) for l, c, n in zip(lattice, charge, ion_names)]
+        )
+
+    return serialize_run_udf
+
+
+def fit_per_group_pandas(metrics: DataFrame) -> DataFrame:
+    """Per-group linear fit via applyInPandas (X14): ``np.polyfit(x, y,
+    1)`` per key, exactly the reference's fit (``my_dag.py:171``).
+
+    The grouped-map form buffers one group per call — appropriate when
+    the per-group logic is genuinely iterative/np-based. For plain
+    least squares the relational exact-sum form (echem_flagship) is
+    the scale path; this surface exists for custom science.
+    Input: (slab_id, x, y). Output: (slab_id, slope, intercept, n_obs).
+    """
+    import numpy as np
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        slope, intercept = np.polyfit(pdf["x"], pdf["y"], 1)
+        return pd.DataFrame(
+            {
+                "slab_id": [pdf["slab_id"].iloc[0]],
+                "slope": [float(slope)],
+                "intercept": [float(intercept)],
+                "n_obs": [len(pdf)],
+            }
+        )
+
+    return metrics.groupBy("slab_id").applyInPandas(
+        fit, "slab_id bigint, slope double, intercept double, n_obs bigint"
+    )

@@ -68,7 +68,7 @@ def _register(name, oracle, survey_ids=()):
 def all_queries() -> dict[str, QuerySpec]:
     # Late import so the extension registries (text/dedup/similarity,
     # UDF/streaming surfaces) self-register exactly once.
-    from . import registry_llm  # noqa: F401
+    from . import registry_llm, registry_surfaces  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,295 @@
+"""Registry entries for the engine's non-relational surfaces:
+
+- the scalar UDF exemplar (the reference's record→text serializer,
+  Q10) in both pure-expression and pandas_udf form — same oracle;
+- the grouped-map applyInPandas fit (X14) — checked against the
+  closed-form least-squares SQL;
+- the external-process pipe stage (the jdftx stage shape) — oracle
+  reproduces the child process's printf-formatted arithmetic;
+- multimodal binary decode plumbing (mapInPandas, stub decoder);
+- Structured Streaming window queries (X10) executed with
+  availableNow into memory sinks — tumbling/sliding replay-checked
+  against exact SQL, session windows rows-only (watermark tail
+  emission is engine-defined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import multimodal, pipe, udfs
+from .registry import _register, _ld
+
+
+def _runs_grid(spark, sf_dir):
+    """nation × charges with a synthetic per-run lattice + ion list —
+    reference-shaped inputs (D4) derived from the standard corpus."""
+    n = _ld(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    rk = F.col("n_regionkey").cast("double")
+    lattice = F.array(
+        F.array(nk + 1.0, F.lit(0.5), F.lit(0.0)),
+        F.array(F.lit(0.25), rk + 2.0, F.lit(0.0)),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(2.0)),
+    )
+    ions = F.array(
+        F.concat(F.lit("v"), F.col("n_nationkey").cast("string")), F.lit("o")
+    )
+    return n.select(
+        "n_nationkey",
+        F.explode(F.array(F.lit(-0.1), F.lit(0.0), F.lit(0.1))).alias("charge"),
+        lattice.alias("lattice"),
+        ions.alias("ion_names"),
+    )
+
+
+_SERIALIZER_ORACLE = """
+    WITH g AS (
+        SELECT n_nationkey, charge,
+               [[CAST(n_nationkey AS DOUBLE) + 1.0, 0.5, 0.0],
+                [0.25, CAST(n_regionkey AS DOUBLE) + 2.0, 0.0],
+                [0.0, 0.0, 2.0]] AS lat,
+               ['v' || CAST(n_nationkey AS VARCHAR), 'o'] AS ions
+        FROM nation
+        CROSS JOIN (VALUES (CAST(-0.1 AS DOUBLE)), (CAST(0.0 AS DOUBLE)),
+                           (CAST(0.1 AS DOUBLE))) c(charge)
+    )
+    SELECT n_nationkey, charge,
+           concat_ws(chr(10),
+               'lattice \\',
+               printf('%.6f %.6f %.6f', lat[1][1], lat[2][1], lat[3][1]),
+               printf('%.6f %.6f %.6f', lat[1][2], lat[2][2], lat[3][2]),
+               printf('%.6f %.6f %.6f', lat[1][3], lat[2][3], lat[3][3]),
+               'ion ' || ions[1] || chr(10) || 'ion ' || ions[2],
+               'coords-type Cartesian',
+               printf('elec-initial-charge %.2f', charge)) AS deck
+    FROM g
+    """
+
+
+@_register(
+    "q10_serializer_expr",
+    oracle=_SERIALIZER_ORACLE,
+    survey_ids=("Q10", "Q13", "Q15"),
+)
+def q10_serializer_expr(spark, sf_dir):
+    """The write_jdftx record→text serializer (utils.py:3-48) as a pure
+    column expression — lattice transposed like the reference
+    (utils.py:11), printf-formatted so the text is byte-reproducible.
+    Zero Python in the plan."""
+    runs = _runs_grid(spark, sf_dir)
+    return runs.select(
+        "n_nationkey",
+        "charge",
+        udfs.serialize_run_expr(
+            F.col("lattice"), F.col("charge"), F.col("ion_names")
+        ).alias("deck"),
+    )
+
+
+@_register(
+    "q10_serializer_pandas_udf",
+    oracle=_SERIALIZER_ORACLE,
+    survey_ids=("Q10", "X14"),
+)
+def q10_serializer_pandas_udf(spark, sf_dir):
+    """Same serializer through the Arrow-batched pandas_udf surface —
+    the driver checks it against the identical oracle, proving the UDF
+    path is byte-equivalent to the expression path."""
+    runs = _runs_grid(spark, sf_dir)
+    udf = udfs.make_serialize_run_udf()
+    return runs.select(
+        "n_nationkey",
+        "charge",
+        udf(F.col("lattice"), F.col("charge"), F.col("ion_names")).alias("deck"),
+    )
+
+
+@_register(
+    "x14_grouped_fit_pandas",
+    oracle="""
+    WITH m AS (SELECT l_suppkey AS slab_id,
+                      CAST(l_quantity AS BIGINT) AS x,
+                      CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+               FROM lineitem),
+    f AS (SELECT slab_id, COUNT(*) AS n_obs,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+          FROM m GROUP BY slab_id)
+    SELECT slab_id,
+           ROUND(CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_obs * sxx - sx * sx AS DOUBLE) / 100.0, 2) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                  / CAST(n_obs * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n_obs AS DOUBLE) / 100.0, 2) AS intercept,
+           n_obs
+    FROM f
+    """,
+    survey_ids=("X14", "Q20"),
+)
+def x14_grouped_fit_pandas(spark, sf_dir):
+    """Per-group np.polyfit via applyInPandas (X14) — the reference's
+    exact fit call (my_dag.py:171) on the grouped-map UDF surface.
+    Outputs rounded to 2 decimals: the SQL oracle computes the
+    closed-form least squares; polyfit's SVD path agrees to ~1e-9
+    relative, far inside the rounding."""
+    li = _ld(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("slab_id"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    fit = udfs.fit_per_group_pandas(li)
+    return fit.select(
+        "slab_id",
+        F.round("slope", 2).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        "n_obs",
+    )
+
+
+@_register(
+    "pipe_external_solver",
+    oracle="""
+    SELECT n.n_name || '_' || printf('%.1f', c.charge) AS run_id,
+           CAST(printf('%.6f', -0.2 + 0.05 * c.charge) AS DOUBLE) AS mu,
+           CAST(printf('%.3f', 250 + 10 * c.charge) AS DOUBLE) AS ne
+    FROM nation n
+    CROSS JOIN (VALUES (CAST(-0.1 AS DOUBLE)), (CAST(0.0 AS DOUBLE)),
+                       (CAST(0.1 AS DOUBLE))) c(charge)
+    """,
+    survey_ids=("S2", "Q15"),
+)
+def pipe_external_solver(spark, sf_dir):
+    """The external-solver pipe stage (my_dag.py:135): every Arrow batch
+    is piped through a real subprocess (awk standing in for jdftx) and
+    its stdout parsed back into rows. The oracle reproduces the child's
+    printf-rounded arithmetic exactly, so even the float formatting
+    round-trip is checked."""
+    n = _ld(spark, sf_dir, "nation")
+    runs = n.select(
+        "n_name",
+        F.explode(F.array(F.lit(-0.1), F.lit(0.0), F.lit(0.1))).alias("charge"),
+    ).select(
+        F.concat_ws(
+            "_", F.col("n_name"), F.format_string("%.1f", F.col("charge"))
+        ).alias("run_id"),
+        "charge",
+    )
+    return pipe.pipe_solver_stub(runs, timeout_s=60.0)
+
+
+@_register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'fake/raw' AS format,
+           CAST((doc_id % 4) * 64 + 64 AS INTEGER) AS width,
+           CAST((doc_id % 3) * 64 + 64 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(
+                    range(1, least(length(text), 64) + 1),
+                    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feature_sum
+    FROM documents
+    """,
+    survey_ids=("X14",),
+)
+def mm_decode_features(spark, sf_dir):
+    """Multimodal binary-column plumbing: attach an opaque payload +
+    typed metadata, decode via Arrow-batched mapInPandas (stub decoder —
+    byte-level features; see operators/multimodal.py for the PIL swap
+    point). The oracle checks the full schema/batch plumbing through
+    byte counts and byte-sum features."""
+    docs = _ld(spark, sf_dir, "documents")
+    return multimodal.decode_batch(multimodal.attach_binary_payload(docs))
+
+
+# =====================================================================
+# Structured Streaming (X10): availableNow replays into memory sinks
+# =====================================================================
+
+
+@_register(
+    "x10_stream_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+    survey_ids=("X10", "X9"),
+)
+def x10_stream_tumbling(spark, sf_dir):
+    """Streaming tumbling-window counts with watermark, replayed
+    bounded (availableNow) in complete mode — results provably equal
+    the batch form, which is the oracle (SURVEY §7 streaming-state
+    risk: keep streaming a thin layer over batch-tested expressions)."""
+    from .streaming.windows import read_events_stream, run_to_memory, tumbling_counts
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir), "1 hour", "2 hours")
+    return run_to_memory(stream, spark, mode="complete")
+
+
+@_register(
+    "x10_stream_sliding",
+    oracle="""
+    WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS w1 FROM events),
+    starts AS (SELECT w1 AS ws FROM b
+               UNION ALL
+               SELECT w1 - INTERVAL 30 MINUTES FROM b)
+    SELECT ws AS window_start,
+           ws + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events
+    FROM starts GROUP BY 1, 2
+    """,
+    survey_ids=("X10",),
+)
+def x10_stream_sliding(spark, sf_dir):
+    """Streaming sliding windows (1h width / 30min slide): each event
+    lands in two windows; the oracle derives both window starts per
+    event on the shared epoch-aligned 30-minute grid."""
+    from .streaming.windows import read_events_stream, run_to_memory, sliding_counts
+
+    stream = sliding_counts(
+        read_events_stream(spark, sf_dir), "1 hour", "30 minutes", "2 hours"
+    )
+    return run_to_memory(stream, spark, mode="complete")
+
+
+@_register(
+    "x10_stream_sessions",
+    oracle=None,  # tail-session emission under watermark is engine-defined
+    survey_ids=("X10",),
+)
+def x10_stream_sessions(spark, sf_dir):
+    """Streaming session windows (native session_window + watermark,
+    append mode). Sessions not closed by the final watermark are
+    withheld by definition, so this is rows-only at the driver; the
+    batch equivalence (emitted ⊆ batch sessions, exact match below the
+    watermark) is asserted in tests/test_streaming.py."""
+    from .streaming.windows import read_events_stream, run_to_memory, session_windows
+
+    stream = session_windows(read_events_stream(spark, sf_dir), "30 minutes", "2 hours")
+    return run_to_memory(stream, spark, mode="append")
+
+
+@_register(
+    "x10_stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey_ids=("X10",),
+)
+def x10_stream_dedup_keys(spark, sf_dir):
+    """Streaming stateful dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type): the surviving key set is deterministic
+    (= DISTINCT keys) even though which physical row survives depends
+    on arrival order — so the key projection is the checkable output."""
+    from .streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_to_memory(deduped, spark, mode="append")
+    return out.select("user_id", "event_type")

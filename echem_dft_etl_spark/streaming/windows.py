@@ -1,0 +1,150 @@
+"""Structured Streaming forms of the event-window operators (SURVEY X10).
+
+The reference pipeline is batch-triggered (``schedule=None``,
+``my_dag.py:249``); its continuous-operation generalization is
+Structured Streaming: ``readStream`` → the *same* window expressions the
+batch operators use → ``writeStream``. Late data is governed by
+watermarks; results are replay-checked against the batch forms in
+``operators/sessions.py`` (the DuckDB-checkable correctness proxies,
+SURVEY §7 streaming-state risk note).
+
+Everything here runs with ``trigger(availableNow=True)`` against the
+parquet events table in tests — the same code takes a Kafka/file stream
+at scale; only the reader line changes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, prepare_session
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; the corpus ships
+    one parquet file per table. Stage a per-sf symlink directory under
+    /tmp (data is never copied or modified)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/echem_stream_src_{key}/events"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events table as a bounded stream (availableNow replay).
+
+    Schema comes from a batch peek (streaming readers need it up
+    front); the nanos→µs truncation matches the batch loader.
+    """
+    prepare_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(_as_stream_dir(sf_dir))
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark (X10).
+
+    Identical grouping to operators/sessions.tumbling_window_agg — the
+    batch query is the oracle for this stream on replay.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (X10): each event lands in
+    width/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming session windows (X10): Spark's native session_window
+    merges events within ``gap`` into growing state per user. The batch
+    sessionize operator (same gap) is the replay oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming stateful dedup (X10): drop duplicate event_ids whose
+    duplicates arrive within the watermark horizon — the streaming
+    analogue of the first-wins upsert (Q16)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
+    """Execute a bounded stream with availableNow into a memory sink and
+    return the materialized result as a batch DataFrame.
+
+    Mode notes for bounded replays: time-window aggregations can use
+    'complete' (all windows emitted regardless of watermark); session
+    windows only support 'append'/'update', so in append mode the tail
+    sessions — those not yet closed by the final watermark — are
+    withheld, and replay checks against batch must compare only sessions
+    ending below ``max(ts) − watermark``.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

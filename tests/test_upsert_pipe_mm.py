@@ -1,0 +1,91 @@
+"""Idempotent upsert, the external-process pipe stage, and the
+multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from echem_dft_etl_spark.operators import multimodal
+from echem_dft_etl_spark.operators.dedup import first_wins_dedup
+from echem_dft_etl_spark.operators.pipe import pipe_map, pipe_solver_stub
+from tests.conftest import SF_SMOKE
+
+
+def test_first_wins_dedup_idempotent(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 2, "b"), ("k2", 5, "c"), ("k2", 3, "d"), ("k3", 9, "e")],
+        "key string, seq int, payload string",
+    )
+    once = first_wins_dedup(df, ["key"], "seq")
+    got = {(r.key, r.seq, r.payload, r.n_copies) for r in once.collect()}
+    # First writer (lowest seq) wins — the reference's ON CONFLICT DO
+    # NOTHING semantics (my_dag.py:201).
+    assert got == {("k1", 1, "a", 2), ("k2", 3, "d", 2), ("k3", 9, "e", 1)}
+    twice = first_wins_dedup(once.drop("n_copies"), ["key"], "seq")
+    assert sorted(
+        (r.key, r.seq) for r in twice.collect()
+    ) == sorted((r.key, r.seq) for r in once.collect())
+
+
+def test_upsert_against_existing_is_idempotent(spark):
+    incoming = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "mp_id string, pzc double"
+    )
+    existing = spark.createDataFrame([("b", 99.0)], "mp_id string, pzc double")
+    inserted = incoming.join(existing.select("mp_id"), "mp_id", "left_anti")
+    table = existing.unionByName(inserted)
+    assert {(r.mp_id, r.pzc) for r in table.collect()} == {
+        ("a", 1.0), ("b", 99.0), ("c", 3.0)  # existing row b untouched
+    }
+    # Re-running the same batch inserts nothing.
+    again = incoming.join(table.select("mp_id"), "mp_id", "left_anti")
+    assert again.count() == 0
+
+
+def test_pipe_solver_stub(spark):
+    runs = spark.createDataFrame(
+        [("r1", -0.1), ("r2", 0.0), ("r3", 0.1)], "run_id string, charge double"
+    )
+    got = {r.run_id: (r.mu, r.ne) for r in pipe_solver_stub(runs).collect()}
+    assert got["r2"] == (-0.2, 250.0)
+    assert got["r1"] == pytest.approx((-0.205, 249.0))
+    assert got["r3"] == pytest.approx((-0.195, 251.0))
+
+
+def test_pipe_failure_raises(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    bad = pipe_map(
+        df,
+        ["false"],  # exits 1 immediately
+        "v string",
+        lambda pdf: "",
+        lambda out, pdf: pdf,
+        timeout_s=10,
+    )
+    with pytest.raises(Exception, match="(?i)pipe command|failed"):
+        bad.collect()
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(7, "hello world"), (8, "abc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in multimodal.decode_batch(
+        multimodal.attach_binary_payload(docs)
+    ).collect()}
+    assert out[7].n_bytes == len(b"hello world")
+    assert out[7].feature_sum == sum(b"hello world")
+    assert out[7].format == "fake/raw"
+    assert (out[8].width, out[8].height) == (8 % 4 * 64 + 64, 8 % 3 * 64 + 64)
+
+
+def test_multimodal_payload_prunable(spark):
+    """A query not touching the payload must not read it from the scan
+    — the property that makes opaque-binary columns viable at 100 TB."""
+    from echem_dft_etl_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    narrow = multimodal.attach_binary_payload(docs).select("doc_id", "meta.width")
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("ReadSchema:")[-1][:200]
