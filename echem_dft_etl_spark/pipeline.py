@@ -1,0 +1,179 @@
+"""The full reference dataflow as ONE lazily-planned Spark job
+(SURVEY §3 diagram / §7 Phase 5).
+
+The reference runs eight Airflow tasks with ~6 s fixed overhead each and
+JSON-serialized XCom hops between processes (SURVEY §6). Here the whole
+chain is a single DataFrame lineage — Catalyst sees every stage at once,
+so sampling happens before expansion, projections prune upstream scans,
+and nothing materializes between stages unless explicitly checkpointed:
+
+    source(materials, pred)                  [Q1]
+      → project(id, structure)               [Q3]
+      → sink(bulk store)                     [S1]
+      → sample(n, seed-hash order)           [Q11]
+      → crossJoin(facets) → explode(slabs)   [Q13, Q14]
+      → sample(1)                            [Q12]
+      → explode(charges) → serialize deck    [Q15, Q10]
+      → pipe(solver)                         [my_dag.py:135]
+      → parse last FillingsUpdate per run    [Q5, Q6]
+      → join(geometry) → descriptors         [Q17-Q20, Q22]
+      → upsert(results table)                [Q16, S3]
+      → append(report)                       [S4]
+
+The solver is pluggable: the default is the deterministic stub from
+operators/pipe.py; swap ``solver=`` for the real binary's command to run
+grand-canonical DFT per partition with Spark-managed retries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import det_hash_i64, det_hash_str
+from .operators import echem
+from .operators.pipe import pipe_solver_stub
+from .operators.udfs import serialize_run_expr
+from .sources.sinks import append_report, upsert_parquet, write_partitioned
+
+DEFAULT_CHARGES = (-0.1, 0.0, 0.1)
+
+
+def sample_by_hash(df: DataFrame, key: str, n: int, seed: int) -> DataFrame:
+    """Q11/Q12: deterministic hash-order sample (seeded, capped at input
+    size like the reference's min(nsample, len), my_dag.py:57)."""
+    key_col = F.col(key)
+    h = (
+        det_hash_i64(key_col, seed)
+        if dict(df.dtypes)[key] in ("bigint", "int")
+        else F.pmod(det_hash_str(key_col) + F.lit(seed), F.lit(2**32))
+    )
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", key)
+        .limit(n)
+        .drop("_h")
+    )
+
+
+def generate_slabs(bulks: DataFrame, facets: list[str]) -> DataFrame:
+    """Q13/Q14: bulk × facet expansion with a variable number of slabs
+    per pair and a 0-based within-group index.
+
+    The reference calls pymatgen's SlabGenerator (my_dag.py:78-99);
+    slab construction is a pure function of (structure, facet), modeled
+    here as a deterministic 1..3-slab expansion. A real generator slots
+    in as a pandas UDF returning an array — the explode shape is
+    identical.
+    """
+    facet_dim = F.explode(
+        F.array(*[F.lit(f) for f in facets])
+    ).alias("facet")
+    with_facets = bulks.select("*", facet_dim)
+    # deterministic slab count per (material, facet) in 1..3
+    n_slabs = (
+        F.pmod(
+            det_hash_str(F.concat_ws("-", F.col("material_id"), F.col("facet"))),
+            F.lit(3),
+        )
+        + 1
+    ).cast("int")
+    slabs = with_facets.select(
+        "*",
+        F.posexplode(F.sequence(F.lit(1), n_slabs)).alias("slab_index", "_one"),
+    ).drop("_one")
+    return slabs.withColumn(
+        "slab_id",
+        F.concat_ws("-", "material_id", "facet", F.col("slab_index").cast("string")),
+    )
+
+
+def run_reference_pipeline(
+    spark: SparkSession,
+    materials: DataFrame,
+    out_dir: str,
+    n_bulk_sample: int = 2,
+    facets: tuple[str, ...] = ("111",),
+    charges: tuple[float, ...] = DEFAULT_CHARGES,
+    solver: Callable[[DataFrame], DataFrame] = pipe_solver_stub,
+) -> DataFrame:
+    """Execute the end-to-end dataflow; returns (MP_id, pzc, capacitance).
+
+    ``materials``: (material_id string, chemsys string, lattice
+    array<array<double>>, ion_names array<string>, cell00, cell11).
+    Side effects mirror the reference's sinks under ``out_dir``.
+    """
+    # Q1/Q3: pushed predicate + projection
+    bulks = materials.filter(F.col("chemsys") == "V-O").select(
+        "material_id", "lattice", "ion_names", "cell00", "cell11"
+    )
+    # S1: persist the bulk store partitioned by material
+    write_partitioned(bulks, f"{out_dir}/bulk_store", ["material_id"])
+
+    # Q11: seeded sample (reference seed=27, my_dag.py:56)
+    sampled = sample_by_hash(bulks, "material_id", n_bulk_sample, seed=27)
+
+    # Q13/Q14: slab expansion + per-group index; S1: slab store
+    slabs = generate_slabs(sampled, list(facets))
+    write_partitioned(
+        slabs.select("material_id", "facet", "slab_index", "slab_id"),
+        f"{out_dir}/slab_store",
+        ["material_id"],
+    )
+
+    # Q12: pick one slab (reference seed=20, my_dag.py:110)
+    picked = sample_by_hash(slabs, "slab_id", 1, seed=20)
+
+    # Q15 × Q10: charge fan-out + input-deck serialization
+    runs = picked.select(
+        "slab_id",
+        "lattice",
+        "ion_names",
+        "cell00",
+        "cell11",
+        F.explode(F.array(*[F.lit(c) for c in charges])).alias("charge"),
+    ).withColumn(
+        "deck",
+        serialize_run_expr(F.col("lattice"), F.col("charge"), F.col("ion_names")),
+    )
+    write_partitioned(
+        runs.select("slab_id", "charge", "deck"), f"{out_dir}/gc_dft_in", ["slab_id"]
+    )
+
+    # pipe stage: solver per Arrow batch (my_dag.py:135 shape)
+    solver_in = runs.select(
+        F.concat_ws("_", "slab_id", F.format_string("%.1f", "charge")).alias(
+            "run_id"
+        ),
+        "charge",
+    )
+    solved = solver(solver_in)
+
+    # Q9: recover slab/charge keys; Q17: join geometry
+    metrics = solved.select(
+        F.regexp_extract("run_id", r"(.+)_[^_]+$", 1).alias("slab_id"),
+        F.regexp_extract("run_id", r"_([^_]+)$", 1).cast("double").alias("charge"),
+        "mu",
+        "ne",
+    )
+    geometry = picked.select("slab_id", "cell00", "cell11")
+
+    # Q18-Q20, Q22: descriptors
+    result = echem.electrochem_descriptors(metrics, geometry)
+
+    # Q16/S3: first-wins upsert into the results table
+    table = upsert_parquet(
+        result, f"{out_dir}/dft_echem", key_cols=["MP_id"], order_col="MP_id"
+    )
+
+    # S4: append-only report
+    n = result.count()
+    append_report(
+        spark,
+        f"{out_dir}/report",
+        [f"## run: {n} slab(s) analyzed", "![plot](visualize/echem.png)"],
+    )
+    return table
