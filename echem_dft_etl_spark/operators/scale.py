@@ -1,0 +1,87 @@
+"""Scale patterns: skew-resistant joins and co-located (bucketed) joins.
+
+At 100 TB the engine's worst enemies are (a) one hot key turning a
+shuffle join into a single straggler task and (b) re-shuffling the same
+fact table for every join it participates in. Spark's own answers —
+AQE skew-join splitting and bucketed tables — are configuration, but
+both have authoring-side halves, which live here:
+
+- **Salted join**: when the skewed side's hot keys are known to be
+  few-but-huge (classic power-law user/item keys) and AQE's split
+  granularity isn't enough, append a deterministic salt ∈ [0, k) to
+  the big side's key and replicate the small side k times. The join
+  key becomes (key, salt): the hot key's rows spread over k tasks.
+  Result set is provably identical to the unsalted join.
+
+- **Bucketed tables**: pre-shuffle a fact table ONCE at write time
+  (``bucketBy(n, key)``); every subsequent equi-join or aggregation on
+  the bucket key reads co-located buckets and plans with ZERO exchange
+  on that side. The write is the shuffle you were going to pay anyway,
+  amortized over every downstream query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import det_hash_i64
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread across ``n_salts``
+    partitions-worth of sub-keys.
+
+    ``big`` gets ``salt = hash(row) % n_salts`` (deterministic — derived
+    from the key plus a per-row disambiguator column if present);
+    ``small`` is exploded ``n_salts``-fold. Join on (key, salt). The
+    output equals ``big.join(small, key, how)`` row-for-row; only the
+    physical key distribution changes. Use when one side is small
+    enough to replicate k times but too big to broadcast outright.
+    """
+    salt_src = F.coalesce(F.col(key).cast("bigint"), F.lit(0))
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(det_hash_i64(F.spark_partition_id() * 31 + salt_src), F.lit(n_salts)).cast("int"),
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    One shuffle now; zero shuffles for every later equi-join /
+    aggregation on ``key`` between tables bucketed the same way (verify
+    with plans.exchange_count == 0). Bucketing works with the built-in
+    catalog — no Hive metastore needed. ``path`` makes it an external
+    table at that location (default: the session warehouse dir).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — exchange-free."""
+    return spark.table(left_table).join(spark.table(right_table), key)

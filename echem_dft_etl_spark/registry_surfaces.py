@@ -293,3 +293,79 @@ def x10_stream_dedup_keys(spark, sf_dir):
     )
     out = run_to_memory(deduped, spark, mode="append")
     return out.select("user_id", "event_type")
+
+
+@_register(
+    "x10_stream_stateful_profile",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               date_diff('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+           CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+    survey_ids=("X10", "X14"),
+)
+def x10_stream_stateful_profile(spark, sf_dir):
+    """Custom arbitrary-state streaming operator
+    (applyInPandasWithState): per-user running activity profile whose
+    max-inactivity gap spans micro-batch boundaries — state the
+    built-in window/session operators cannot carry. On bounded replay
+    the final emission per user equals the batch lag-gap computation,
+    which is the oracle. See streaming/stateful.py."""
+    from pyspark.sql.window import Window as W
+
+    from .streaming.stateful import user_activity_profile
+    from .streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts")
+    out = run_to_memory(user_activity_profile(ev), spark, mode="update")
+    w = W.partitionBy("user_id").orderBy(F.col("version").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "first_ts", "last_ts", "max_gap_us")
+    )
+
+
+@_register(
+    "s15_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_li,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("X5",),
+)
+def s15_salted_join(spark, sf_dir):
+    """Skew-resistant salted join (scale pattern): the fact side's key
+    is sub-keyed by a deterministic salt and the other side replicated
+    salt-fold, so one hot key spreads over n_salts tasks instead of one
+    straggler. Row-for-row equal to the plain join — the oracle is the
+    unsalted SQL. See operators/scale.py."""
+    from .operators.scale import salted_join
+
+    li = _ld(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = _ld(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "okey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_li"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -1,0 +1,87 @@
+"""Scale patterns (operators/scale.py): salting preserves join
+semantics while spreading hot keys; bucketed tables join and aggregate
+with zero exchanges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from echem_dft_etl_spark import plans
+from echem_dft_etl_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from echem_dft_etl_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    salted = salted_join(li, orders, "okey", n_salts=4)
+    plain = li.join(orders, "okey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("o_orderpriority").count().collect()
+    b = plain.groupBy("o_orderpriority").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """All rows of one hot key must not share a single salt value."""
+    hot = spark.range(0, 10_000).select(
+        F.lit(42).alias("k"), F.col("id").alias("payload")
+    ).repartition(8)
+    dim = spark.createDataFrame([(42, "x")], "k bigint, v string")
+    joined = salted_join(hot, dim, "k", n_salts=8)
+    assert joined.count() == 10_000
+    # inspect the salt distribution the operator would use
+    from echem_dft_etl_spark.functions.hashing import det_hash_i64
+
+    salts = (
+        hot.withColumn(
+            "_salt",
+            F.pmod(
+                det_hash_i64(F.spark_partition_id() * 31 + F.col("k")),
+                F.lit(8),
+            ),
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(li, "li_b", "l_orderkey", 8, path=str(tmp_path / "li_b"))
+    write_bucketed(orders, "ord_b", "l_orderkey", 8, path=str(tmp_path / "ord_b"))
+    # a dim this small would be broadcast, bypassing the bucketed scans;
+    # disable auto-broadcast to exercise the co-located join path the
+    # pattern exists for (at scale neither side is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "li_b", "ord_b", "l_orderkey")
+        assert plans.exchange_count(joined) == 0, plans.physical_plan(joined)
+        assert "Bucketed: true" in plans.physical_plan(joined)
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+        # aggregation on the bucket key also avoids the shuffle
+        agg = spark.table("li_b").groupBy("l_orderkey").agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        assert plans.exchange_count(agg) == 0, plans.physical_plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")

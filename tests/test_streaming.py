@@ -60,3 +60,42 @@ def test_stream_sessions_subset_of_batch(spark):
     horizon = max_ts - dt.timedelta(hours=2, minutes=1)
     closed = {t for t in batch_set if t[2] < horizon}
     assert closed <= emitted_set
+
+
+def test_stateful_profile_gap_spans_batches(spark, tmp_path):
+    """applyInPandasWithState: the max-inactivity gap must be found even
+    when the two events bounding it arrive in different micro-batches —
+    the cross-batch memory that per-batch aggregation cannot express."""
+    import pandas as pd
+
+    from echem_dft_etl_spark.streaming.stateful import user_activity_profile
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [(1, t0), (1, t0 + dt.timedelta(minutes=1))]
+    batch2 = [(1, t0 + dt.timedelta(hours=3)), (2, t0)]
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    schema = "user_id bigint, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(d / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    out = run_to_memory(user_activity_profile(stream), spark, mode="update")
+    final = {
+        r.user_id: r
+        for r in out.orderBy("version").collect()  # last write per user wins
+    }
+    u1 = final[1]
+    assert u1.version == 2  # proves user 1 was really updated across 2 batches
+    assert u1.n_events == 3
+    assert u1.max_gap_us == int(dt.timedelta(hours=2, minutes=59).total_seconds() * 1e6)
+    assert u1.first_ts == t0 and u1.last_ts == t0 + dt.timedelta(hours=3)
+    u2 = final[2]
+    assert u2.n_events == 1 and u2.max_gap_us == 0
+    # the boundary-spanning gap requires state from batch 1 during
+    # batch 2; at least one user-1 emission per touching batch exists
+    assert out.filter(F.col("user_id") == 1).count() >= 1
