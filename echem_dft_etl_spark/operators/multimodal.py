@@ -89,3 +89,41 @@ def decode_batch(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+#: One row per sampled frame — the 1:N generator shape of video decode.
+FRAME_SCHEMA = "doc_id bigint, frame_index int, offset int, n_frames int"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over an opaque video payload (STUB decode).
+
+    The Spark-side plumbing is the real deliverable: a 1:N
+    ``mapInPandas`` generator that turns each binary payload into one
+    row per sampled frame, with bounded Arrow batches so executor
+    memory doesn't scale with payload size. The stub 'container format'
+    is ``n_frames = len(payload) // frame_size`` fixed-size frames,
+    sampled every ``stride``-th; a real decoder (pyav / ffmpeg) slots
+    into the same iterator with the same schema.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_index": [],
+                "offset": [],
+                "n_frames": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_size
+                for i in range(0, n_frames, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(i)
+                    rows["offset"].append(i * frame_size)
+                    rows["n_frames"].append(n_frames)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, FRAME_SCHEMA)

@@ -21,6 +21,9 @@ bit-identical and thresholds/rankings cannot flake.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -137,6 +140,187 @@ def ann_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: every vector → argmax-cosine cell.
+
+    ``centroids`` (cent_id, c_emb) is broadcast; scoring is map-side on
+    the corpus partitions; the argmax is a per-vector ``row_number``
+    over the (tiny) per-vector candidate list. At 100 TB this is one
+    scan of the corpus with zero corpus-side shuffle before the window
+    (which partitions by vec_id — the natural parallelism).
+    """
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine_sim(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_cells`` cells, probe the ``n_probe`` nearest cells per
+    query, exact cosine re-rank inside the probed cells.
+
+    Training is deterministic (centroids = the ``n_cells`` lowest
+    vec_ids) so the DuckDB oracle reproduces the index bit-for-bit; a
+    production index swaps in k-means centroids without changing any
+    query-side code. Scale shape: centroids broadcast, corpus assigned
+    map-side and shuffled ONCE on cell id; each query touches
+    n_probe/n_cells of the corpus instead of all of it.
+    """
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = assign_cells(emb, centroids)
+
+    # each query probes its n_probe closest centroids
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_scored = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "cent_id",
+        cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q_scored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric int8-style quantization summary per vector.
+
+    ``q_i = round(x_i / amax * 127)`` — the standard symmetric scheme.
+    Emits integer-exact check columns (quantized checksum, saturation
+    count, scale in millionths) rather than the array itself so the
+    result is bit-comparable across engines. One projection, no
+    shuffle; the real quantized array is ``transform(...)`` of the same
+    expression when a consumer wants it.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    # amax is needed per element; referencing the amax expression inside
+    # a transform lambda would re-evaluate the array_max per element
+    # (O(d^2)/row). zip_with against the materialized per-row amax
+    # column keeps it O(d): the outer reference sits outside the lambda.
+    with_amax = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("amax"),
+    )
+    qarr = F.zip_with(
+        F.col("embedding"),
+        F.array_repeat(F.col("amax"), F.size("embedding")),
+        lambda x, a: F.round(x.cast("double") / a * qmax).cast("int"),
+    )
+    with_q = with_amax.select("vec_id", "amax", qarr.alias("qarr"))
+    return with_q.select(
+        "vec_id",
+        F.round(F.col("amax") * 1e6).cast("bigint").alias("amax_millionths"),
+        F.aggregate(
+            F.col("qarr"), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("q_checksum"),
+        F.size(F.filter(F.col("qarr"), lambda v: F.abs(v) == qmax))
+        .cast("bigint")
+        .alias("n_saturated"),
+    )
+
+
+def make_cosine_pandas_udf():
+    """Vectorized Arrow-batched cosine scorer (the X14 pandas_udf
+    exemplar on the similarity surface).
+
+    numpy's ``dot``/``sum`` use pairwise/SIMD summation whose float
+    rounding differs from a sequential fold, so the kernel accumulates
+    dimension-by-dimension (vectorized across the batch axis) — the
+    same left-to-right float64 sequence as the JVM ``aggregate``
+    expression and the DuckDB ``list_reduce`` oracle, hence
+    bit-identical scores at ~numpy speed.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype("float64")
+        B = np.stack(b.to_numpy()).astype("float64")
+        n = A.shape[0]
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(A.shape[1]):  # sequential over dims, SIMD over rows
+            dot += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        out = np.where(denom != 0.0, dot / np.where(denom == 0, 1, denom), np.nan)
+        return pd.Series(out)
+
+    return cosine_pd
+
+
+def cosine_topk_pandas(
+    emb: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """cosine_topk with the scoring hot loop in an Arrow-vectorized
+    pandas UDF instead of JVM expressions — same plan shape (broadcast
+    queries, map-side score, per-query rank), same results."""
+    cosine_pd = make_cosine_pandas_udf()
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_pd(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )

@@ -502,3 +502,112 @@ def s12_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(
         _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
     )
+
+
+@_register(
+    "s12_cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id IN ({_QID_SQL})),
+    sc AS (SELECT q.query_id, e.vec_id,
+                  {_cosine_sql('q.q_emb', 'e.embedding')} AS cosine
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+    rk AS (SELECT query_id, vec_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+           FROM sc)
+    SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 10
+    """,
+    survey_ids=("X12", "X14"),
+)
+def s12_cosine_topk_pandas(spark, sf_dir):
+    """cosine_topk with the scoring kernel in an Arrow-vectorized
+    pandas UDF (X14): dimension-sequential float64 accumulation matches
+    the JVM expression and the oracle bit-for-bit. Same oracle as
+    s12_cosine_topk — the two implementations must agree exactly."""
+    return similarity.cosine_topk_pandas(
+        _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10
+    )
+
+
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+
+
+@_register(
+    "s12_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb
+                  FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    asg0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                    {_cosine_sql('e.embedding', 'c.c_emb')} AS c_cos
+             FROM embeddings e CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY c_cos DESC, cent_id) AS ark
+            FROM asg0),
+    cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE ark = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id IN ({_QID_SQL})),
+    qp0 AS (SELECT q.query_id, q.q_emb, c.cent_id,
+                   {_cosine_sql('q.q_emb', 'c.c_emb')} AS c_cos
+            FROM q CROSS JOIN cent c),
+    qp AS (SELECT query_id, q_emb, cent_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c_cos DESC, cent_id) AS prk
+           FROM qp0),
+    probes AS (SELECT query_id, q_emb, cent_id AS cell
+               FROM qp WHERE prk <= {_IVF_PROBE}),
+    cand AS (SELECT p.query_id, c.vec_id,
+                    {_cosine_sql('p.q_emb', 'c.embedding')} AS cosine
+             FROM cells c JOIN probes p ON c.cell = p.cell
+             WHERE c.vec_id <> p.query_id),
+    rk AS (SELECT query_id, vec_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+           FROM cand)
+    SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5
+    """,
+    survey_ids=("X12",),
+)
+def s12_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: deterministic coarse
+    centroids (lowest vec_ids), map-side nearest-centroid assignment,
+    n_probe=2 cell probing per query, exact re-rank. The second ANN
+    family next to the LSH path; see operators/similarity.py."""
+    return similarity.ivf_topk(
+        _ld(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=5,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+    )
+
+
+@_register(
+    "s12_embed_quantize",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))) AS amax
+               FROM embeddings),
+    q AS (SELECT vec_id, amax,
+                 list_transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE) / amax * 127)
+                                AS INTEGER)) AS qarr
+          FROM a)
+    SELECT vec_id,
+           CAST(ROUND(amax * 1000000) AS BIGINT) AS amax_millionths,
+           CAST(list_sum(qarr) AS BIGINT) AS q_checksum,
+           CAST(len(list_filter(qarr, v -> abs(v) = 127)) AS BIGINT)
+             AS n_saturated
+    FROM q
+    """,
+    survey_ids=("X12",),
+)
+def s12_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization summary per embedding (the
+    compression preprocessing step of a vector pipeline); integer-exact
+    check columns. operators/similarity.py::quantize_embeddings."""
+    return similarity.quantize_embeddings(_ld(spark, sf_dir, "embeddings"))

@@ -369,3 +369,35 @@ def s15_salted_join(spark, sf_dir):
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@_register(
+    "mm_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) // 64 AS INTEGER)
+                        AS n_frames
+               FROM documents),
+    f AS (SELECT doc_id, n_frames,
+                 CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_index
+          FROM d)
+    SELECT doc_id, frame_index,
+           CAST(frame_index * 64 AS INTEGER) AS offset,
+           n_frames
+    FROM f
+    """,
+    survey_ids=("X14",),
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video-style 1:N frame sampling over opaque binary payloads
+    (stub container: fixed 64-byte frames, every 4th sampled) via a
+    mapInPandas generator — the multimodal explode surface. See
+    operators/multimodal.py::sample_frames."""
+    from .operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = _ld(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_binary_payload(docs).select("doc_id", "payload"),
+        frame_size=64,
+        stride=4,
+    )
