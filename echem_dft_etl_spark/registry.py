@@ -1117,3 +1117,35 @@ def x09_tumbling_window(spark, sf_dir):
 
     ev = _ld(spark, sf_dir, "events")
     return tumbling_window_agg(ev, "ts", "1 hour", group_extra=["event_type"])
+
+
+@_register(
+    "q18_grouped_collect",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_linenumber) AS linenums
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    survey_ids=("Q18",),
+)
+def q18_grouped_collect(spark, sf_dir):
+    """Grouped ordered collection (Q18): the reference gathers the
+    (charge, mu, ne) points of each slab into a charge-ordered list
+    (my_dag.py:151-160); here each order's line numbers are collected
+    and sorted within the group. Emitted as a joined string so the
+    cross-engine comparison is representation-independent. Single
+    shuffle; collect_list is map-side partial like any aggregate."""
+    li = _ld(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.col("l_linenumber"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("linenums"),
+    )

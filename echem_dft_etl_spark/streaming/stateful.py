@@ -79,6 +79,8 @@ def user_activity_profile(events: DataFrame) -> DataFrame:
             last_us = int(us.iloc[-1]) if last_us is None else max(last_us, int(us.iloc[-1]))
             version += 1
             state.update((n, first_us, last_us, max_gap_us, version))
+        if first_us is None:  # key invoked with no data and no state
+            return
         yield pd.DataFrame(
             {
                 "user_id": [user_id],

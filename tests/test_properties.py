@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the determinism-critical
+operators: whatever rows come in, first-wins dedup must pick the
+minimum-order survivor, hash-order sampling must be a deterministic
+prefix, and sessionization must cut exactly at gaps > the threshold."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+keys = st.integers(min_value=0, max_value=5)
+orders = st.integers(min_value=-1000, max_value=1000)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(keys, orders), min_size=1, max_size=40))
+def test_first_wins_dedup_picks_min_order(spark, rows):
+    from echem_dft_etl_spark.operators.dedup import first_wins_dedup
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = first_wins_dedup(df, ["k"], "v").collect()
+    expected = {}
+    counts = {}
+    for k, v in rows:
+        counts[k] = counts.get(k, 0) + 1
+        expected[k] = min(expected.get(k, v), v)
+    assert {r.k: r.v for r in out} == expected
+    assert {r.k: r.n_copies for r in out} == counts
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=30, unique=True),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=100),
+)
+def test_hash_sample_is_deterministic_prefix(spark, ks, n, seed):
+    from echem_dft_etl_spark.pipeline import sample_by_hash
+
+    df = spark.createDataFrame([(k,) for k in ks], "k bigint")
+    got = [r.k for r in sample_by_hash(df, "k", n, seed).collect()]
+    # reference computation: full hash order, first n
+    KNUTH, MOD32 = 2654435761, 2**32
+    order = sorted(ks, key=lambda k: (((k + seed) * KNUTH) % MOD32, k))
+    assert got == order[: min(n, len(ks))]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**5),  # offsets in seconds
+        min_size=1, max_size=25, unique=True,
+    )
+)
+def test_sessionize_cuts_exactly_at_gaps(spark, offsets):
+    from echem_dft_etl_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(seconds=o)) for i, o in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap_minutes=30.0, tie_col="event_id")
+    n_sessions = out.select("session_id").distinct().count()
+    srt = sorted(offsets)
+    expected = 1 + sum(
+        1 for a, b in zip(srt, srt[1:]) if (b - a) > 30 * 60
+    )
+    assert n_sessions == expected
