@@ -45,9 +45,20 @@ HEADLINE: tuple[str, ...] = (
     # LLM-pipeline operators
     "d11_dedup_exact",
     "d12_minhash_lsh",
+    "d13_simhash",
     "s12_cosine_topk",
+    "s12_ivf_topk",
+    "s12_embed_quantize",
     "t13_token_stats",
     "t13_language_id",
+    "t13_fingerprint",
+    # reference-shape and surface queries
+    "q13_generate_grid",
+    "q18_grouped_collect",
+    "s15_salted_join",
+    "mm_decode_features",
+    "x02_set_ops",
+    "x08_json_extract",
 )
 
 

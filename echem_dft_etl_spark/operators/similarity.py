@@ -145,26 +145,37 @@ def ann_lsh_topk(
     )
 
 
+def _scored_cells(vec: Column) -> Column:
+    """Per-row array of (cosine, -cent_id) structs against the broadcast
+    ``cents`` array column — each cosine computed exactly once by the
+    transform (no non-cheap outer expression inside the lambda)."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine_sim(vec, c["c_emb"]).alias("cos"),
+            (-c["cent_id"]).alias("nid"),
+        ),
+    )
+
+
 def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: every vector → argmax-cosine cell.
 
-    ``centroids`` (cent_id, c_emb) is broadcast; scoring is map-side on
-    the corpus partitions; the argmax is a per-vector ``row_number``
-    over the (tiny) per-vector candidate list. At 100 TB this is one
-    scan of the corpus with zero corpus-side shuffle before the window
-    (which partitions by vec_id — the natural parallelism).
+    The centroid set is folded into ONE array-of-structs row and
+    broadcast; the per-vector argmax is ``array_max`` over the scored
+    array (struct ordering: cosine desc, ties to the lowest cent_id via
+    the negated id). Pure projection — at 100 TB the assignment is a
+    single scan of the corpus with ZERO shuffles and no window; only
+    the one-row centroid array crosses the network.
     """
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cent_id", "c_emb")).alias("cents")
+    )
+    best = F.array_max(_scored_cells(F.col("embedding")))
+    return emb.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id",
         "embedding",
-        "cent_id",
-        cosine_sim(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+        (-best["nid"]).alias("cell"),
     )
 
 
@@ -182,32 +193,33 @@ def ivf_topk(
     Training is deterministic (centroids = the ``n_cells`` lowest
     vec_ids) so the DuckDB oracle reproduces the index bit-for-bit; a
     production index swaps in k-means centroids without changing any
-    query-side code. Scale shape: centroids broadcast, corpus assigned
-    map-side and shuffled ONCE on cell id; each query touches
-    n_probe/n_cells of the corpus instead of all of it.
+    query-side code. Scale shape: the whole index side — assignment AND
+    per-query probe selection — is windowless array arithmetic over the
+    broadcast centroid array (zero shuffles); the only exchanges are
+    the probe join and the final per-query top-k, both keyed on the
+    tiny query set. Each query touches ~n_probe/n_cells of the corpus.
     """
     centroids = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cent_id", "c_emb")).alias("cents")
+    )
     assigned = assign_cells(emb, centroids)
 
-    # each query probes its n_probe closest centroids
+    # each query probes its n_probe closest centroids: sort the scored
+    # struct array desc (cos, then lowest cent_id) and explode the
+    # first n_probe — no window, no shuffle
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    q_scored = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id",
-        "q_emb",
-        "cent_id",
-        cosine_sim(F.col("q_emb"), F.col("c_emb")).alias("c_cos"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id")
+    top_cells = F.slice(
+        F.sort_array(_scored_cells(F.col("q_emb")), asc=False), 1, n_probe
     )
     probes = (
-        q_scored.withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("query_id", "q_emb", F.explode(top_cells).alias("p"))
+        .select("query_id", "q_emb", (-F.col("p.nid")).alias("cell"))
     )
 
     cands = (

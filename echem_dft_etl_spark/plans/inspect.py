@@ -79,12 +79,11 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (excludes broadcast exchanges).
 
     Every shuffle rewrites its input to disk/network; at cluster scale
-    each avoidable exchange is the dominant cost of the job.
+    each avoidable exchange is the dominant cost of the job. The token
+    ``Exchange`` at a word start never matches ``BroadcastExchange``
+    (no boundary inside the word), so broadcasts are excluded for free.
     """
-    plan = physical_plan(df)
-    return len(re.findall(r"\bExchange (?!SinglePartition)", plan)) + len(
-        re.findall(r"\bExchange SinglePartition", plan)
-    ) - len(re.findall(r"\bBroadcastExchange\b", plan))
+    return len(re.findall(r"(?<![A-Za-z])Exchange\b", physical_plan(df)))
 
 
 def wholestage_span_count(df: DataFrame) -> int:

@@ -183,7 +183,8 @@ def echem_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_price",
             "anchor_price_q1",
         )
-        .orderBy("s_suppkey")
+        # no final orderBy: the driver compare is order-insensitive and a
+        # global sort would add a range-partitioning exchange for nothing
     )
 
 

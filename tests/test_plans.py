@@ -108,3 +108,28 @@ def test_pushed_filter_parser_handles_nested_commas(spark):
     pushed = plans.pushed_filters(df)
     in_preds = [p for p in pushed if p.startswith("In(p_partkey")]
     assert len(in_preds) == 1, pushed  # one predicate despite inner commas
+
+
+def test_engine_wide_plan_hygiene(spark):
+    """Every batch query in the registry must plan without cartesian
+    products and within a shuffle/window budget — the blanket guard
+    against a refactor silently de-optimizing an operator."""
+    streaming = {
+        "x10_stream_tumbling",
+        "x10_stream_sliding",
+        "x10_stream_sessions",
+        "x10_stream_dedup_keys",
+        "x10_stream_stateful_profile",
+    }
+    offenders = []
+    for name, spec in sorted(all_queries().items()):
+        if name in streaming:
+            continue
+        s = plans.plan_summary(spec.fn(spark, SF_SMOKE))
+        if s["cartesian_products"]:
+            offenders.append((name, "cartesian", s))
+        if s["shuffle_exchanges"] > 10:
+            offenders.append((name, "exchanges", s["shuffle_exchanges"]))
+        if s["windows"] > 3:
+            offenders.append((name, "windows", s["windows"]))
+    assert not offenders, offenders
