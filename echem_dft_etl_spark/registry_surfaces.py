@@ -401,3 +401,32 @@ def mm_frame_sample(spark, sf_dir):
         frame_size=64,
         stride=4,
     )
+
+
+@_register(
+    "x10_stream_static_join",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_events
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY n.n_name
+    """,
+    survey_ids=("X10", "X5"),
+)
+def x10_stream_static_join(spark, sf_dir):
+    """Stream-static join (X10): the event stream is enriched against a
+    broadcast batch dimension — stateless per micro-batch, the standard
+    streaming-enrichment shape (dim reload per batch at scale is a
+    foreachBatch refinement). Replayed bounded; the batch join is the
+    oracle."""
+    from .streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "nk", F.pmod(F.col("user_id"), F.lit(25))
+    )
+    nation = _ld(spark, sf_dir, "nation")
+    enriched = ev.join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    )
+    agg = enriched.groupBy("n_name").agg(F.count("*").alias("n_events"))
+    return run_to_memory(agg, spark, mode="complete")
