@@ -70,8 +70,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
 
-    # Warm up session (JVM, parquet footer reads, codegen).
+    # Warm up the JVM, then compile every headline plan once against the
+    # smallest fixture: whole-stage codegen caches generated classes by
+    # source, and the generated code is identical across scale factors,
+    # so the timed sf runs measure execution, not javac/JIT.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if name in specs:
+            try:
+                specs[name].fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run reports errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

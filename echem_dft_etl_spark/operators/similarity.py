@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import KNUTH, MOD32
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_sim, dot, l2_norm
 
 #: LSH geometry: 8 hyperplanes → 256 buckets.
 N_HYPERPLANES = 8
@@ -145,17 +145,48 @@ def ann_lsh_topk(
     )
 
 
-def _scored_cells(vec: Column) -> Column:
+def _scored_cells(vec: Column, vec_norm: Column) -> Column:
     """Per-row array of (cosine, -cent_id) structs against the broadcast
-    ``cents`` array column — each cosine computed exactly once by the
-    transform (no non-cheap outer expression inside the lambda)."""
+    ``cents`` array column.
+
+    Cosine is ``dot / (vec_norm * c_norm)`` with both norms read from
+    precomputed columns — the same float operations in the same order
+    as ``cosine_sim``, but the vector's norm is computed once per row
+    instead of once per centroid (higher-order lambdas are interpreted,
+    so shaving re-computed sub-expressions is a real constant factor).
+    """
     return F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            cosine_sim(vec, c["c_emb"]).alias("cos"),
+            F.when(
+                (vec_norm * c["c_norm"]) != 0,
+                dot(vec, c["c_emb"]) / (vec_norm * c["c_norm"]),
+            ).alias("cos"),
             (-c["cent_id"]).alias("nid"),
         ),
     )
+
+
+def _cent_array(centroids: DataFrame) -> DataFrame:
+    """Fold (cent_id, c_emb) into one broadcastable array-of-structs row
+    with the norms precomputed."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct("cent_id", "c_emb", l2_norm(F.col("c_emb")).alias("c_norm"))
+        ).alias("cents")
+    )
+
+
+def _with_norm(df: DataFrame, vec_col: str, norm_col: str) -> DataFrame:
+    """Materialize the vector norm as a column.
+
+    The norm column is later referenced inside transform lambdas; it
+    must stay an attribute there. The marker column trick (returning
+    the norm in the output too) makes it multiply-referenced so
+    CollapseProject cannot substitute the aggregate back into the
+    lambda (where it would re-run per element).
+    """
+    return df.select("*", l2_norm(F.col(vec_col)).alias(norm_col))
 
 
 def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -168,13 +199,13 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     single scan of the corpus with ZERO shuffles and no window; only
     the one-row centroid array crosses the network.
     """
-    cent_arr = centroids.agg(
-        F.collect_list(F.struct("cent_id", "c_emb")).alias("cents")
-    )
-    best = F.array_max(_scored_cells(F.col("embedding")))
-    return emb.crossJoin(F.broadcast(cent_arr)).select(
+    cent_arr = _cent_array(centroids)
+    with_n = _with_norm(emb, "embedding", "v_norm")
+    best = F.array_max(_scored_cells(F.col("embedding"), F.col("v_norm")))
+    return with_n.crossJoin(F.broadcast(cent_arr)).select(
         "vec_id",
         "embedding",
+        "v_norm",
         (-best["nid"]).alias("cell"),
     )
 
@@ -202,33 +233,40 @@ def ivf_topk(
     centroids = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
-    cent_arr = centroids.agg(
-        F.collect_list(F.struct("cent_id", "c_emb")).alias("cents")
-    )
+    cent_arr = _cent_array(centroids)
     assigned = assign_cells(emb, centroids)
 
     # each query probes its n_probe closest centroids: sort the scored
     # struct array desc (cos, then lowest cent_id) and explode the
     # first n_probe — no window, no shuffle
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+        "q_norm",
     )
     top_cells = F.slice(
-        F.sort_array(_scored_cells(F.col("q_emb")), asc=False), 1, n_probe
+        F.sort_array(_scored_cells(F.col("q_emb"), F.col("q_norm")), asc=False),
+        1,
+        n_probe,
     )
     probes = (
         q.crossJoin(F.broadcast(cent_arr))
-        .select("query_id", "q_emb", F.explode(top_cells).alias("p"))
-        .select("query_id", "q_emb", (-F.col("p.nid")).alias("cell"))
+        .select("query_id", "q_emb", "q_norm", F.explode(top_cells).alias("p"))
+        .select("query_id", "q_emb", "q_norm", (-F.col("p.nid")).alias("cell"))
     )
 
+    denom = F.col("q_norm") * F.col("v_norm")
     cands = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine_sim(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            F.when(
+                denom != 0, dot(F.col("q_emb"), F.col("embedding")) / denom
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
