@@ -430,3 +430,38 @@ def x10_stream_static_join(spark, sf_dir):
     )
     agg = enriched.groupBy("n_name").agg(F.count("*").alias("n_events"))
     return run_to_memory(agg, spark, mode="complete")
+
+
+#: Dialect-portable SQL: the same text runs verbatim in Spark SQL and
+#: DuckDB — the third-party SQL entry surface (SURVEY §3 entry point 3).
+_PORTABLE_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS disc_price_c4
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+@_register(
+    "sql_surface_pricing",
+    oracle=_PORTABLE_PRICING_SQL,
+    survey_ids=("Q21", "X7"),
+)
+def sql_surface_pricing(spark, sf_dir):
+    """The SQL entry surface: third parties query the engine through
+    ``spark.sql`` over registered views (SURVEY §3 entry point 3 — the
+    reference exposes its results table to any SQL client). The query
+    text is dialect-portable and doubles verbatim as its own DuckDB
+    oracle, so the check proves Spark SQL parsing/execution end-to-end,
+    not just the DataFrame API."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_PRICING_SQL)

@@ -1,0 +1,57 @@
+"""JDBC sink path (S3) against embedded Derby — the JDBC driver Spark
+ships for its Hive metastore doubles as a real database here, so the
+documented production path is executable, not just documented."""
+
+from __future__ import annotations
+
+import pytest
+
+from echem_dft_etl_spark.sources.sinks import write_jdbc
+
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def _read(spark, url, table):
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DRIVER)
+        .load()
+    )
+
+
+def test_write_jdbc_dedups_batch_into_staging(spark, derby_url):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 1.0), ("b", 3.0)], "MP_id string, pzc double"
+    )
+    write_jdbc(
+        df, derby_url, "dft_echem", key_cols=["MP_id"], order_col="pzc",
+        properties={"driver": DRIVER},
+    )
+    got = {r.MP_ID if hasattr(r, "MP_ID") else r.MP_id: r.PZC if hasattr(r, "PZC") else r.pzc
+           for r in _read(spark, derby_url, "dft_echem_staging").collect()}
+    # within-batch first-wins: lowest order_col survives per key
+    assert got == {"a": 1.0, "b": 3.0}
+
+
+def test_jdbc_roundtrip_preserves_rows(spark, derby_url):
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(50)], "id bigint, name string"
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "t_round")
+        .option("driver", DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    back = _read(spark, derby_url, "t_round")
+    assert back.count() == 50
+    assert {r[0] for r in back.select("id").collect()} == set(range(50))
