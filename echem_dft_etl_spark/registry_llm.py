@@ -611,3 +611,72 @@ def s12_embed_quantize(spark, sf_dir):
     compression preprocessing step of a vector pipeline); integer-exact
     check columns. operators/similarity.py::quantize_embeddings."""
     return similarity.quantize_embeddings(_ld(spark, sf_dir, "embeddings"))
+
+
+def _sqd_sql(qv: str, cv: str) -> str:
+    """Σ(v−c)² folded in dimension order — mirrors kmeans._sq_dist."""
+    return (
+        f"list_reduce(list_concat([CAST(0 AS DOUBLE)],"
+        f" list_transform(range(1, len({qv}) + 1),"
+        f" i -> (CAST({qv}[i] AS DOUBLE) - {cv}[i])"
+        f"    * (CAST({qv}[i] AS DOUBLE) - {cv}[i]))),"
+        f" (x, y) -> x + y)"
+    )
+
+
+_KM_K = 8
+
+
+@_register(
+    "s12_kmeans_refine",
+    oracle=f"""
+    WITH p AS (SELECT vec_id,
+                      list_transform(embedding,
+                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS qv
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id,
+                  list_transform(qv, v -> CAST(v AS DOUBLE)) AS c_vec
+           FROM p WHERE vec_id < {_KM_K}),
+    d0 AS (SELECT p.vec_id, p.qv, c.cent_id,
+                  {_sqd_sql('p.qv', 'c.c_vec')} AS d
+           FROM p CROSS JOIN c0 c),
+    r0 AS (SELECT vec_id, qv, cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d ASC, cent_id ASC) AS rk
+           FROM d0),
+    asg0 AS (SELECT vec_id, qv, cell FROM r0 WHERE rk = 1),
+    pd AS (SELECT cell,
+                  unnest(range(1, len(qv) + 1)) AS dim,
+                  unnest(qv) AS v
+           FROM asg0),
+    sums AS (SELECT cell, dim, SUM(v) AS s, COUNT(*) AS n
+             FROM pd GROUP BY cell, dim),
+    c1 AS (SELECT cell AS cent_id,
+                  list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       ORDER BY dim) AS c_vec
+           FROM sums GROUP BY cell),
+    d1 AS (SELECT p.vec_id, c.cent_id,
+                  {_sqd_sql('p.qv', 'c.c_vec')} AS d
+           FROM p CROSS JOIN c1 c),
+    r1 AS (SELECT vec_id, cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d ASC, cent_id ASC) AS rk
+           FROM d1),
+    asg1 AS (SELECT vec_id, cell FROM r1 WHERE rk = 1)
+    SELECT cell, COUNT(*) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+    FROM asg1 GROUP BY cell
+    """,
+    survey_ids=("X12", "X14"),
+)
+def s12_kmeans_refine(spark, sf_dir):
+    """Distributed k-means refinement (one Lloyd round + reassignment)
+    — the iterative-algorithm exemplar: driver-looped DataFrame rounds,
+    broadcast-array argmin assignment, one (cell, dim)-keyed shuffle
+    per update. Integer-quantized inputs make every cross-row sum exact,
+    so the DuckDB oracle replays the round bit-for-bit (the oracle
+    unrolls the same round in CTEs). operators/kmeans.py."""
+    from .operators.kmeans import refine
+
+    return refine(_ld(spark, sf_dir, "embeddings"), k=_KM_K, rounds=1)

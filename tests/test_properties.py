@@ -71,3 +71,19 @@ def test_sessionize_cuts_exactly_at_gaps(spark, offsets):
         1 for a, b in zip(srt, srt[1:]) if (b - a) > 30 * 60
     )
     assert n_sessions == expected
+
+
+def test_kmeans_refine_conserves_membership(spark):
+    """Every vector lands in exactly one cell each round; more rounds
+    never lose members. (Exactness vs DuckDB is the registry oracle;
+    this covers the multi-round driver loop the oracle unrolls once.)"""
+    from echem_dft_etl_spark.operators.kmeans import refine
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    total = emb.count()
+    for rounds in (1, 2):
+        out = refine(emb, k=4, rounds=rounds).collect()
+        assert sum(r.n_members for r in out) == total
+        assert len(out) <= 4
