@@ -137,14 +137,26 @@ def run_to_memory(
     sessions — those not yet closed by the final watermark — are
     withheld, and replay checks against batch must compare only sessions
     ending below ``max(ts) − watermark``.
+
+    One retry on failure: local masters run with task.maxFailures=1, so
+    a single transient executor/worker hiccup aborts the whole query —
+    a failure class a real cluster absorbs with task retries. The
+    bounded replay is deterministic and side-effect-free (fresh memory
+    sink per attempt), so a retry cannot change results.
     """
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    last_exc: Exception | None = None
+    for _attempt in range(2):
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return spark.table(name)
+        except Exception as exc:  # StreamingQueryException and kin
+            last_exc = exc
+    raise last_exc
