@@ -266,47 +266,37 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """(doc_id, simhash): SimHash over token hashes, single-pass.
+    """(doc_id, simhash): SimHash over token hashes, no row explosion.
 
     Per token, bit b contributes +1 if set in the token hash else -1;
-    the signature sets bit b iff the total is positive. Computed as one
-    ``aggregate`` over the token array with an int-array accumulator —
-    no row explosion, stays inside codegen, scales as O(tokens × bits)
-    work with zero extra shuffle.
+    the signature sets bit b iff the total is positive — equivalently,
+    iff tokens-with-bit-set outnumber half the tokens:
+    ``2·|{h: bit_b(h)}| > n``. Each bit lane is one ``size(filter(...))``
+    mask test over the materialized hash array: 32 allocation-free
+    passes, measured much faster than folding a 32-wide vote array per
+    token (the naive accumulator form allocates two arrays per token in
+    the interpreted lambda evaluator). The hash array is computed once
+    per row in its own projection (multiply referenced → not collapsed).
     """
-    # Hash each token once, then fold ±1 bit votes into an int array.
-    # Shift amounts must be Python literals in the Column API, so bit
-    # tests are literal masks (h & (1<<j)) and the final signature is a
-    # zip with a literal powers-of-two array.
-    tok_hashes = F.transform(tokens(F.col("text")), det_hash_str)
-    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
-    acc = F.aggregate(
-        tok_hashes,
-        zero,
-        lambda a, h: F.zip_with(
-            a,
-            F.array(
-                *[
-                    F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1))
-                    .otherwise(F.lit(-1))
-                    .cast("bigint")
-                    for j in range(bits)
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    hashed = toked.select(
+        "doc_id",
+        F.transform("toks", det_hash_str).alias("hs"),
+        F.size("toks").cast("bigint").alias("n"),
     )
-    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
-    sig = F.aggregate(
-        F.zip_with(
-            acc,
-            powers,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, v: a + v,
-    )
-    return docs.select("doc_id", sig.alias("simhash"))
+    def _bit_test(j: int):
+        mask = F.lit(1 << j)
+        # single-arg lambda: a (h, j=j) default would make pyspark pass
+        # the element INDEX as the second lambda argument
+        return lambda h: h.bitwiseAND(mask) != 0
+
+    reduce_sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        set_count = F.size(F.filter(F.col("hs"), _bit_test(j))).cast("bigint")
+        reduce_sig = reduce_sig + F.when(
+            2 * set_count > F.col("n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return hashed.select("doc_id", reduce_sig.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
