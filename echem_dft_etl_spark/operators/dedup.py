@@ -252,17 +252,39 @@ def ngram_jaccard_pairs(
     counterpart to the MinHash path — quadratic only within shingle
     posting lists. The ``distinct()`` exchange inside
     :func:`doc_shingles` is the shared materialization point for all
-    consumers of the index (see near_dup_pairs_minhash)."""
+    consumers of the index (see near_dup_pairs_minhash).
+
+    Unlike the MinHash path (whose LSH candidates are NOT the
+    intersection), the inverted-index self-join here already enumerates
+    the intersection multiset — one row per shared shingle per pair —
+    so ``|a ∩ b|`` is a direct groupBy count. No distinct-pairs stage,
+    no re-join of the index against candidates (which would re-derive
+    the very rows this join just produced)."""
     shingled = doc_shingles(docs, shingle_n)
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
-    cands = (
+    inter = (
         sa.join(sb, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
     )
-    return jaccard_verify(shingled, cands, threshold)
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "n_inter", "na", "nb", "jaccard")
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
