@@ -465,3 +465,74 @@ def sql_surface_pricing(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_PORTABLE_PRICING_SQL)
+
+
+@_register(
+    "s16_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    pur0 AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS p_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pur AS (SELECT user_id, ts, event_id, p_cents FROM pur0 WHERE rn = 1)
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.ts AS asof_p_ts,
+           p.p_cents AS asof_p_cents
+    FROM clicks c
+    ASOF LEFT JOIN pur p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    survey_ids=("X5", "X9"),
+)
+def s16_asof_join(spark, sf_dir):
+    """As-of join (backward): each click matched to the user's latest
+    purchase at-or-before it — the time-series join Spark lacks,
+    composed as union + ordered window (operators/asof.py). DuckDB's
+    native ASOF JOIN is the oracle, so the composition is checked
+    against a first-class implementation of the semantics."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.asof import asof_backward_join
+
+    ev = _ld(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+    )
+    wdup = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("p_id"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("p_cents"),
+        )
+        .withColumn("p_ts", F.col("ts"))
+    )
+    joined = asof_backward_join(
+        clicks.withColumnRenamed("click_id", "event_id"),
+        purchases.withColumnRenamed("p_id", "event_id"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tie_col="event_id",
+        payload_cols=["p_ts", "p_cents"],
+    )
+    # carry the matched purchase id too: pack it into the payload
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("asof_p_ts").alias("asof_p_ts"),
+        F.col("asof_p_cents").alias("asof_p_cents"),
+    )
