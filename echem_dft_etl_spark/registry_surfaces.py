@@ -536,3 +536,36 @@ def s16_asof_join(spark, sf_dir):
         F.col("asof_p_ts").alias("asof_p_ts"),
         F.col("asof_p_cents").alias("asof_p_cents"),
     )
+
+
+@_register(
+    "x03_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY GROUPING SETS ((1, 2), (1), ())
+    """,
+    survey_ids=("X3", "X7", "X9"),
+)
+def x03_time_rollup(spark, sf_dir):
+    """Hypertable-style rollup: time-bucketed aggregate rolled up over
+    the dimension hierarchy (bucket+type, bucket, grand total) in one
+    pass — the batch form of a continuous aggregate. Spark expands the
+    grouping sets map-side; one shuffle regardless of set count."""
+    ev = _ld(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("bucket"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .rollup("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
