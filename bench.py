@@ -59,6 +59,11 @@ HEADLINE: tuple[str, ...] = (
     "mm_decode_features",
     "x02_set_ops",
     "x08_json_extract",
+    "d14_ngram_jaccard",
+    "s12_kmeans_refine",
+    "s16_asof_join",
+    "x03_time_rollup",
+    "sql_surface_pricing",
 )
 
 
