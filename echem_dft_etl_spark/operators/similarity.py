@@ -374,3 +374,51 @@ def cosine_topk_pandas(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus every
+    one-bit-flipped neighbor bucket (n_planes + 1 probes).
+
+    The standard recall lever for sign-bit LSH: a near neighbor that
+    landed on the wrong side of ONE hyperplane is still found, at
+    (n_planes+1)x the candidate volume instead of 2^n more tables.
+    Corpus-side cost is unchanged — one bucket id per vector, one
+    shuffle; only the (tiny) query probe list fans out.
+    """
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes))
+    probe_buckets = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    q = (
+        bucketed.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select(
+            "query_id", "q_emb", F.explode(probe_buckets).alias("bucket")
+        )
+    )
+    cands = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )

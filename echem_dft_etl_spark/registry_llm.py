@@ -680,3 +680,39 @@ def s12_kmeans_refine(spark, sf_dir):
     from .operators.kmeans import refine
 
     return refine(_ld(spark, sf_dir, "embeddings"), k=_KM_K, rounds=1)
+
+
+@_register(
+    "s12_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH be AS (SELECT vec_id, embedding,
+                       CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+                FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+          FROM be WHERE vec_id IN ({_QID_SQL})),
+    probes AS (SELECT query_id, q_emb,
+                      unnest(list_concat([q_bucket],
+                          list_transform(range(0, {similarity.N_HYPERPLANES}),
+                              j -> xor(q_bucket, CAST(1 AS BIGINT) << j))))
+                        AS bucket
+               FROM q),
+    cand AS (SELECT p.query_id, e.vec_id,
+                    {_cosine_sql('p.q_emb', 'e.embedding')} AS cosine
+             FROM be e JOIN probes p ON e.bucket = p.bucket
+             WHERE e.vec_id <> p.query_id),
+    rk AS (SELECT query_id, vec_id, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+           FROM cand)
+    SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= 5
+    """,
+    survey_ids=("X12",),
+)
+def s12_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN: query bucket plus all one-bit-flip
+    neighbors — the recall lever that costs (n_planes+1)x probe volume
+    instead of exponentially more hash tables.
+    operators/similarity.py::ann_lsh_multiprobe_topk."""
+    return similarity.ann_lsh_multiprobe_topk(
+        _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
+    )

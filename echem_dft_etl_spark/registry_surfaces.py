@@ -569,3 +569,45 @@ def x03_time_rollup(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@_register(
+    "pipeline_reference_e2e",
+    oracle=None,  # side-effectful end-to-end run; rows-only check
+    survey_ids=("Q11", "Q12", "Q13", "Q14", "Q15", "Q16", "S1", "S3", "S4"),
+)
+def pipeline_reference_e2e(spark, sf_dir):
+    """The ENTIRE reference dataflow (SURVEY §3) as one job: filtered
+    scan → hash-order sample → slab expansion → pick-one → charge
+    fan-out → input-deck serialization → external solver subprocess →
+    log parse → descriptors → first-wins upsert → report, with the
+    partitioned/upsert/report sinks landing under a fresh temp dir.
+    Returns the final (MP_id, pzc, capacitance) table. Deterministic
+    end-to-end (rows-only at the driver; exact values are asserted in
+    tests/test_pipeline_e2e.py and the per-stage oracles cover every
+    operator individually)."""
+    import tempfile
+
+    from .pipeline import run_reference_pipeline
+
+    n = _ld(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    rk = F.col("n_regionkey").cast("double")
+    materials = n.select(
+        F.concat(F.lit("mp-"), F.col("n_nationkey").cast("string")).alias(
+            "material_id"
+        ),
+        F.when(F.col("n_regionkey") < 3, F.lit("V-O"))
+        .otherwise(F.lit("Fe-O"))
+        .alias("chemsys"),
+        F.array(
+            F.array(nk + 4.0, F.lit(0.0), F.lit(0.0)),
+            F.array(F.lit(0.0), rk + 5.0, F.lit(0.0)),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(20.0)),
+        ).alias("lattice"),
+        F.array(F.lit("V"), F.lit("O")).alias("ion_names"),
+        (nk + 4.0).alias("cell00"),
+        (rk + 5.0).alias("cell11"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="echem_pipeline_")
+    return run_reference_pipeline(spark, materials, out_dir)
