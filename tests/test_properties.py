@@ -87,3 +87,47 @@ def test_kmeans_refine_conserves_membership(spark):
         out = refine(emb, k=4, rounds=rounds).collect()
         assert sum(r.n_members for r in out) == total
         assert len(out) <= 4
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # left rows: (key, ts_offset_s, id)
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # right rows: (key, ts_offset_s)
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_asof_join_matches_pandas_reference(spark, lrows, rrows):
+    from echem_dft_etl_spark.operators.asof import asof_backward_join
+
+    base = dt.datetime(2024, 1, 1)
+    # unique (key, ts) on the right — ambiguous as-of is undefined
+    rseen, rded = set(), []
+    for k, off in rrows:
+        if (k, off) not in rseen:
+            rseen.add((k, off))
+            rded.append((k, off))
+    left = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=o), i) for i, (k, o) in enumerate(lrows)],
+        "k int, ts timestamp, lid bigint",
+    )
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=o), 1000 + i, float(o))
+         for i, (k, o) in enumerate(rded)],
+        "k int, ts timestamp, lid bigint, payload double",
+    ) if rded else spark.createDataFrame(
+        [], "k int, ts timestamp, lid bigint, payload double"
+    )
+    out = asof_backward_join(
+        left, right, key_cols=["k"], ts_col="ts", tie_col="lid",
+        payload_cols=["payload"],
+    ).collect()
+    got = {r.lid: r.asof_payload for r in out}
+    expected = {}
+    for i, (k, o) in enumerate(lrows):
+        cands = [ro for (rk, ro) in rded if rk == k and ro <= o]
+        expected[i] = float(max(cands)) if cands else None
+    assert got == expected

@@ -85,3 +85,54 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew handling, demonstrated: one hot key dominating the fact
+    side must be split at runtime (OptimizeSkewedJoin) once the skew
+    thresholds are in range for the test data volume."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .cast("bigint").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("v")
+    )
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # assert on the bare join: an aggregation directly downstream
+        # requires hash distribution on k, which legitimately blocks
+        # the skew split (duplicated partitions would break the agg)
+        joined = spark.read.parquet(str(tmp_path / "fact")).join(
+            spark.read.parquet(str(tmp_path / "dim")), "k"
+        )
+        # collect() executes THIS DataFrame's QueryExecution, so the
+        # inspected plan below is the finalized adaptive plan (count()
+        # would wrap a fresh, never-executed plan)
+        rows = joined.collect()
+        assert len(rows) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
