@@ -127,3 +127,48 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, FRAME_SCHEMA)
+
+
+#: One row per analysis window — the audio STFT-framing shape.
+AUDIO_CHUNK_SCHEMA = (
+    "doc_id bigint, chunk_index int, start_sample int, n_chunk_samples int, "
+    "n_samples int"
+)
+
+
+def chunk_audio(
+    df: DataFrame, window: int = 1024, hop: int = 512
+) -> DataFrame:
+    """Overlapping analysis-window chunking over an opaque audio payload
+    (STUB decode: 16-bit mono, ``n_samples = len(payload) // 2``).
+
+    The audio counterpart of :func:`sample_frames`: a 1:N mapInPandas
+    generator emitting one row per (possibly partial) window at hop
+    spacing — the framing step every STFT/fbank/ASR pipeline starts
+    with. A real decoder (soundfile / torchaudio) replaces the sample
+    count; the Spark-side contract (schema, batching, overlap
+    arithmetic) is what's exercised here.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "chunk_index": [],
+                "start_sample": [],
+                "n_chunk_samples": [],
+                "n_samples": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_samples = len(payload) // 2
+                idx = 0
+                for start in range(0, n_samples, hop):
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_index"].append(idx)
+                    rows["start_sample"].append(start)
+                    rows["n_chunk_samples"].append(min(window, n_samples - start))
+                    rows["n_samples"].append(n_samples)
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, AUDIO_CHUNK_SCHEMA)

@@ -611,3 +611,39 @@ def pipeline_reference_e2e(spark, sf_dir):
     )
     out_dir = tempfile.mkdtemp(prefix="echem_pipeline_")
     return run_reference_pipeline(spark, materials, out_dir)
+
+
+@_register(
+    "mm_audio_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) // 2 AS INTEGER)
+                        AS n_samples
+               FROM documents),
+    c AS (SELECT doc_id, n_samples,
+                 CAST(unnest(range(0, n_samples, 512)) AS INTEGER)
+                   AS start_sample
+          FROM d)
+    SELECT doc_id,
+           CAST(start_sample // 512 AS INTEGER) AS chunk_index,
+           start_sample,
+           CAST(LEAST(1024, n_samples - start_sample) AS INTEGER)
+             AS n_chunk_samples,
+           n_samples
+    FROM c
+    """,
+    survey_ids=("X14",),
+)
+def mm_audio_chunks(spark, sf_dir):
+    """Audio analysis-window chunking over opaque binary payloads (stub
+    16-bit decode; 1024-sample windows at 512 hop) via a mapInPandas
+    generator — the third modality's plumbing next to image decode and
+    video frame sampling. operators/multimodal.py::chunk_audio."""
+    from .operators.multimodal import attach_binary_payload, chunk_audio
+
+    docs = _ld(spark, sf_dir, "documents")
+    return chunk_audio(
+        attach_binary_payload(docs).select("doc_id", "payload"),
+        window=1024,
+        hop=512,
+    )
