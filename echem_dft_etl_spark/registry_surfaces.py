@@ -647,3 +647,37 @@ def mm_audio_chunks(spark, sf_dir):
         window=1024,
         hop=512,
     )
+
+
+#: Correlated scalar subquery, dialect-portable (runs verbatim in both
+#: engines): parts priced above their brand's average price.
+_CORRELATED_SQL = """
+    SELECT p_partkey, p_brand,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+    FROM part p
+    WHERE p_retailprice > (SELECT AVG(p2.p_retailprice)
+                           FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """
+
+
+@_register(
+    "sql_correlated_subquery",
+    oracle=_CORRELATED_SQL,
+    survey_ids=("X5",),
+)
+def sql_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery through spark.sql: Catalyst's
+    DecorrelateInnerQuery rewrites the per-row subquery into an
+    aggregate + join (asserted in tests/test_plans.py — no per-row
+    re-execution survives in the plan). The reference has no subquery
+    capability at all; this is optimizer uplift for free (SURVEY §4).
+    Same text is the DuckDB oracle. Note the float AVG threshold is
+    only ever compared (>), never emitted, so cross-engine float
+    summation differences cannot change the row set unless a price
+    sits within one ulp of the mean — impossible for 2-decimal prices
+    and double sums at this cardinality."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)

@@ -133,3 +133,15 @@ def test_engine_wide_plan_hygiene(spark):
         if s["windows"] > 3:
             offenders.append((name, "windows", s["windows"]))
     assert not offenders, offenders
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the per-row correlated subquery into an
+    aggregate + equi-join — a nested-loop or cartesian in the plan
+    would mean per-row re-execution."""
+    df = _q(spark, "sql_correlated_subquery")
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plans.has_operator(df, r"HashAggregate"), plan
+    assert plans.has_operator(df, r"Join"), plan
