@@ -52,6 +52,12 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime Bloom-filter join pruning (off by default in Spark):
+        # for selective joins the build side's keys prune the probe-side
+        # scan before the shuffle. The size thresholds (scan >= 10 GB)
+        # keep it dormant on test-scale data and make it kick in exactly
+        # where it pays — the 100 TB fact-table joins.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

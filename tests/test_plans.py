@@ -145,3 +145,28 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "CartesianProduct" not in plan
     assert plans.has_operator(df, r"HashAggregate"), plan
     assert plans.has_operator(df, r"Join"), plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime Bloom-filter join pruning (enabled in get_session): with
+    the size thresholds lowered to test-data volume, a selective dim
+    filter must inject a might_contain() predicate on the fact scan —
+    the probe side is pruned before the shuffle."""
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev = spark.conf.get(key)
+    bj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(key, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+    finally:
+        spark.conf.set(key, prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bj)
