@@ -247,6 +247,29 @@ def q02_keylist_scan(spark, sf_dir):
 
 
 @_register(
+    "q02_keylist_semijoin",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_partkey IN (1, 7, 42, 99, 123, 500, 777, 1024, 1500, 1999)
+    """,
+    survey_ids=("Q2", "X5"),
+)
+def q02_keylist_semijoin(spark, sf_dir):
+    """The same key-list scan as a broadcast left-semi join against a
+    key DataFrame — the form that scales past IN-list limits (millions
+    of keys arrive as a table, not a literal). Identical oracle to
+    q02_keylist_scan: the two physical strategies must agree exactly."""
+    keys = [1, 7, 42, 99, 123, 500, 777, 1024, 1500, 1999]
+    key_df = spark.createDataFrame([(k,) for k in keys], "p_partkey bigint")
+    return (
+        _ld(spark, sf_dir, "part")
+        .join(F.broadcast(key_df), "p_partkey", "left_semi")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+
+
+@_register(
     "q04_string_to_digits",
     oracle="""
     SELECT p_partkey,
