@@ -131,3 +131,50 @@ def test_asof_join_matches_pandas_reference(spark, lrows, rrows):
         cands = [ro for (rk, ro) in rded if rk == k and ro <= o]
         expected[i] = float(max(cands)) if cands else None
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc xyz",  # whitespace-heavy to exercise tokenization
+            min_size=0, max_size=60,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_minhash_signatures_match_python_reference(spark, texts):
+    """Three-way agreement: the Spark minhash implementation must match
+    an independent pure-Python replay of the documented hashing
+    convention (md5 48-bit + modular permutations) — the same spec the
+    DuckDB oracles implement in SQL."""
+    import hashlib
+    import re as _re
+
+    from echem_dft_etl_spark.operators.dedup import (
+        N_PERMS,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: [r[f"mh_{j}"] for j in range(N_PERMS)]
+        for r in minhash_signatures(doc_shingles(docs, 3)).collect()
+    }
+
+    P = 2147483647
+    expected = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in _re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+        shingles = {" ".join(toks[k:k + 3]) for k in range(len(toks) - 2)}
+        if not shingles:
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in shingles]
+        expected[i] = [
+            min(((2 * j + 1) * (h % P) + 7919 * (j + 1)) % P for h in hs)
+            for j in range(N_PERMS)
+        ]
+    assert got == expected
