@@ -64,6 +64,11 @@ HEADLINE: tuple[str, ...] = (
     "s16_asof_join",
     "x03_time_rollup",
     "sql_surface_pricing",
+    # r2 additions: the rewritten pair queries (regression guards for the
+    # banded/blocked join shapes) and the nested materials model
+    "d13_simhash_pairs",
+    "s12_cosine_near_pairs",
+    "d01_nested_sites",
 )
 
 

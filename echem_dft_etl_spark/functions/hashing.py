@@ -37,6 +37,9 @@ from pyspark.sql import functions as F
 KNUTH = 2654435761
 MOD32 = 4294967296  # 2**32
 MERSENNE31 = 2147483647  # 2**31 - 1, modulus for minhash permutations
+#: (KNUTH << 16) mod 2^32 — the high-half multiplier of the split-
+#: multiply below.
+KNUTH_SHIFT16 = (KNUTH << 16) % MOD32
 
 
 def det_hash_i64(key: Column, seed: int = 0) -> Column:
@@ -45,8 +48,23 @@ def det_hash_i64(key: Column, seed: int = 0) -> Column:
     ``seed`` is mixed in additively *before* the multiply so different
     sampling decisions (the reference's seed=27 vs seed=20 samples,
     ``my_dag.py:56,110``) draw different orders.
+
+    The multiply is performed as a 16-bit split so no intermediate
+    exceeds 2^49: a direct ``(key+seed) * KNUTH`` overflows int64 for
+    keys ≳ 3.5e9 — Spark wraps mod 2^64 (which happens to stay correct
+    mod 2^32) but a strict engine like DuckDB raises out-of-range,
+    breaking cross-engine parity exactly at the key domains a 100 TB
+    corpus has. With ``k = (key+seed) mod 2^32 = hi·2^16 + lo``::
+
+        k·KNUTH mod 2^32 = (lo·KNUTH + hi·(KNUTH·2^16 mod 2^32)) mod 2^32
+
+    and both products stay < 2^48. Bit-identical to the unsplit form
+    for every key (tests/test_properties.py::test_det_hash_i64_large_keys).
     """
-    return F.pmod((key.cast("bigint") + F.lit(seed)) * F.lit(KNUTH), F.lit(MOD32))
+    k = F.pmod(key.cast("bigint") + F.lit(seed), F.lit(MOD32))
+    lo = k.bitwiseAND(F.lit(65535))
+    hi = F.shiftright(k, 16)
+    return F.pmod(lo * F.lit(KNUTH) + hi * F.lit(KNUTH_SHIFT16), F.lit(MOD32))
 
 
 def det_hash_str(col: Column) -> Column:
@@ -68,8 +86,14 @@ def minhash_perm(h: Column, perm_index: int) -> Column:
 
 
 def duckdb_det_hash_i64(expr: str, seed: int = 0) -> str:
-    """DuckDB SQL fragment equivalent to :func:`det_hash_i64`."""
-    return f"((({expr}::BIGINT + {seed}) * {KNUTH}) % {MOD32} + {MOD32}) % {MOD32}"
+    """DuckDB SQL fragment equivalent to :func:`det_hash_i64` (same
+    16-bit split-multiply, so it neither overflows nor diverges for
+    keys beyond 2^32)."""
+    k = f"((({expr}::BIGINT + {seed}) % {MOD32} + {MOD32}) % {MOD32})"
+    return (
+        f"((({k} % 65536) * {KNUTH} + ({k} // 65536) * {KNUTH_SHIFT16})"
+        f" % {MOD32})"
+    )
 
 
 def duckdb_det_hash_str(expr: str) -> str:

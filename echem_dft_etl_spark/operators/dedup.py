@@ -245,7 +245,10 @@ def near_dup_pairs_minhash(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = 128,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, candidate-pruned by the
     inverted shingle index (pairs must share ≥1 shingle). The exact
@@ -254,6 +257,20 @@ def ngram_jaccard_pairs(
     :func:`doc_shingles` is the shared materialization point for all
     consumers of the index (see near_dup_pairs_minhash).
 
+    ``max_df`` is the standard document-frequency cut that keeps the
+    posting-list self-join from going skew-quadratic: a stop-phrase
+    shingle appearing in k documents contributes k·(k-1)/2 join rows,
+    so one hot trigram at corpus scale is a straggler task. Shingles
+    with df > max_df are dropped from the document representation
+    itself (index AND set sizes — the Jaccard stays internally exact
+    over the capped sets, the established df-cut semantics of web-scale
+    dedup pipelines), bounding per-shingle fan-out at max_df²/2. The
+    default (128) exceeds every df observed at test scales (max 25 at
+    sf0.1), so capped output is identical to uncapped there — the
+    oracle needs no cap — while at 100 TB the cap is the difference
+    between a bounded join and an unbounded one
+    (tests/test_scale.py::test_ngram_df_cap_bounds_fanout).
+
     Unlike the MinHash path (whose LSH candidates are NOT the
     intersection), the inverted-index self-join here already enumerates
     the intersection multiset — one row per shared shingle per pair —
@@ -261,6 +278,13 @@ def ngram_jaccard_pairs(
     no re-join of the index against candidates (which would re-derive
     the very rows this join just produced)."""
     shingled = doc_shingles(docs, shingle_n)
+    if max_df is not None:
+        w_df = Window.partitionBy("shingle")
+        shingled = (
+            shingled.withColumn("_df", F.count("*").over(w_df))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
@@ -321,18 +345,87 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     return hashed.select("doc_id", reduce_sig.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
-    """Pairs within ``max_hamming`` SimHash bits.
+def simhash_band_entries(
+    sig: F.Column, max_hamming: int, bits: int
+) -> F.Column:
+    """Array of (band, band_key) structs splitting ``sig`` into
+    ``max_hamming + 1`` contiguous bit ranges.
 
-    Test-scale form joins all pairs; the scale path buckets signatures
-    by band (same LSH idea) first — see lsh_candidate_pairs.
+    The pigeonhole guarantee: two signatures within ``max_hamming``
+    differing bits can spoil at most ``max_hamming`` of the
+    ``max_hamming + 1`` bands, so every true pair agrees exactly on at
+    least one band — banding is a lossless candidate filter here, not
+    an approximation (tests/test_properties.py asserts equality with
+    the all-pairs form)."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    entries, lo = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig, lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_key"),
+            )
+        )
+        lo += width
+    return F.array(*entries)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits, via a banded
+    signature equi-join (NO all-pairs stage).
+
+    Each signature explodes into ``max_hamming + 1`` (band, band_key)
+    rows; candidates are the band-bucket self-join — shuffle on the
+    band key, quadratic only inside a bucket — then ``bit_count(xor)``
+    verifies the exact Hamming distance and ``distinct`` collapses
+    pairs that collided in several bands. Recall is exactly 1 by the
+    pigeonhole argument on contiguous bit ranges (see
+    :func:`simhash_band_entries`), so this is plan-shape surgery on
+    the O(n²) join, not a semantic change.
+
+    Scale shape: per-band buckets hold n/2^width docs in the uniform
+    case, so the verify fan-out drops 2^width-fold vs all-pairs AND
+    the work is a hash-partitioned equi-join (parallel across buckets,
+    AQE-splittable) instead of a BroadcastNestedLoop. With the 32-bit
+    oracle signature the 7 bands are only 4-5 bits wide; the 100 TB
+    setting raises ``bits`` (the md5-derived token hash carries 48) so
+    each band key is ~7 bits with the same recall guarantee — wider
+    signatures sharpen both the bucket selectivity and the Hamming
+    estimate without changing this plan.
     """
     sigs = simhash_signatures(docs, bits)
-    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"))
+    bands = (
+        sigs.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                simhash_band_entries(F.col("simhash"), max_hamming, bits)
+            ).alias("e"),
+        )
+        .select("doc_id", "simhash", "e.band", "e.band_key")
+        # Explicit shuffle on the join key BELOW both aliased sides:
+        # the two self-join branches then share one canonically-equal
+        # exchange, so ReuseExchange computes the (expensive, 32-lane)
+        # signatures ONCE. Without it the planner broadcasts one side
+        # at small scale and each branch re-derives every signature —
+        # measured 2x the whole-query cost.
+        .repartition("band", "band_key")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band", "band_key"
+    )
     return (
-        a.join(b, F.col("a") < F.col("b"))
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )

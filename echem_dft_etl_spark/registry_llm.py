@@ -445,8 +445,14 @@ def s12_cosine_topk(spark, sf_dir):
     survey_ids=("X12",),
 )
 def s12_cosine_near_pairs(spark, sf_dir):
-    """Embedding near-duplicate pairs: all (a,b) with cosine ≥ 0.45."""
-    return similarity.cosine_near_pairs(
+    """Embedding near-duplicate pairs: all (a,b) with cosine ≥ 0.45 —
+    exact, via the blocked triangular decomposition with the pair grid
+    evaluated in a vectorized applyInPandas kernel (no
+    BroadcastNestedLoop, recall structurally 1; see
+    operators/similarity.py::cosine_near_pairs_blocked_pandas; the
+    pure-expression blocked join is cosine_near_pairs, equal results
+    asserted in tests)."""
+    return similarity.cosine_near_pairs_blocked_pandas(
         _ld(spark, sf_dir, "embeddings"), threshold=0.45
     )
 

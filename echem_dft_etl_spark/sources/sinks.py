@@ -60,6 +60,16 @@ def upsert_parquet(
     incoming batch deterministically (lowest ``order_col`` wins), then
     left-anti join against existing keys and append. Returns the table
     content after the upsert. Re-running the same batch is a no-op.
+
+    Table existence is probed through the Hadoop FileSystem API (not by
+    pattern-matching reader exceptions, which changes wording across
+    Spark versions). Single-writer assumption: the read-keys-then-
+    append sequence is not atomic — concurrent upserts into the same
+    path, or a crash mid-append, can leave duplicate keys behind.
+    Readers stay correct regardless because every consumer of the
+    table goes through first-wins dedup on the same keys; for
+    multi-writer deployments use a transactional table format or the
+    JDBC MERGE path (:func:`write_jdbc`).
     """
     spark = new_rows.sparkSession
     w = Window.partitionBy(*key_cols).orderBy(order_col)
@@ -68,7 +78,10 @@ def upsert_parquet(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    try:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         existing = spark.read.parquet(table_path)
         to_insert = batch.join(
             existing.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -78,9 +91,7 @@ def upsert_parquet(
         to_insert.count()
         to_insert.write.mode("append").parquet(table_path)
         to_insert.unpersist()
-    except Exception as exc:  # first write: table does not exist yet
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
+    else:  # first write: table does not exist yet
         batch.write.mode("overwrite").parquet(table_path)
     return spark.read.parquet(table_path)
 

@@ -178,3 +178,54 @@ def test_minhash_signatures_match_python_reference(spark, texts):
             for j in range(N_PERMS)
         ]
     assert got == expected
+
+
+def test_det_hash_i64_large_keys(spark, duck):
+    """The split-multiply hash must (a) equal key*KNUTH mod 2^32 for
+    every key including those where the naive product overflows int64,
+    and (b) agree between the Spark column and the DuckDB fragment —
+    the cross-engine property the sampling queries depend on."""
+    from echem_dft_etl_spark.functions.hashing import (
+        KNUTH,
+        MOD32,
+        det_hash_i64,
+        duckdb_det_hash_i64,
+    )
+
+    keys = [0, 1, 41, 2**31 - 1, 2**31, 3_500_000_000, 2**32 - 1,
+            2**32, 2**40 + 123, 2**62]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", det_hash_i64(F.col("k"), 27).alias("h")).collect()
+    }
+    for k in keys:
+        assert got[k] == ((k + 27) % MOD32) * KNUTH % MOD32, k
+
+    frag = duckdb_det_hash_i64("k", 27)
+    vals = ", ".join(f"({k})" for k in keys)
+    duck_rows = duck.sql(
+        f"SELECT k, {frag} AS h FROM (VALUES {vals}) t(k)"
+    ).fetchall()
+    assert {k: h for k, h in duck_rows} == got
+
+
+def test_cosine_near_pairs_impls_agree(spark):
+    """The expression-based blocked join and the vectorized
+    applyInPandas kernel must produce bit-identical pair sets — the
+    kernel's dimension-sequential accumulation is the same float64
+    sequence as the JVM fold."""
+    from echem_dft_etl_spark.operators import similarity
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    expr = sorted(map(tuple, similarity.cosine_near_pairs(emb, 0.45).collect()))
+    pand = sorted(
+        map(
+            tuple,
+            similarity.cosine_near_pairs_blocked_pandas(emb, 0.45).collect(),
+        )
+    )
+    assert expr == pand
+    assert len(expr) > 0  # non-vacuous at this scale

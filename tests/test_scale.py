@@ -136,3 +136,36 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_ngram_df_cap_bounds_fanout(spark):
+    """The df-cut must bound per-shingle posting lists (join fan-out is
+    at most max_df²/2 per shingle) and, at the default cap, change
+    nothing at test scale (max observed df is far below it)."""
+    from pyspark.sql.window import Window
+
+    from echem_dft_etl_spark.operators.dedup import (
+        doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # a tiny cap provably bounds surviving posting lists
+    cap = 4
+    shingled = doc_shingles(docs, 3)
+    pruned = (
+        shingled.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= cap)
+    )
+    max_df = pruned.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= cap
+
+    # the default cap exceeds every df at this scale: capped == uncapped
+    capped = ngram_jaccard_pairs(docs, threshold=0.5)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.5, max_df=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
