@@ -7,22 +7,28 @@ Arrow-batched decode UDF, partitioning/shuffle operate on the (small)
 metadata columns, and column pruning drops the payload whenever a query
 doesn't touch it.
 
-The decode step itself is environment-dependent (image/audio libs are
-NOT in this container) so it is stubbed behind ``decode_image_stub`` —
-a deterministic fake with the real signature, batch shape and schema.
-Swapping in PIL/librosa is a one-function change; everything around it
-(schema, mapInPandas iterator contract, metadata derivation, batch
-sizing) is real and tested.
+The payloads are REAL container formats built stdlib-only: 24-bpp BMP
+images (``build_bmp_payload``) and 16-bit PCM WAV audio
+(``build_wav_payload``), with pixel/sample data derived
+deterministically from the corpus text so every byte is reproducible by
+the DuckDB oracle. The decode stage parses the actual headers
+(``struct.unpack`` of the BITMAPINFOHEADER / RIFF chunks) — dimensions
+and features come from payload bytes, not from metadata riding
+alongside. Swapping in PIL/librosa for richer codecs is a one-function
+change; the Spark-side contract (schema, mapInPandas iterator, Arrow
+batch bounding) is identical.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: Declared output schema of the decode stage.
 DECODE_SCHEMA = (
@@ -32,11 +38,14 @@ DECODE_SCHEMA = (
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
-    """Materialize an opaque binary payload + metadata struct.
+    """Materialize an opaque raw payload + metadata struct.
 
     In production this column arrives from the source (image bytes in
     parquet/iceberg); here it is derived deterministically from text so
-    the plumbing is exercised end-to-end on the standard corpus.
+    the plumbing is exercised end-to-end on the standard corpus. This
+    raw form is the container-less baseline used by the frame/chunk
+    generators; :func:`build_bmp_payload` / :func:`build_wav_payload`
+    wrap real headers around the same bytes.
     """
     payload = F.encode(F.col("text"), "UTF-8")
     meta = F.struct(
@@ -47,20 +56,81 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Deterministic fake decoder (STUB — container has no image libs).
+def _fill(data: bytes, need: int) -> bytes:
+    """``data`` cycled/truncated to exactly ``need`` bytes."""
+    if not data:
+        return b"\x00" * need
+    return (data * (need // len(data) + 1))[:need]
 
-    Real implementation would be e.g.::
 
-        from PIL import Image
-        img = Image.open(io.BytesIO(payload))  # NotImplementedError here
+def bmp_bytes(width: int, height: int, pixel_source: bytes) -> bytes:
+    """A complete, valid 24-bpp BI_RGB BMP file.
 
-    The fake emits byte-level features so correctness of the
-    surrounding plumbing (batching, schema, aggregation) is testable.
+    BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B) + rows of
+    ``width·3`` pixel bytes. Widths are kept multiples of 4 by callers
+    so rows need no padding and the pixel array is exactly
+    ``width·height·3`` bytes — which keeps the DuckDB oracle's size
+    arithmetic closed-form.
     """
+    n_pix = width * height * 3
+    pixels = _fill(pixel_source, n_pix)
+    header = struct.pack("<2sIHHI", b"BM", 54 + n_pix, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, n_pix, 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def build_bmp_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real BMP bytes per document, built in an
+    Arrow-batched pandas UDF (``struct.pack`` is the stdlib encoder).
+
+    Dimensions are deterministic per doc (width ∈ {4,8,12,16}, height ∈
+    {4,8,12}, both multiples of 4 → no row padding); the pixel array is
+    the document's UTF-8 bytes cycled to fill — every output byte is a
+    pure function of (doc_id, text) that the oracle reproduces.
+    """
+
+    @pandas_udf("binary")
+    def make_bmp(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, txt in zip(doc_id, text):
+            w = (int(did) % 4 + 1) * 4
+            h = (int(did) % 3 + 1) * 4
+            out.append(bmp_bytes(w, h, txt.encode("utf-8")))
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id", make_bmp(F.col("doc_id"), F.col("text")).alias("payload")
+    )
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BMP payload's actual bytes: magic, header geometry, and
+    a byte-sum feature over the leading pixels.
+
+    This is a genuine (if minimal) decoder — width/height/offset come
+    from ``struct.unpack`` of the BITMAPFILEHEADER/BITMAPINFOHEADER,
+    and the feature window reads the pixel array at the offset the
+    header declares. A PIL decode slots in here for formats with
+    entropy coding; BMP needs none.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return {
+            "n_bytes": len(payload),
+            "format": "unknown",
+            "width": None,
+            "height": None,
+            "feature_sum": None,
+        }
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    pixels = payload[pix_offset:]
     return {
         "n_bytes": len(payload),
-        "feature_sum": int(sum(payload[:64])),
+        "format": "image/bmp",
+        "width": width,
+        "height": height,
+        "feature_sum": int(sum(pixels[:64])),
     }
 
 
@@ -71,19 +141,20 @@ def decode_batch(df: DataFrame) -> DataFrame:
     number of payloads (bounded by spark.sql.execution.arrow.
     maxRecordsPerBatch), so executor memory is independent of partition
     size — the property that matters when payloads are megabyte images
-    rather than kilobyte texts.
+    rather than kilobyte texts. Expects (doc_id, payload) rows, e.g.
+    from :func:`build_bmp_payload`.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decode_bmp(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [f["n_bytes"] for f in feats],
-                    "format": [m["format"] for m in pdf["meta"]],
-                    "width": [m["width"] for m in pdf["meta"]],
-                    "height": [m["height"] for m in pdf["meta"]],
+                    "format": [f["format"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
                     "feature_sum": [f["feature_sum"] for f in feats],
                 }
             )
@@ -132,22 +203,75 @@ def sample_frames(
 #: One row per analysis window — the audio STFT-framing shape.
 AUDIO_CHUNK_SCHEMA = (
     "doc_id bigint, chunk_index int, start_sample int, n_chunk_samples int, "
-    "n_samples int"
+    "n_samples int, sample_rate int"
 )
+
+WAV_SAMPLE_RATE = 16000
+
+
+def wav_bytes(sample_source: bytes, rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """A complete, valid 16-bit mono PCM WAV file (44-byte RIFF header
+    + sample data truncated to whole samples)."""
+    data = sample_source[: 2 * (len(sample_source) // 2)]
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def build_wav_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real WAV bytes per document (16-bit mono PCM,
+    sample data = the document's UTF-8 bytes) via an Arrow-batched
+    pandas UDF."""
+
+    @pandas_udf("binary")
+    def make_wav(text: pd.Series) -> pd.Series:
+        return pd.Series([wav_bytes(t.encode("utf-8")) for t in text])
+
+    return docs.select("doc_id", make_wav(F.col("text")).alias("payload"))
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Parse the RIFF/fmt/data chunks of a WAV payload (stdlib-only
+    genuine decode: rate, channels, bit depth and the sample count all
+    come from the actual header bytes)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data" and None not in (rate, channels, bits):
+            n_samples = size // (channels * bits // 8)
+            return {
+                "rate": rate,
+                "channels": channels,
+                "bits": bits,
+                "n_samples": n_samples,
+            }
+        pos += 8 + size + (size & 1)
+    return None
 
 
 def chunk_audio(
     df: DataFrame, window: int = 1024, hop: int = 512
 ) -> DataFrame:
-    """Overlapping analysis-window chunking over an opaque audio payload
-    (STUB decode: 16-bit mono, ``n_samples = len(payload) // 2``).
+    """Overlapping analysis-window chunking over WAV payloads, sample
+    count and rate decoded from the actual RIFF header
+    (:func:`parse_wav_header`).
 
     The audio counterpart of :func:`sample_frames`: a 1:N mapInPandas
     generator emitting one row per (possibly partial) window at hop
     spacing — the framing step every STFT/fbank/ASR pipeline starts
-    with. A real decoder (soundfile / torchaudio) replaces the sample
-    count; the Spark-side contract (schema, batching, overlap
-    arithmetic) is what's exercised here.
+    with. Payloads that don't parse are skipped (emitting a quarantine
+    stream instead is a one-line change). A soundfile/torchaudio decode
+    slots into the same iterator for compressed codecs; PCM WAV needs
+    only the header.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -158,9 +282,13 @@ def chunk_audio(
                 "start_sample": [],
                 "n_chunk_samples": [],
                 "n_samples": [],
+                "sample_rate": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_samples = len(payload) // 2
+                hdr = parse_wav_header(payload)
+                if hdr is None:
+                    continue
+                n_samples = hdr["n_samples"]
                 idx = 0
                 for start in range(0, n_samples, hop):
                     rows["doc_id"].append(doc_id)
@@ -168,6 +296,7 @@ def chunk_audio(
                     rows["start_sample"].append(start)
                     rows["n_chunk_samples"].append(min(window, n_samples - start))
                     rows["n_samples"].append(n_samples)
+                    rows["sample_rate"].append(hdr["rate"])
                     idx += 1
             yield pd.DataFrame(rows)
 

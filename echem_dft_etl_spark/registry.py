@@ -1216,6 +1216,47 @@ def x09_tumbling_window(spark, sf_dir):
     return tumbling_window_agg(ev, "ts", "1 hour", group_extra=["event_type"])
 
 
+def nested_materials(spark, sf_dir) -> DataFrame:
+    """The nested materials data model (SURVEY §1.2 D1) as a DataFrame:
+    (material_id, lattice array<array<double>>, sites
+    array<struct<suppkey, element, x, y, z>>), built deterministically
+    from the standard corpus (supplier sites grouped per
+    nation-material). The shared source for the d01 query and the
+    nested-parquet pruning fixture in tests/test_plans.py."""
+    sup = _ld(spark, sf_dir, "supplier")
+    site = F.struct(
+        F.col("s_suppkey").alias("suppkey"),
+        F.element_at(
+            F.array(F.lit("V"), F.lit("O"), F.lit("Fe")),
+            (F.pmod(F.col("s_suppkey"), F.lit(3)) + 1).cast("int"),
+        ).alias("element"),
+        (F.pmod(F.col("s_suppkey"), F.lit(7)).cast("double") * 0.5).alias("x"),
+        (F.pmod(F.col("s_suppkey"), F.lit(5)).cast("double") * 0.5).alias("y"),
+        (F.col("s_acctbal") / 1000.0).alias("z"),
+    )
+    sites = sup.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list(site)).alias("sites")
+    )
+    n = _ld(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("double")
+    rk = F.col("n_regionkey").cast("double")
+    lat = F.array(
+        F.array(nk + 4.0, F.lit(0.0), F.lit(0.0)),
+        F.array(F.lit(0.0), rk + 5.0, F.lit(0.0)),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(20.0)),
+    )
+    mats = n.select(
+        F.concat(F.lit("mp-"), F.col("n_nationkey").cast("string")).alias(
+            "material_id"
+        ),
+        "n_nationkey",
+        lat.alias("lattice"),
+    )
+    return mats.join(
+        sites, sites["s_nationkey"] == mats["n_nationkey"]
+    ).select("material_id", "lattice", "sites")
+
+
 @_register(
     "d01_nested_sites",
     oracle="""
@@ -1256,66 +1297,38 @@ def x09_tumbling_window(spark, sf_dir):
     survey_ids=("Q4", "Q17", "Q18"),
 )
 def d01_nested_sites(spark, sf_dir):
-    """The nested materials data model (SURVEY §1.2 D1): lattice as a
-    3x3 ``array<array<double>>`` and sites as ``array<struct<suppkey,
-    element, x, y, z>>`` — the structure the reference carries as a
-    pymatgen ``Structure`` (my_dag.py:28-37; serialized POSCAR at
-    output/bulk_poscars/*.poscar). Built deterministically from the
-    standard corpus (supplier sites grouped per nation-material), then
-    queried through SUBFIELDS ONLY: cell volume from the lattice
-    determinant, site count, mean fractional z (left-to-right fold over
-    the suppkey-ordered array — bit-identical in any engine), and a
-    per-element count via a higher-order filter. Output is flat scalars
-    so the cross-engine hash is well-defined; nested-schema pruning of
-    the same model from parquet is asserted in tests/test_plans.py."""
-    sup = _ld(spark, sf_dir, "supplier")
-    site = F.struct(
-        F.col("s_suppkey").alias("suppkey"),
-        F.element_at(
-            F.array(F.lit("V"), F.lit("O"), F.lit("Fe")),
-            (F.pmod(F.col("s_suppkey"), F.lit(3)) + 1).cast("int"),
-        ).alias("element"),
-        (F.pmod(F.col("s_suppkey"), F.lit(7)).cast("double") * 0.5).alias("x"),
-        (F.pmod(F.col("s_suppkey"), F.lit(5)).cast("double") * 0.5).alias("y"),
-        (F.col("s_acctbal") / 1000.0).alias("z"),
-    )
-    sites = sup.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list(site)).alias("sites")
-    )
-    n = _ld(spark, sf_dir, "nation")
-    nk = F.col("n_nationkey").cast("double")
-    rk = F.col("n_regionkey").cast("double")
-    lat = F.array(
-        F.array(nk + 4.0, F.lit(0.0), F.lit(0.0)),
-        F.array(F.lit(0.0), rk + 5.0, F.lit(0.0)),
-        F.array(F.lit(0.0), F.lit(0.0), F.lit(20.0)),
-    )
-    mats = n.select(
-        F.concat(F.lit("mp-"), F.col("n_nationkey").cast("string")).alias(
-            "material_id"
-        ),
-        "n_nationkey",
-        lat.alias("lattice"),
-    )
-    nested = mats.join(
-        sites, sites["s_nationkey"] == mats["n_nationkey"]
-    ).select("material_id", "lattice", "sites")
+    """Query the nested materials model through SUBFIELDS ONLY: cell
+    volume from the lattice determinant, site count, mean fractional z
+    (left-to-right fold over the suppkey-ordered array — bit-identical
+    in any engine), and a per-element count via a higher-order filter.
+    Reference carries this structure as a pymatgen ``Structure``
+    (my_dag.py:28-37; serialized POSCAR at output/bulk_poscars/
+    *.poscar). Output is flat scalars so the cross-engine hash is
+    well-defined; nested-schema pruning of the same model from parquet
+    is asserted in tests/test_plans.py."""
+    nested = nested_materials(spark, sf_dir)
     l = F.col("lattice")
     volume = (
         l[0][0] * (l[1][1] * l[2][2] - l[1][2] * l[2][1])
         - l[0][1] * (l[1][0] * l[2][2] - l[1][2] * l[2][0])
         + l[0][2] * (l[1][0] * l[2][1] - l[1][1] * l[2][0])
     )
+    # Subfield-ARRAY extraction (sites.z / sites.element), not struct
+    # access inside lambdas: GetArrayStructFields is what the nested-
+    # schema-pruning rule pushes into a parquet scan — the same query
+    # over a stored materials table reads only the touched subfields
+    # (asserted in tests/test_plans.py on a parquet fixture; lambda-
+    # internal s["z"] access defeats the rule and reads every field).
     return nested.select(
         "material_id",
         F.size("sites").cast("bigint").alias("n_sites"),
         volume.alias("volume"),
         (
-            F.aggregate(F.col("sites"), F.lit(0.0), lambda a, s: a + s["z"])
+            F.aggregate(F.col("sites.z"), F.lit(0.0), lambda a, v: a + v)
             / F.size("sites").cast("double")
         ).alias("mean_z"),
         F.size(
-            F.filter(F.col("sites"), lambda s: s["element"] == F.lit("V"))
+            F.filter(F.col("sites.element"), lambda e: e == F.lit("V"))
         )
         .cast("bigint")
         .alias("n_vanadium"),

@@ -180,26 +180,35 @@ def pipe_external_solver(spark, sf_dir):
 @_register(
     "mm_decode_features",
     oracle="""
+    WITH d AS (SELECT doc_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L,
+                      ((doc_id % 4) + 1) * 4 AS w,
+                      ((doc_id % 3) + 1) * 4 AS h
+               FROM documents)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           'fake/raw' AS format,
-           CAST((doc_id % 4) * 64 + 64 AS INTEGER) AS width,
-           CAST((doc_id % 3) * 64 + 64 AS INTEGER) AS height,
-           CAST(list_sum(list_transform(
-                    range(1, least(length(text), 64) + 1),
-                    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feature_sum
-    FROM documents
+           CAST(54 + w * h * 3 AS BIGINT) AS n_bytes,
+           'image/bmp' AS format,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(list_transform(range(0, least(64, w * h * 3)),
+                i -> ('0x' || substr(hx, (i % L) * 2 + 1, 2))::BIGINT))
+             AS BIGINT) AS feature_sum
+    FROM d
     """,
     survey_ids=("X14",),
 )
 def mm_decode_features(spark, sf_dir):
-    """Multimodal binary-column plumbing: attach an opaque payload +
-    typed metadata, decode via Arrow-batched mapInPandas (stub decoder —
-    byte-level features; see operators/multimodal.py for the PIL swap
-    point). The oracle checks the full schema/batch plumbing through
-    byte counts and byte-sum features."""
+    """Multimodal image decode, end-to-end on REAL bytes: build_bmp
+    encodes each document as a valid 24-bpp BMP (struct.pack, Arrow-
+    batched), decode_batch parses the actual BITMAPFILEHEADER /
+    BITMAPINFOHEADER back (magic, pixel offset, dimensions) and
+    byte-sums the leading pixels — nothing is read from metadata. The
+    oracle re-derives every header field and the pixel byte-sum from
+    first principles (hex-string byte extraction keeps it byte-exact
+    for non-ASCII text too). operators/multimodal.py."""
     docs = _ld(spark, sf_dir, "documents")
-    return multimodal.decode_batch(multimodal.attach_binary_payload(docs))
+    return multimodal.decode_batch(multimodal.build_bmp_payload(docs))
 
 
 # =====================================================================
@@ -629,24 +638,25 @@ def pipeline_reference_e2e(spark, sf_dir):
            start_sample,
            CAST(LEAST(1024, n_samples - start_sample) AS INTEGER)
              AS n_chunk_samples,
-           n_samples
+           n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate
     FROM c
     """,
     survey_ids=("X14",),
 )
 def mm_audio_chunks(spark, sf_dir):
-    """Audio analysis-window chunking over opaque binary payloads (stub
-    16-bit decode; 1024-sample windows at 512 hop) via a mapInPandas
-    generator — the third modality's plumbing next to image decode and
-    video frame sampling. operators/multimodal.py::chunk_audio."""
-    from .operators.multimodal import attach_binary_payload, chunk_audio
+    """Audio analysis-window chunking over REAL WAV payloads: build_wav
+    wraps each document's bytes in a valid 16-bit mono PCM RIFF
+    container; chunk_audio parses the actual fmt/data chunks back (the
+    output's sample count and rate come from the header bytes, which
+    the oracle re-derives: 2 bytes per sample, 16 kHz). 1024-sample
+    windows at 512 hop via a 1:N mapInPandas generator — the third
+    modality next to image decode and video frame sampling.
+    operators/multimodal.py::chunk_audio."""
+    from .operators.multimodal import build_wav_payload, chunk_audio
 
     docs = _ld(spark, sf_dir, "documents")
-    return chunk_audio(
-        attach_binary_payload(docs).select("doc_id", "payload"),
-        window=1024,
-        hop=512,
-    )
+    return chunk_audio(build_wav_payload(docs), window=1024, hop=512)
 
 
 #: Correlated scalar subquery, dialect-portable (runs verbatim in both

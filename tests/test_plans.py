@@ -74,6 +74,40 @@ def test_nested_pruning_on_struct_projection(spark):
     plans.assert_read_columns(df, absent=["event_type"])
 
 
+def test_nested_schema_pruning_on_materials_parquet(spark, tmp_path):
+    """SURVEY §7 hard part: a query touching only subfields of the
+    nested materials model (lattice 3x3 + sites array<struct>) must
+    prune the parquet ReadSchema to those subfields — at 100 TB reading
+    the full site structs for a z-coordinate query is the difference
+    between a column scan and the whole table."""
+    from echem_dft_etl_spark.registry import nested_materials
+
+    path = str(tmp_path / "materials")
+    nested_materials(spark, SF_SMOKE).write.mode("overwrite").parquet(path)
+    mats = spark.read.parquet(path)
+
+    # subfield-only query: mean site z per material. NOTE the idiom:
+    # extract the subfield ARRAY first (sites.z → GetArrayStructFields,
+    # which NestedColumnAliasing pushes into the scan); referencing
+    # s["z"] inside a higher-order lambda over the full struct array
+    # defeats pruning (verified — the ReadSchema then carries every
+    # subfield).
+    q = mats.select(
+        "material_id",
+        (
+            F.aggregate(F.col("sites.z"), F.lit(0.0), lambda a, v: a + v)
+            / F.size("sites.z").cast("double")
+        ).alias("mean_z"),
+    )
+    plan = plans.physical_plan(q)
+    read = plan.split("ReadSchema:")[-1]
+    assert "sites:array<struct<z:double>>" in read, plan
+    # the untouched subfields and the lattice must NOT be read
+    for absent in ("element", "suppkey", "lattice"):
+        assert absent not in read, (absent, read)
+    assert q.count() > 0
+
+
 def test_partition_pruning_on_partitioned_store(spark, tmp_path):
     """S1 sink at scale: a key-partitioned store must prune untouched
     partitions at read time (PartitionFilters, not data filters)."""

@@ -54,8 +54,14 @@ def test_stream_sessions_subset_of_batch(spark):
         (r.user_id, r.session_start, r.session_end, r.n_events) for r in emitted
     }
     assert emitted_set <= batch_set
-    # The watermark withholds only the tail: sessions ending well before
-    # max(ts) - 2h must all have been emitted.
+    # Row-for-row batch equivalence below the achieved horizon (SURVEY
+    # §7 streaming-state risk): the emitted set must be EXACTLY the
+    # batch sessions whose end falls at or before the last emitted end
+    # — nothing withheld below the horizon, nothing extra, same counts.
+    horizon_emitted = max(t[2] for t in emitted_set)
+    assert emitted_set == {t for t in batch_set if t[2] <= horizon_emitted}
+    # And the horizon itself is where the final watermark puts it:
+    # sessions ending well before max(ts) - 2h are all emitted.
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     horizon = max_ts - dt.timedelta(hours=2, minutes=1)
     closed = {t for t in batch_set if t[2] < horizon}

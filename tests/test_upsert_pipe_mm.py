@@ -67,17 +67,43 @@ def test_pipe_failure_raises(spark):
         bad.collect()
 
 
-def test_multimodal_decode_plumbing(spark):
+def test_multimodal_decode_real_bmp(spark):
+    """decode_batch must read geometry and features from the payload
+    BYTES: the builder writes a valid BMP, the decoder unpacks its
+    actual header, and the feature is a sum over the pixel array at the
+    offset the header declares."""
     docs = spark.createDataFrame(
         [(7, "hello world"), (8, "abc")], "doc_id long, text string"
     )
     out = {r.doc_id: r for r in multimodal.decode_batch(
-        multimodal.attach_binary_payload(docs)
+        multimodal.build_bmp_payload(docs)
     ).collect()}
-    assert out[7].n_bytes == len(b"hello world")
-    assert out[7].feature_sum == sum(b"hello world")
-    assert out[7].format == "fake/raw"
-    assert (out[8].width, out[8].height) == (8 % 4 * 64 + 64, 8 % 3 * 64 + 64)
+    w7, h7 = (7 % 4 + 1) * 4, (7 % 3 + 1) * 4
+    assert out[7].format == "image/bmp"
+    assert (out[7].width, out[7].height) == (w7, h7)
+    assert out[7].n_bytes == 54 + w7 * h7 * 3
+    src = b"hello world"
+    pixels = (src * (w7 * h7 * 3 // len(src) + 1))[: w7 * h7 * 3]
+    assert out[7].feature_sum == sum(pixels[:64])
+    # python-side reference parse agrees with the distributed decode
+    local = multimodal.decode_bmp(multimodal.bmp_bytes(w7, h7, src))
+    assert (local["width"], local["height"]) == (w7, h7)
+    # a non-BMP payload is reported, not crashed on
+    bad = multimodal.decode_bmp(b"not an image")
+    assert bad["format"] == "unknown" and bad["width"] is None
+
+
+def test_multimodal_wav_roundtrip():
+    """wav_bytes → parse_wav_header must round-trip the header fields
+    and derive the sample count from the data chunk size."""
+    from echem_dft_etl_spark.operators.multimodal import (
+        parse_wav_header,
+        wav_bytes,
+    )
+
+    hdr = parse_wav_header(wav_bytes(b"0123456789a"))  # 11 bytes -> 5 samples
+    assert hdr == {"rate": 16000, "channels": 1, "bits": 16, "n_samples": 5}
+    assert parse_wav_header(b"RIFFxxxxJUNK") is None
 
 
 def test_multimodal_payload_prunable(spark):
