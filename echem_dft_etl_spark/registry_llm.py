@@ -348,10 +348,14 @@ def d14_ngram_jaccard(spark, sf_dir):
     survey_ids=("X11",),
 )
 def d13_simhash(spark, sf_dir):
-    """32-bit SimHash signature per document — computed in Spark as a
-    single array-aggregate pass (no token-row explosion; see
-    operators/dedup.py), re-derived relationally in the oracle."""
-    return dedup.simhash_signatures(_ld(spark, sf_dir, "documents"), bits=32)
+    """32-bit SimHash signature per document — JVM-side tokenize+md5,
+    Arrow-vectorized bit-vote tally (no token-row explosion; the pure-
+    expression form is simhash_signatures, bit-equal and equality-
+    tested; see operators/dedup.py), re-derived relationally in the
+    oracle."""
+    return dedup.simhash_signatures_arrow(
+        _ld(spark, sf_dir, "documents"), bits=32
+    )
 
 
 @_register(

@@ -229,3 +229,19 @@ def test_cosine_near_pairs_impls_agree(spark):
     )
     assert expr == pand
     assert len(expr) > 0  # non-vacuous at this scale
+
+
+def test_simhash_arrow_equals_expression(spark):
+    """The Arrow vote kernel and the 32-lane expression form must emit
+    identical signatures (same integer votes, same bit packing)."""
+    from echem_dft_etl_spark.operators.dedup import (
+        simhash_signatures,
+        simhash_signatures_arrow,
+    )
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = dict(simhash_signatures(docs, 32).collect())
+    b = dict(simhash_signatures_arrow(docs, 32).collect())
+    assert a == b and len(a) == 500
