@@ -14,6 +14,11 @@ the root directory keeps that swap a one-liner.
 
 from __future__ import annotations
 
+import hashlib
+import tempfile
+import zipfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -34,6 +39,46 @@ TABLES = (
 )
 
 
+def _package_zip() -> str:
+    """Zip this package's sources (content-addressed, built once)."""
+    pkg_dir = Path(__file__).resolve().parent.parent
+    files = sorted(pkg_dir.rglob("*.py"))
+    digest = hashlib.md5()
+    for f in files:
+        digest.update(str(f.relative_to(pkg_dir)).encode())
+        digest.update(f.read_bytes())
+    out = Path(tempfile.gettempdir()) / f"echem_pkg_{digest.hexdigest()[:12]}.zip"
+    if not out.exists():
+        tmp = out.with_suffix(".tmp.zip")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for f in files:
+                z.write(f, arcname=f"{pkg_dir.name}/{f.relative_to(pkg_dir)}")
+        tmp.replace(out)
+    return str(out)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    UDF closures that call module-level helpers (the multimodal
+    decoders, pipe parsers, pandas kernels) are cloudpickled BY
+    REFERENCE — workers re-import ``echem_dft_etl_spark``. The driver
+    process found the package through sys.path manipulation in
+    ``__spark_entry__``, but executors inherit neither the driver's
+    sys.path nor its cwd, so under an externally-launched session the
+    import fails on the worker. ``addPyFile`` of the package zip is the
+    supported fix: Spark distributes it and prepends it to every
+    worker's sys.path. Content-addressed name → re-adding after a code
+    change is a fresh file, re-adding the same build is a no-op.
+    """
+    sc = spark.sparkContext
+    path = _package_zip()
+    shipped = getattr(sc, "_echem_shipped", None)
+    if shipped != path:
+        sc.addPyFile(path)
+        sc._echem_shipped = path
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Pin the runtime confs the engine's semantics depend on.
 
@@ -45,6 +90,8 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.ts is parquet TIMESTAMP(NANOS); Spark must not refuse it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UDF closures referencing package modules must import on workers.
+    _ship_package(spark)
     return spark
 
 
