@@ -41,6 +41,10 @@ from ..functions.text import norm_text, tokens, word_ngrams
 N_PERMS = 8
 N_BANDS = 4
 ROWS_PER_BAND = 2
+#: Default document-frequency cut for the exact n-gram Jaccard join —
+#: shared with the registered oracle so Spark and SQL encode the SAME
+#: (scale-independent) semantics.
+DEFAULT_MAX_DF = 128
 
 
 def first_wins_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -251,7 +255,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_df: int | None = 128,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, candidate-pruned by the
     inverted shingle index (pairs must share ≥1 shingle). The exact
@@ -269,10 +273,11 @@ def ngram_jaccard_pairs(
     over the capped sets, the established df-cut semantics of web-scale
     dedup pipelines), bounding per-shingle fan-out at max_df²/2. The
     default (128) exceeds every df observed at test scales (max 25 at
-    sf0.1), so capped output is identical to uncapped there — the
-    oracle needs no cap — while at 100 TB the cap is the difference
-    between a bounded join and an unbounded one
-    (tests/test_scale.py::test_ngram_df_cap_bounds_fanout).
+    sf0.1), so capped output is identical to uncapped there; the
+    registered oracle mirrors the same HAVING-count cut, so the
+    query/oracle pair stays equivalent at ANY corpus size, and at
+    100 TB the cap is the difference between a bounded join and an
+    unbounded one (tests/test_scale.py::test_ngram_df_cap_bounds_fanout).
 
     Unlike the MinHash path (whose LSH candidates are NOT the
     intersection), the inverted-index self-join here already enumerates

@@ -242,17 +242,19 @@ def parse_wav_header(payload: bytes) -> dict | None:
     pos, rate, channels, bits = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
-        if cid == b"fmt ":
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
             _, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos + 8
             )
         elif cid == b"data" and None not in (rate, channels, bits):
-            n_samples = size // (channels * bits // 8)
+            bytes_per_sample = channels * bits // 8
+            if bytes_per_sample <= 0:  # corrupt fmt chunk: skip, don't crash
+                return None
             return {
                 "rate": rate,
                 "channels": channels,
                 "bits": bits,
-                "n_samples": n_samples,
+                "n_samples": size // bytes_per_sample,
             }
         pos += 8 + size + (size & 1)
     return None

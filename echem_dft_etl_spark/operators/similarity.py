@@ -96,6 +96,30 @@ def cosine_topk(
     )
 
 
+def _triangular_block_pairs(spark, n_blocks: int) -> DataFrame:
+    """The tiny (bi <= bj) block-pair dimension for the blocked
+    triangular self-joins below — always broadcast."""
+    return (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .select(
+            "bi",
+            F.explode(
+                F.sequence(F.col("bi"), F.lit(n_blocks - 1))
+            ).alias("bj"),
+        )
+    )
+
+
+def _with_block(emb: DataFrame, n_blocks: int) -> DataFrame:
+    """(vec_id, embedding, block): deterministic block assignment."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("block"),
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame, threshold: float, n_blocks: int = 8
 ) -> DataFrame:
@@ -123,32 +147,14 @@ def cosine_near_pairs(
     the scale route; this operator is the exact contract.
     """
     spark = emb.sparkSession
-    # the tiny triangular (bi <= bj) block-pair dimension, broadcast
-    block_pairs = (
-        spark.range(n_blocks)
-        .select(F.col("id").cast("int").alias("bi"))
-        .select(
-            "bi",
-            F.explode(
-                F.sequence(F.col("bi"), F.lit(n_blocks - 1))
-            ).alias("bj"),
-        )
-    )
+    block_pairs = _triangular_block_pairs(spark, n_blocks)
     # Norms are computed ONCE PER VECTOR before the join (n sqrt-of-dot
     # evaluations), not once per pair (n²) — the higher-order aggregate
     # is interpreted, so hoisting it out of the pair loop is a measured
     # ~3x on the whole query. cosine = dot/(na*nb) performs the exact
     # same float ops in the same order as cosine_sim / the oracle, so
     # scores stay bit-identical.
-    blocked = _with_norm(
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("block"),
-        ),
-        "embedding",
-        "nrm",
-    )
+    blocked = _with_norm(_with_block(emb, n_blocks), "embedding", "nrm")
     left = blocked.join(
         F.broadcast(block_pairs), F.col("block") == F.col("bi")
     ).select(
@@ -207,21 +213,8 @@ def cosine_near_pairs_blocked_pandas(
     corpus growth at constant memory.
     """
     spark = emb.sparkSession
-    block_pairs = (
-        spark.range(n_blocks)
-        .select(F.col("id").cast("int").alias("bi"))
-        .select(
-            "bi",
-            F.explode(
-                F.sequence(F.col("bi"), F.lit(n_blocks - 1))
-            ).alias("bj"),
-        )
-    )
-    blocked = emb.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("block"),
-    )
+    block_pairs = _triangular_block_pairs(spark, n_blocks)
+    blocked = _with_block(emb, n_blocks)
     # each block-pair group gets block bi rows tagged L and block bj
     # rows tagged R (one tagged copy per group membership; a vector
     # joins ~n_blocks groups, so Arrow volume is linear in n·n_blocks)
@@ -258,7 +251,12 @@ def cosine_near_pairs_blocked_pandas(
         denom = np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom != 0, dots / np.where(denom == 0, 1, denom), np.nan)
-        ii, jj = np.nonzero(cos >= threshold)
+        # match the expression form's comparison semantics exactly:
+        # zero-norm pairs (denom == 0 → NULL in Spark) are dropped, but
+        # a NaN score arising from NaN *data* is kept, because Spark
+        # SQL orders NaN above every double so `cosine >= t` is true
+        # there (IEEE/numpy would say false)
+        ii, jj = np.nonzero((cos >= threshold) | (np.isnan(cos) & (denom != 0)))
         a_ids, b_ids = ids_a[ii], ids_b[jj]
         if bi == bj:
             keep = a_ids < b_ids

@@ -299,15 +299,18 @@ def d12_minhash_lsh(spark, sf_dir):
 @_register(
     "d14_ngram_jaccard",
     oracle=_minhash_cte()
-    + """,
+    + f""",
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {dedup.DEFAULT_MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
     cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
-             FROM sh sa JOIN sh sb
+             FROM shc sa JOIN shc sb
                ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
               FROM cand c
-              JOIN sh sa ON sa.doc_id = c.a
-              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              JOIN shc sa ON sa.doc_id = c.a
+              JOIN shc sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
               GROUP BY c.a, c.b)
     SELECT i.a, i.b, i.n_inter, za.n_sh AS na, zb.n_sh AS nb,
            CAST(i.n_inter AS DOUBLE)

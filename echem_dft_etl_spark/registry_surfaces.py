@@ -191,8 +191,8 @@ def pipe_external_solver(spark, sf_dir):
            'image/bmp' AS format,
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
-           CAST(list_sum(list_transform(range(0, least(64, w * h * 3)),
-                i -> ('0x' || substr(hx, (i % L) * 2 + 1, 2))::BIGINT))
+           CAST(COALESCE(list_sum(list_transform(range(0, least(64, w * h * 3)),
+                i -> ('0x' || substr(hx, (i % L) * 2 + 1, 2))::BIGINT)), 0)
              AS BIGINT) AS feature_sum
     FROM d
     """,

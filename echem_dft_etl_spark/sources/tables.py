@@ -39,8 +39,15 @@ TABLES = (
 )
 
 
+_PACKAGE_ZIP: str | None = None
+
+
 def _package_zip() -> str:
-    """Zip this package's sources (content-addressed, built once)."""
+    """Zip this package's sources (content-addressed; hashed once per
+    process — sources cannot change mid-run)."""
+    global _PACKAGE_ZIP
+    if _PACKAGE_ZIP is not None:
+        return _PACKAGE_ZIP
     pkg_dir = Path(__file__).resolve().parent.parent
     files = sorted(pkg_dir.rglob("*.py"))
     digest = hashlib.md5()
@@ -49,12 +56,20 @@ def _package_zip() -> str:
         digest.update(f.read_bytes())
     out = Path(tempfile.gettempdir()) / f"echem_pkg_{digest.hexdigest()[:12]}.zip"
     if not out.exists():
-        tmp = out.with_suffix(".tmp.zip")
+        # per-process unique temp name: concurrent builders (parallel
+        # pytest/bench drivers) each write their own file, and the
+        # rename publishes an always-complete archive under the
+        # content-addressed name
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=out.parent)
+        import os
+
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w") as z:
             for f in files:
                 z.write(f, arcname=f"{pkg_dir.name}/{f.relative_to(pkg_dir)}")
-        tmp.replace(out)
-    return str(out)
+        Path(tmp).replace(out)
+    _PACKAGE_ZIP = str(out)
+    return _PACKAGE_ZIP
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -245,3 +245,38 @@ def test_simhash_arrow_equals_expression(spark):
     a = dict(simhash_signatures(docs, 32).collect())
     b = dict(simhash_signatures_arrow(docs, 32).collect())
     assert a == b and len(a) == 500
+
+
+def test_simhash_banded_pairs_equal_all_pairs(spark):
+    """The pigeonhole claim behind the banded join, verified: at
+    max_hamming h, the (h+1)-band candidate equi-join must produce
+    EXACTLY the pairs of a naive all-pairs Hamming comparison — band
+    splitting is lossless, not approximate. Guards the bit-range
+    arithmetic in simhash_band_entries."""
+    from echem_dft_etl_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures_arrow,
+    )
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    banded = sorted(
+        map(tuple, simhash_near_pairs(docs, max_hamming=6, bits=32).collect())
+    )
+
+    sigs = simhash_signatures_arrow(docs, 32)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    naive = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("a") < F.col("b"))
+            .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= 6)
+            .select("a", "b", "hamming")
+            .collect(),
+        )
+    )
+    assert banded == naive
+    assert len(banded) > 0
