@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Scale probe for the quadratic-prone operators: time the near-pair
+queries on a corpus scaled K-fold beyond sf0.1 (derived in /tmp by
+unioning the base tables with shifted ids — no test data is modified).
+
+Usage: python scripts/scale_probe.py [K]   (default K=4)
+
+This is evidence, not a gate: it answers "does the operator's cost
+track its candidate volume, and does it finish with bounded memory, at
+a scale the bench never reaches" — the question PLANS.md's static
+shapes can't. Run it after touching dedup/similarity join shapes.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+BASE = "/root/testdata/sf0.1"
+
+
+def scaled(df, key: str, k: int, stride: int = 10_000_000):
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = [
+        df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(k)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators import dedup, similarity
+    from echem_dft_etl_spark.session import get_session
+    from echem_dft_etl_spark.sources import load_table
+
+    spark = get_session(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = scaled(load_table(spark, BASE, "documents"), "doc_id", k)
+    emb = scaled(load_table(spark, BASE, "embeddings"), "vec_id", k)
+    n_docs, n_emb = docs.count(), emb.count()
+    print(f"scaled corpus: {n_docs} docs, {n_emb} embeddings (K={k})")
+
+    runs = [
+        (
+            f"d13_simhash_pairs ({n_docs} docs)",
+            lambda: dedup.simhash_near_pairs(docs, max_hamming=6),
+        ),
+        (
+            f"s12_cosine_near_pairs ({n_emb} vecs, "
+            f"{n_emb * (n_emb - 1) // 2} pairs)",
+            lambda: similarity.cosine_near_pairs_blocked_pandas(
+                emb, 0.45, n_blocks=max(8, 2 * k)
+            ),
+        ),
+        (
+            f"d14_ngram_jaccard ({n_docs} docs, df-capped)",
+            lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        ),
+    ]
+    for label, build in runs:
+        t0 = time.perf_counter()
+        n = build().count()
+        print(f"{label}: {n} pairs in {time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
