@@ -72,6 +72,59 @@ def salted_join(
     return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
 
 
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval range join as a binned EQUI-join — the
+    large×large scale path for X5 range joins.
+
+    With a broadcastable interval dimension, the theta-join
+    (``v BETWEEN lo AND hi``) planned as a map-side
+    BroadcastNestedLoopJoin is already optimal (no shuffle, |dim|
+    comparisons per row — the registered x05_range_join). That plan
+    dies when BOTH sides are large: the nested loop degenerates to
+    |points|·|intervals| comparisons with the whole interval table on
+    every executor. Binning restores an equi-join: each point gets
+    ``bin = floor(v / w)``; each interval explodes to every bin it
+    overlaps (``sequence(floor(lo/w), floor(hi/w))`` — replication =
+    interval length / w + 1); join on the bin key, then the exact
+    BETWEEN filter. A qualifying pair meets in EXACTLY one bin (the
+    point's), so no dedup pass is needed and the result equals the
+    theta-join row-for-row (tests/test_scale.py). ``bin_width`` trades
+    interval replication against per-bin fan-out — pick it near the
+    median interval length (the Databricks range-join hint makes the
+    same trade).
+
+    Inner-join semantics (the dominant range-join case); outer
+    variants need unmatched-row recovery and are out of scope here.
+    """
+    pts = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
+    )
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("bigint"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

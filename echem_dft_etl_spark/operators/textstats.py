@@ -172,3 +172,51 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.when(F.size(toks) > 0, fp).otherwise(F.lit(0).cast("bigint")).alias("fingerprint"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame, seq_budget: int = 2048, n_shards: int = 32
+) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: assign each document a
+    position in the fixed-token-budget training sequences of its shard
+    (the packing step of a GPT-style pretraining data pipeline, where
+    documents are concatenated in order and the stream is cut every
+    ``seq_budget`` tokens — documents MAY straddle a cut; first-fit
+    no-straddle packing is a stateful variant of the same shard scan).
+
+    Documents are sharded (``doc_id mod n_shards``) and concatenated
+    within each shard in doc_id order; ``seq_id`` is the chunk holding
+    the document's first token and ``offset`` its start position in
+    that chunk. The running-sum window is per-shard — the property that
+    matters at scale: a GLOBAL running sum is a single-partition window
+    (one task sees every row), while per-shard packing is
+    embarrassingly parallel and is what production packers do anyway
+    (one packed stream per output shard).
+
+    Output: (doc_id, shard, n_tokens, seq_id, offset). Every column is
+    integer arithmetic over the deterministic token count —
+    reproducible verbatim in the SQL oracle.
+    """
+    from pyspark.sql.window import Window
+
+    counted = _toked(docs).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(F.col("toks")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    before = (cum - F.col("n_tokens")).alias("cum_before")
+    packed = counted.select("doc_id", "shard", "n_tokens", cum.alias("cum"), before)
+    seq = F.floor(F.col("cum_before") / F.lit(seq_budget)).cast("bigint")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        seq.alias("seq_id"),
+        (F.col("cum_before") - seq * F.lit(seq_budget)).cast("bigint").alias("offset"),
+    )

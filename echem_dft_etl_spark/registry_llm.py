@@ -189,6 +189,36 @@ def t13_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_ld(spark, sf_dir, "documents"))
 
 
+@_register(
+    "t13_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, CAST(shard AS INTEGER) AS shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS cum_before
+          FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_before - (cum_before // 2048) * 2048 AS BIGINT)
+             AS offset
+    FROM c
+    """,
+    survey_ids=("X13", "X4"),
+)
+def t13_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining (concatenate-then-chunk):
+    per-shard running token sums assign every document its training-
+    sequence id and offset under a 2048-token budget. Sharded windows
+    keep the running-sum state parallel at corpus scale.
+    operators/textstats.py::pack_sequences."""
+    return textstats.pack_sequences(
+        _ld(spark, sf_dir, "documents"), seq_budget=2048, n_shards=32
+    )
+
+
 # =====================================================================
 # Deduplication family (X11 + LLM ops)
 # =====================================================================

@@ -68,6 +68,14 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep driver results bounded; operators never collect big data.
         .config("spark.driver.maxResultSize", "2g")
+        # In local mode the driver JVM IS the executor; Spark's 1g
+        # default heap starves 32 task threads (observed: GCLocker
+        # retry OOMs on scale probes). Only effective before the JVM
+        # launches — an externally created session keeps its own value.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

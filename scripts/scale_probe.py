@@ -9,6 +9,18 @@ This is evidence, not a gate: it answers "does the operator's cost
 track its candidate volume, and does it finish with bounded memory, at
 a scale the bench never reaches" — the question PLANS.md's static
 shapes can't. Run it after touching dedup/similarity join shapes.
+
+Measured (K=4: 20k docs / 8k vectors, local[32], 24g heap):
+  d13_simhash_pairs     36.1M pairs   152.1s  (duplicated corpus ⇒
+                        near-dup density is extreme; output itself is
+                        quadratic in the copy count — cost tracks
+                        output, no OOM, no straggler)
+  s12_cosine_near_pairs 32.0M-pair grid 19.3s (vs 12.5M in ~1.2s at
+                        sf0.1 — kernel cost tracks the pair grid)
+  d14_ngram_jaccard     34.1k pairs    17.1s  (df cap bounds the
+                        posting-list blowup from 4x duplication)
+NOTE: with Spark's default 1g local heap the simhash join OOMs
+(GCLocker retries) — get_session now sets spark.driver.memory.
 """
 
 from __future__ import annotations

@@ -169,3 +169,30 @@ def test_ngram_df_cap_bounds_fanout(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_binned_range_join_equals_theta_join(spark):
+    """The binned equi-join must equal the BETWEEN theta-join
+    row-for-row (each qualifying pair meets in exactly one bin), and
+    must plan WITHOUT a nested loop — the property that makes it the
+    large×large range-join path."""
+    from echem_dft_etl_spark.operators.scale import binned_range_join
+
+    p = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_size")
+    bands = spark.createDataFrame(
+        [(1, 10, "small"), (11, 25, "medium"), (26, 40, "large"), (41, 50, "xl"),
+         (5, 45, "overlapping")],  # overlapping interval: pairs still unique
+        "lo int, hi int, band string",
+    )
+    binned = binned_range_join(p, bands, "p_size", "lo", "hi", bin_width=7)
+    theta = p.join(
+        bands, (p.p_size >= bands.lo) & (p.p_size <= bands.hi)
+    ).select("p_partkey", "p_size", "lo", "hi", "band")
+
+    got = sorted(map(tuple, binned.select("p_partkey", "p_size", "lo", "hi", "band").collect()))
+    want = sorted(map(tuple, theta.collect()))
+    assert got == want and len(got) > 0
+
+    plan = plans.physical_plan(binned)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
