@@ -220,3 +220,62 @@ def pack_sequences(
         seq.alias("seq_id"),
         (F.col("cum_before") - seq * F.lit(seq_budget)).cast("bigint").alias("offset"),
     )
+
+
+#: Output schema of the first-fit packer.
+PACK_SCHEMA = (
+    "doc_id bigint, shard int, n_tokens bigint, seq_id bigint, offset bigint"
+)
+
+
+def pack_sequences_firstfit(
+    docs: DataFrame, seq_budget: int = 2048, n_shards: int = 32
+) -> DataFrame:
+    """First-fit (no-straddle) sequence packing: a document that would
+    overflow the current training sequence starts a new one, so no
+    document crosses a sequence boundary (the padding-free packing used
+    when attention must not span documents).
+
+    This is inherently a SEQUENTIAL scan — each document's placement
+    depends on the running fill — which no window expression computes.
+    The scale shape: shard the corpus, ``repartition`` by shard +
+    ``sortWithinPartitions`` (shard, doc_id), then a ``mapInPandas``
+    generator that carries {shard: (fill, seq)} state ACROSS Arrow
+    batches inside the partition. Memory is bounded by the batch size
+    — not the shard — because mapInPandas streams, unlike a grouped
+    applyInPandas which materializes the whole group. Documents longer
+    than the budget occupy a sequence of their own.
+
+    The DuckDB oracle replays the same recurrence as a recursive CTE,
+    so even this stateful operator is value-checked, not rows-only.
+    """
+    from typing import Iterator
+
+    counted = _toked(docs).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(F.col("toks")).cast("bigint").alias("n_tokens"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[int, tuple[int, int]] = {}  # shard -> (fill, seq)
+        for pdf in batches:
+            seqs, offs = [], []
+            for shard, n in zip(pdf["shard"], pdf["n_tokens"]):
+                fill, seq = state.get(int(shard), (0, 0))
+                if fill > 0 and fill + int(n) > seq_budget:
+                    seq += 1
+                    fill = 0
+                seqs.append(seq)
+                offs.append(fill)
+                state[int(shard)] = (fill + int(n), seq)
+            out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+            out["seq_id"] = seqs
+            out["offset"] = offs
+            yield out
+
+    return (
+        counted.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .mapInPandas(gen, PACK_SCHEMA)
+    )

@@ -219,6 +219,47 @@ def t13_pack_sequences(spark, sf_dir):
     )
 
 
+@_register(
+    "t13_pack_firstfit",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS shard,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 32
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, shard, n_tokens, rn,
+               CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS "offset",
+               n_tokens AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+               CASE WHEN r.fill > 0 AND r.fill + t.n_tokens > 2048
+                    THEN r.seq_id + 1 ELSE r.seq_id END,
+               CASE WHEN r.fill > 0 AND r.fill + t.n_tokens > 2048
+                    THEN CAST(0 AS BIGINT) ELSE r.fill END,
+               CASE WHEN r.fill > 0 AND r.fill + t.n_tokens > 2048
+                    THEN t.n_tokens ELSE r.fill + t.n_tokens END
+        FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, seq_id, "offset" AS offset FROM r
+    """,
+    survey_ids=("X13", "X14"),
+)
+def t13_pack_firstfit(spark, sf_dir):
+    """First-fit no-straddle sequence packing — the stateful-scan
+    exemplar: repartition by shard, sortWithinPartitions, and a
+    mapInPandas generator carrying per-shard fill state ACROSS Arrow
+    batches (memory bounded by batch size, not shard size). The oracle
+    replays the recurrence as a recursive CTE, so the stateful result
+    is value-checked. operators/textstats.py::pack_sequences_firstfit."""
+    return textstats.pack_sequences_firstfit(
+        _ld(spark, sf_dir, "documents"), seq_budget=2048, n_shards=32
+    )
+
+
 # =====================================================================
 # Deduplication family (X11 + LLM ops)
 # =====================================================================

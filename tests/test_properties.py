@@ -280,3 +280,24 @@ def test_simhash_banded_pairs_equal_all_pairs(spark):
     )
     assert banded == naive
     assert len(banded) > 0
+
+
+def test_firstfit_packing_never_straddles(spark):
+    """First-fit invariants: a document either fits entirely inside its
+    sequence (offset + n_tokens <= budget) or starts one (offset == 0,
+    the over-budget singleton case); seq_ids are dense per shard."""
+    from echem_dft_etl_spark.operators.textstats import pack_sequences_firstfit
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    budget = 2048
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = pack_sequences_firstfit(docs, seq_budget=budget, n_shards=32).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.offset + r.n_tokens <= budget or r.offset == 0, r
+    by_shard: dict[int, set] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, set()).add(r.seq_id)
+    for shard, seqs in by_shard.items():
+        assert seqs == set(range(len(seqs))), (shard, sorted(seqs))
