@@ -399,21 +399,47 @@ def simhash_band_entries(
     least one band — banding is a lossless candidate filter here, not
     an approximation (tests/test_properties.py asserts equality with
     the all-pairs form)."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(sig, lo)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_key"),
+        )
+        for b, lo, width in _band_layout(max_hamming, bits)
+    ]
+    return F.array(*entries)
+
+
+def _band_layout(max_hamming: int, bits: int) -> list[tuple[int, int, int]]:
+    """(band, low_bit, width) for the ``max_hamming + 1`` contiguous
+    bands, widths as equal as the division allows."""
     n_bands = max_hamming + 1
     base, rem = divmod(bits, n_bands)
-    entries, lo = [], 0
+    layout, lo = [], 0
     for b in range(n_bands):
         width = base + (1 if b < rem else 0)
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(sig, lo)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("band_key"),
-            )
-        )
+        layout.append((b, lo, width))
         lo += width
-    return F.array(*entries)
+    return layout
+
+
+def _first_agreeing_band(
+    xorv: F.Column, max_hamming: int, bits: int
+) -> F.Column:
+    """Index of the lowest band whose bit range is all-zero in ``xorv``
+    (= the signatures agree on it); -1 if none do.
+
+    Lets the banded self-join keep exactly ONE row per matching pair —
+    the row from the pair's first agreeing band — with per-row bit
+    arithmetic instead of a ``distinct`` that would shuffle the whole
+    (quadratic-in-duplicates) candidate pair stream a second time.
+    """
+    out = F.lit(-1)
+    for b, lo, width in reversed(_band_layout(max_hamming, bits)):
+        agree = F.shiftright(xorv, lo).bitwiseAND(F.lit((1 << width) - 1)) == 0
+        out = F.when(agree, F.lit(b)).otherwise(out)
+    return out
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) -> DataFrame:
@@ -423,8 +449,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) ->
     Each signature explodes into ``max_hamming + 1`` (band, band_key)
     rows; candidates are the band-bucket self-join — shuffle on the
     band key, quadratic only inside a bucket — then ``bit_count(xor)``
-    verifies the exact Hamming distance and ``distinct`` collapses
-    pairs that collided in several bands. Recall is exactly 1 by the
+    verifies the exact Hamming distance, and a pair that collided in
+    several bands is kept only in its FIRST agreeing band (per-row bit
+    arithmetic on ``xor``), so no ``distinct`` re-shuffles the
+    quadratic-in-duplicates pair stream. Recall is exactly 1 by the
     pigeonhole argument on contiguous bit ranges (see
     :func:`simhash_band_entries`), so this is plan-shape surgery on
     the O(n²) join, not a semantic change.
@@ -467,11 +495,14 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) ->
     right = bands.select(
         F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "band", "band_key"
     )
+    xorv = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("hamming", F.bit_count(xorv))
+        .filter(
+            (F.col("hamming") <= max_hamming)
+            & (F.col("band") == _first_agreeing_band(xorv, max_hamming, bits))
+        )
         .select("a", "b", "hamming")
-        .distinct()
     )
