@@ -69,6 +69,10 @@ HEADLINE: tuple[str, ...] = (
     "d13_simhash_pairs",
     "s12_cosine_near_pairs",
     "d01_nested_sites",
+    # r2: iterative graph exemplar — transitive dedup clusters
+    "d12_dup_clusters",
+    # r2: ranked retrieval (BM25, lane-expression tf + one-row stats)
+    "t13_bm25_topk",
 )
 
 

@@ -1,0 +1,116 @@
+"""Connected components over near-duplicate pair graphs — the step
+that turns pairwise dedup evidence into dedup DECISIONS.
+
+Near-dup detection (``operators/dedup.py``) emits edges: "a duplicates
+b". Acting on them — keep one canonical document per duplicate GROUP —
+needs the transitive closure: a~b and b~c put a, b, c in one group even
+if (a, c) was never emitted as a pair. This generalizes the reference's
+per-key upsert dedup (``my_dag.py:201-202``, ``ON CONFLICT (MP_id) DO
+NOTHING``) from identical keys to a similarity graph.
+
+Algorithm: iterative **min-label propagation with pointer jumping**
+(the hash-to-min family of Kiveris et al., "Connected Components in
+MapReduce and Beyond"). Every vertex starts labeled with itself; each
+round takes the min label over its neighbors (one shuffle keyed on
+vertex), then shortcuts ``label(v) ← label(label(v))`` (a second join),
+which squares the propagation distance per round — convergence in
+O(log diameter) rounds instead of O(diameter). Dedup components are
+near-cliques of duplicates (tiny diameter), so 2-3 rounds is typical;
+the loop checks an exact convergence count and stops.
+
+Scale notes (100 TB):
+
+- Every round is hash-partitioned equi-joins on vertex ids — no
+  broadcast of anything data-sized, no BNLJ; AQE handles skewed hub
+  vertices.
+- ``localCheckpoint`` after each round truncates the lineage: without
+  it, round k's plan contains k copies of the edge scan and Catalyst
+  re-analysis goes quadratic. (On a real cluster with a reliable
+  checkpoint dir, ``checkpoint`` swaps in for fault tolerance —
+  localCheckpoint trades re-computability for speed, exactly the
+  documented trade-off.)
+- The label invariant (labels only ever DECREASE, toward the component
+  min) makes the convergence test exact: a round that changes nothing
+  proves the fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id, cluster_id): cluster_id = min vertex id reachable in the
+    undirected graph. Vertices with no edges are their own cluster.
+
+    ``vertices``: one row per vertex id; ``edges``: undirected pairs
+    (each pair listed once in either orientation).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        # 1-hop: min neighbor label, one shuffle keyed on dst.
+        nb_min = (
+            sym.join(labels, sym["src"] == labels["v"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        relaxed = (
+            labels.join(nb_min, labels["v"] == nb_min["dst"], "left")
+            .select("v", F.least("lbl", "nb_lbl").alias("lbl"))
+        )
+        # Pointer jump: label(v) <- label(label(v)). Labels are always
+        # live vertex ids, so the self-join total-resolves.
+        m = relaxed.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
+        jumped = (
+            relaxed.join(m, relaxed["lbl"] == m["mv"])
+            .select("v", F.col("mlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def duplicate_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical, n_members): transitive
+    near-duplicate groups from the MinHash-LSH pair graph, canonical
+    survivor = lowest doc_id per group (the engine-wide first-wins
+    convention, matching ``first_wins_dedup``).
+    """
+    from .dedup import near_dup_pairs_minhash
+
+    pairs = near_dup_pairs_minhash(docs, threshold=threshold)
+    labels = connected_components(
+        docs.select("doc_id"), pairs.select("a", "b")
+    )
+    w = F.count("*").over(Window.partitionBy("cluster_id"))
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        w.cast("bigint").alias("n_members"),
+    )

@@ -260,6 +260,29 @@ def t13_pack_firstfit(spark, sf_dir):
     )
 
 
+#: Fixed query-term set for the BM25 exemplar — a frequency mix over
+#: the corpus vocabulary (rare terms score high, stopword-ish low).
+_BM25_TERMS = ("spark", "merge", "window", "vector", "stream")
+
+from .operators import retrieval  # noqa: E402
+
+
+@_register(
+    "t13_bm25_topk",
+    oracle=retrieval.bm25_oracle_sql(_BM25_TERMS, _TOKS, k=25),
+    survey_ids=("X13", "X12"),
+)
+def t13_bm25_topk(spark, sf_dir):
+    """BM25 top-25 for a fixed term set — per-term tf lanes as row
+    expressions (no explode/join), one-row corpus stats broadcast back,
+    TakeOrdered top-k; score quantized to micro-units for cross-engine
+    exactness (ln differs by 1 ulp between JVM and libm).
+    operators/retrieval.py."""
+    return retrieval.bm25_topk(
+        _ld(spark, sf_dir, "documents"), _BM25_TERMS, k=25
+    )
+
+
 # =====================================================================
 # Deduplication family (X11 + LLM ops)
 # =====================================================================
@@ -365,6 +388,52 @@ def d12_minhash_lsh(spark, sf_dir):
     return dedup.near_dup_pairs_minhash(
         _ld(spark, sf_dir, "documents"), threshold=0.8
     )
+
+
+@_register(
+    "d12_dup_clusters",
+    oracle="WITH RECURSIVE "
+    + _minhash_cte().replace("WITH t AS", "t AS", 1)
+    + f""",
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b),
+    edges AS (SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE CAST(i.n_inter AS DOUBLE)
+                      / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.8),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+              UNION
+              SELECT s.dst AS v, r.lbl
+              FROM reach r JOIN sym s ON s.src = r.v),
+    lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+    FROM lab
+    """,
+    survey_ids=("X11",),
+)
+def d12_dup_clusters(spark, sf_dir):
+    """Transitive near-duplicate groups: connected components (min-label
+    propagation + pointer jumping, operators/components.py) over the
+    MinHash-LSH pair graph; canonical survivor = lowest doc_id. The
+    oracle replays the closure as a recursive CTE (reach = every label
+    a vertex can see; MIN per vertex = the component min)."""
+    from .operators.components import duplicate_clusters
+
+    return duplicate_clusters(_ld(spark, sf_dir, "documents"), threshold=0.8)
 
 
 @_register(

@@ -227,3 +227,20 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         spark.conf.set(key, prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bj)
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 must plan as: two pushed scans of (doc_id, text), ONE
+    shuffle (the one-row corpus-stats aggregate), the stats broadcast
+    back, and TakeOrderedAndProject for the top-k — no global sort, no
+    data-sized join."""
+    from echem_dft_etl_spark.operators.retrieval import bm25_topk
+
+    q = bm25_topk(
+        load_table(spark, SF_SMOKE, "documents"), ("spark", "merge"), 10
+    )
+    s = plans.plan_summary(q)
+    assert s["shuffle_exchanges"] == 1, s
+    assert s["sort_merge_joins"] == 0 and s["cartesian_products"] == 0, s
+    p = plans.physical_plan(q)
+    assert "TakeOrderedAndProject" in p, p

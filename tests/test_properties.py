@@ -301,3 +301,48 @@ def test_firstfit_packing_never_straddles(spark):
         by_shard.setdefault(r.shard, set()).add(r.seq_id)
     for shard, seqs in by_shard.items():
         assert seqs == set(range(len(seqs))), (shard, sorted(seqs))
+
+
+def test_connected_components_path_graph(spark):
+    """A 10-vertex path forces multi-round propagation (diameter 9);
+    pointer jumping must still converge and label everything 0.
+    Isolated vertices stay their own cluster."""
+    from echem_dft_etl_spark.operators.components import connected_components
+
+    verts = spark.range(13).selectExpr("id AS doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(10, 11)], "a long, b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(verts, edges).collect()
+    }
+    want = {(i, 0) for i in range(10)} | {(10, 10), (11, 10), (12, 12)}
+    assert got == want
+
+
+def test_duplicate_clusters_invariants(spark):
+    """Every near-dup pair lands in one cluster; cluster_id is the min
+    member; clusters partition the corpus; n_members is consistent."""
+    from echem_dft_etl_spark.operators.components import duplicate_clusters
+    from echem_dft_etl_spark.operators.dedup import near_dup_pairs_minhash
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = duplicate_clusters(docs).collect()
+    label = {r.doc_id: r.cluster_id for r in rows}
+    assert len(label) == docs.count()  # partition of the corpus
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, ms in members.items():
+        assert min(ms) == cid  # canonical = min member
+    sizes = {cid: len(ms) for cid, ms in members.items()}
+    for r in rows:
+        assert r.n_members == sizes[r.cluster_id]
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+    pairs = near_dup_pairs_minhash(docs, threshold=0.8).select("a", "b").collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert label[p.a] == label[p.b]  # edges never straddle clusters
