@@ -55,9 +55,16 @@ def connected_components(
     ``vertices``: one row per vertex id; ``edges``: undirected pairs
     (each pair listed once in either orientation).
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # Materialize the (symmetrized) edge set ONCE: every round joins it,
+    # and without the checkpoint each round would re-derive the edges'
+    # whole upstream lineage — for duplicate_clusters that is the full
+    # MinHash pipeline per iteration (measured: ~2s of the per-round
+    # cost at sf0.1; at 100 TB it would dominate everything).
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint()
+    )
 
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
@@ -71,23 +78,20 @@ def connected_components(
         )
         relaxed = (
             labels.join(nb_min, labels["v"] == nb_min["dst"], "left")
-            .select("v", F.least("lbl", "nb_lbl").alias("lbl"))
+            .select("v", F.col("lbl").alias("old_lbl"), F.least("lbl", "nb_lbl").alias("lbl"))
         )
         # Pointer jump: label(v) <- label(label(v)). Labels are always
         # live vertex ids, so the self-join total-resolves.
         m = relaxed.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
         jumped = (
             relaxed.join(m, relaxed["lbl"] == m["mv"])
-            .select("v", F.col("mlbl").alias("lbl"))
+            .select("v", "old_lbl", F.col("mlbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = jumped
+        # Convergence off the already-materialized round result — a
+        # cheap filter-count, not another join against the old labels.
+        changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = jumped.select("v", "lbl")
         if changed == 0:
             break
     else:

@@ -59,6 +59,46 @@ def sample_by_hash(df: DataFrame, key: str, n: int, seed: int) -> DataFrame:
     )
 
 
+def stratified_sample_by_hash(
+    df: DataFrame, strata: list[str], key: str, n_per_stratum: int, seed: int
+) -> DataFrame:
+    """Exact-n-per-group deterministic sample: within each stratum,
+    rank rows by (multiplicative hash, key) and keep the first n.
+
+    The training-data-mixing primitive (fixed per-source quotas drawn
+    reproducibly). Exact per-stratum counts need a total order within
+    each stratum, so this is one shuffle keyed on the strata columns —
+    with ``row_number`` each stratum is a single task, so the pattern
+    fits many-strata/modest-stratum-size corpora (source × language ×
+    quality-bin mixes). A giant stratum at 100 TB instead takes the
+    threshold form: sample hash quantiles, pick the per-stratum cutoff,
+    keep ``h < cutoff`` as a pushed filter — approximate n, zero
+    single-task bottleneck; the exact form here is the correctness
+    anchor the threshold form is tested against.
+    """
+    h = det_hash_i64(F.col(key), seed)
+    w = Window.partitionBy(*strata).orderBy("_h", key)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_h", "_rn")
+    )
+
+
+def split_assign(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by key hash —
+    a pure projection (the split survives any re-partitioning, re-run,
+    or engine change, unlike ``rand()``-based splits)."""
+    bucket = F.pmod(det_hash_i64(F.col(key), seed), F.lit(100))
+    return df.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def generate_slabs(bulks: DataFrame, facets: list[str]) -> DataFrame:
     """Q13/Q14: bulk × facet expansion with a variable number of slabs
     per pair and a 0-based within-group index.

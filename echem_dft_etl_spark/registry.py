@@ -513,6 +513,67 @@ def q11_det_sample(spark, sf_dir):
 
 
 @_register(
+    "q11_stratified_sample",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey
+    FROM (SELECT o_orderpriority, o_orderkey,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY {duckdb_det_hash_i64('o_orderkey', 11)}, o_orderkey
+                 ) AS rn
+          FROM orders)
+    WHERE rn <= 20
+    """,
+    survey_ids=("Q11", "X4"),
+)
+def q11_stratified_sample(spark, sf_dir):
+    """Exact-20-per-stratum deterministic sample of orders by priority
+    class — the training-data-mixing quota draw (pipeline.py::
+    stratified_sample_by_hash); reproducible in any engine via the
+    multiplicative key hash."""
+    o = _ld(spark, sf_dir, "orders")
+    from .pipeline import stratified_sample_by_hash
+
+    return stratified_sample_by_hash(
+        o.select("o_orderpriority", "o_orderkey"),
+        ["o_orderpriority"], "o_orderkey", 20, seed=11,
+    )
+
+
+@_register(
+    "q11_split_assign",
+    oracle=f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM (SELECT doc_id,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       {duckdb_det_hash_i64('doc_id', 7)} % 100 AS b
+                FROM documents))
+    GROUP BY split
+    """,
+    survey_ids=("Q11",),
+)
+def q11_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by key hash
+    (pipeline.py::split_assign) — summarized per split (count + id
+    checksum) so the whole assignment is value-checked."""
+    d = _ld(spark, sf_dir, "documents")
+    from .pipeline import split_assign
+
+    return (
+        split_assign(d.select("doc_id"), "doc_id", seed=7)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@_register(
     "q12_det_pick_one",
     oracle=f"""
     SELECT o_orderkey, o_custkey, o_orderstatus
