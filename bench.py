@@ -73,6 +73,9 @@ HEADLINE: tuple[str, ...] = (
     "d12_dup_clusters",
     # r2: ranked retrieval (BM25, lane-expression tf + one-row stats)
     "t13_bm25_topk",
+    # r2: eval decontamination + repetition quality gates
+    "d15_decontaminate",
+    "t13_repetition",
 )
 
 

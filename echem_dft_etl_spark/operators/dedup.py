@@ -319,6 +319,42 @@ def ngram_jaccard_pairs(
     return out.select("a", "b", "n_inter", "na", "nb", "jaccard")
 
 
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, shingle_n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word-``shingle_n``-gram with the evaluation set.
+
+    The standard eval-leakage guard in LLM data pipelines (the
+    "13-gram overlap" rule, scaled to this corpus's short documents).
+    Output: (doc_id, n_shared, is_contaminated) for every training
+    document — keep the ``~is_contaminated`` rows for training.
+
+    Scale shape: the eval side is benchmarks (thousands of documents),
+    so its distinct shingle set is BROADCAST; the training corpus
+    streams through a map-side hash join — no shuffle touches the
+    100 TB side except the per-doc count aggregation, and a count of
+    zero rows survives via the left join against the training ids
+    (docs too short to shingle are trivially clean).
+    """
+    train_sh = doc_shingles(train, shingle_n)
+    eval_sh = doc_shingles(eval_docs, shingle_n).select("shingle").distinct()
+    shared = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): SimHash over token hashes, no row explosion.
 

@@ -148,6 +148,39 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, max_dup_2gram_frac: float = 0.2) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family):
+    fraction of duplicate tokens / word-2-grams / word-3-grams per
+    document, plus the keep/drop flag at the given 2-gram threshold.
+
+    ``dup_frac_n = 1 − |distinct n-grams| / |n-grams|`` — exact integer
+    ratios from ``array_distinct``/``size``, all per-row expressions
+    (zero shuffles at any scale). Repetition is the single strongest
+    cheap predictor of boilerplate/spam in web-scale corpora; the
+    threshold flag mirrors how these rules gate training data.
+    """
+    toks = F.col("toks")
+
+    def dup_frac(arr):
+        return (
+            F.lit(1.0)
+            - F.size(F.array_distinct(arr)).cast("double")
+            / F.size(arr).cast("double")
+        )
+
+    g2, g3 = word_ngrams(toks, 2), word_ngrams(toks, 3)
+    out = _toked(docs).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.when(F.size(toks) > 0, dup_frac(toks)).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        F.when(F.size(g2) > 0, dup_frac(g2)).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+        F.when(F.size(g3) > 0, dup_frac(g3)).otherwise(F.lit(0.0)).alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "keep", F.col("dup_2gram_frac") <= F.lit(max_dup_2gram_frac)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive content fingerprint (LLM-pipeline op): a
     positional polynomial over token hashes,

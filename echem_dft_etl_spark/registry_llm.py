@@ -530,6 +530,76 @@ def d13_simhash_pairs(spark, sf_dir):
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@_register(
+    "t13_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+                 list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS g2,
+                 list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+          FROM t),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(toks) > 0 THEN CAST(1.0 AS DOUBLE)
+                      - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                   AS dup_token_frac,
+                 CASE WHEN len(g2) > 0 THEN CAST(1.0 AS DOUBLE)
+                      - CAST(len(list_distinct(g2)) AS DOUBLE)
+                        / CAST(len(g2) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                   AS dup_2gram_frac,
+                 CASE WHEN len(g3) > 0 THEN CAST(1.0 AS DOUBLE)
+                      - CAST(len(list_distinct(g3)) AS DOUBLE)
+                        / CAST(len(g3) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                   AS dup_3gram_frac
+          FROM g)
+    SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac, dup_3gram_frac,
+           dup_2gram_frac <= CAST(0.2 AS DOUBLE) AS keep
+    FROM s
+    """,
+    survey_ids=("X13",),
+)
+def t13_repetition(spark, sf_dir):
+    """Gopher-style repetition quality stats: duplicate token/2-gram/
+    3-gram fractions as exact per-row integer ratios, plus the keep
+    flag at the 0.2 duplicate-2-gram threshold.
+    operators/textstats.py::repetition_stats."""
+    return textstats.repetition_stats(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
+    "d15_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 3),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+          FROM t WHERE len(toks) >= 5),
+    ev AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM g WHERE doc_id % 97 <> 0),
+    shared AS (SELECT tr.doc_id, COUNT(*) AS n_shared
+               FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(s.n_shared, 0) > 0 AS is_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN shared s ON s.doc_id = d.doc_id
+    """,
+    survey_ids=("X11",),
+)
+def d15_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag training documents sharing any
+    word-5-gram with the (broadcast) benchmark slice — the eval-leakage
+    guard of LLM data pipelines. operators/dedup.py::decontaminate."""
+    docs = _ld(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(train, evals, shingle_n=5)
+
+
 # =====================================================================
 # Similarity search (X12 + LLM ops)
 # =====================================================================
