@@ -441,6 +441,37 @@ def x10_stream_static_join(spark, sf_dir):
     return run_to_memory(agg, spark, mode="complete")
 
 
+@_register(
+    "x10_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS left_id, p.event_id AS right_id,
+           c.user_id, c.ts AS left_ts, p.ts AS right_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    survey_ids=("X10", "X5"),
+)
+def x10_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (X10): clicks matched to the same
+    user's purchases within the following 30 minutes — bidirectional
+    join state bounded by watermark + join range. Inner-join emission
+    doesn't wait for the watermark, so the bounded replay equals the
+    batch interval join, which is the oracle.
+    streaming/windows.py::stream_interval_join."""
+    from .streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(stream_interval_join(ev), spark, mode="append")
+
+
 #: Dialect-portable SQL: the same text runs verbatim in Spark SQL and
 #: DuckDB — the third-party SQL entry surface (SURVEY §3 entry point 3).
 _PORTABLE_PRICING_SQL = """

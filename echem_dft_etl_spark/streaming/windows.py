@@ -160,3 +160,55 @@ def run_to_memory(
         except Exception as exc:  # StreamingQueryException and kin
             last_exc = exc
     raise last_exc
+
+
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: each ``left_type`` event
+    matched to the same user's ``right_type`` events in the following
+    ``within`` window.
+
+    THE canonical funnel/attribution join, and the streaming operator
+    with genuinely bidirectional state: each side buffers rows until
+    the other side's watermark passes the end of the join range, so the
+    time-range condition is what BOUNDS state — without it a
+    stream-stream join would buffer both streams forever. State per
+    side ≈ rate × (watermark + within), independent of stream length.
+
+    Both sides derive from one source here (filtered twice — two
+    independent readers of the same files); in production they'd be
+    separate topics. Inner-join emission does not wait for the
+    watermark (only state eviction and outer-join nulls do), so a
+    bounded availableNow replay emits exactly the batch interval-join
+    rows — which is the registered DuckDB oracle.
+    """
+    lt = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    rt = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    return lt.join(
+        rt,
+        F.expr(
+            f"user_id = r_user_id AND right_ts >= left_ts "
+            f"AND right_ts <= left_ts + interval {within}"
+        ),
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
