@@ -894,6 +894,46 @@ def x02_set_ops(spark, sf_dir):
 
 
 @_register(
+    "x03_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents_F
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("X3",),
+)
+def x03_pivot(spark, sf_dir):
+    """Pivot (X3): order counts spread across status columns, plus one
+    pivoted sum. Pivot values are ENUMERATED, not discovered — an
+    unspecified value list costs a full collect-distinct pass before
+    planning and makes the output schema data-dependent; Spark compiles
+    the enumerated form to one pass of conditional aggregates (same
+    plan as the oracle's FILTER clauses, no extra shuffle)."""
+    o = _ld(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_O"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("n_P"),
+        F.coalesce(F.col("F_cents"), F.lit(0)).cast("bigint").alias("cents_F"),
+    )
+
+
+@_register(
     "x03_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -147,6 +147,51 @@ def x14_grouped_fit_pandas(spark, sf_dir):
 
 
 @_register(
+    "x14_udaf_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MEDIAN(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("X14", "X6"),
+)
+def x14_udaf_median(spark, sf_dir):
+    """Custom aggregate via a GROUPED_AGG pandas UDF (X14) — the UDAF
+    quadrant of the UDF surface (scalar=q10 serializer, grouped-map=
+    x14_grouped_fit_pandas, map-iter=mm decode; this is the reduction).
+    Exact median of integer quantities: selection + one midpoint mean,
+    order-independent, so the Arrow-batched reduction is deterministic
+    and DuckDB's MEDIAN replays it exactly. Note the scale contract of
+    a grouped-agg UDF: the whole group materializes per call (fine for
+    bounded groups like the 3 return flags; unbounded groups belong in
+    partial-aggregable built-ins instead)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: under `from __future__ import annotations`
+    # the (Series) -> float hints are strings, so inference can't see
+    # the aggregating signature
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(v.median())
+
+    # grouped-agg UDFs can't mix with built-in aggregates in one agg,
+    # so the row count is a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    return li.groupBy("l_returnflag").agg(
+        median_udaf(F.col("q")).alias("median_qty"),
+        count_udaf(F.col("q")).alias("n"),
+    )
+
+
+@_register(
     "pipe_external_solver",
     oracle="""
     SELECT n.n_name || '_' || printf('%.1f', c.charge) AS run_id,
