@@ -11,14 +11,21 @@ a scale the bench never reaches" — the question PLANS.md's static
 shapes can't. Run it after touching dedup/similarity join shapes.
 
 Measured (K=4: 20k docs / 8k vectors, local[32], 24g heap):
-  d13_simhash_pairs     36.1M pairs   152.1s  (duplicated corpus ⇒
-                        near-dup density is extreme; output itself is
-                        quadratic in the copy count — cost tracks
-                        output, no OOM, no straggler)
-  s12_cosine_near_pairs 32.0M-pair grid 19.3s (vs 12.5M in ~1.2s at
-                        sf0.1 — kernel cost tracks the pair grid)
-  d14_ngram_jaccard     34.1k pairs    17.1s  (df cap bounds the
+  d13_simhash_pairs     36.1M pairs    18.8s  (was 152.1s before the
+                        first-agreeing-band filter replaced the
+                        distinct over the candidate stream — at this
+                        duplicate density the distinct re-shuffled
+                        36M+ pair rows; output itself is quadratic in
+                        the copy count — cost tracks output, no OOM)
+  s12_cosine_near_pairs 32.0M-pair grid 3.6s (kernel cost tracks the
+                        pair grid; 12.5M in ~1.2s at sf0.1)
+  d14_ngram_jaccard     34.1k pairs    11.1s  (df cap bounds the
                         posting-list blowup from 4x duplication)
+  d12_dup_clusters      20k labels     21.5s  (4x duplication fattens
+                        every component; pointer jumping still
+                        converges in 3 rounds, edge set checkpointed
+                        once)
+  t13_bm25_topk         top-25          4.9s  (two scans + 1-row agg)
 NOTE: with Spark's default 1g local heap the simhash join OOMs
 (GCLocker retries) — get_session now sets spark.driver.memory.
 """
@@ -77,6 +84,25 @@ def main() -> None:
         (
             f"d14_ngram_jaccard ({n_docs} docs, df-capped)",
             lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        ),
+        (
+            # K-fold duplication multiplies component sizes, not just
+            # counts — the probe checks rounds stay logarithmic and the
+            # per-round joins absorb the K2 edge growth
+            f"d12_dup_clusters ({n_docs} docs, pointer-jumping CC)",
+            lambda: __import__(
+                "echem_dft_etl_spark.operators.components",
+                fromlist=["duplicate_clusters"],
+            ).duplicate_clusters(docs, threshold=0.8),
+        ),
+        (
+            f"t13_bm25_topk ({n_docs} docs)",
+            lambda: __import__(
+                "echem_dft_etl_spark.operators.retrieval",
+                fromlist=["bm25_topk"],
+            ).bm25_topk(
+                docs, ("spark", "merge", "window", "vector", "stream"), 25
+            ),
         ),
     ]
     for label, build in runs:

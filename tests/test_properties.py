@@ -346,3 +346,46 @@ def test_duplicate_clusters_invariants(spark):
     assert len(pairs) > 0
     for p in pairs:
         assert label[p.a] == label[p.b]  # edges never straddle clusters
+
+
+def test_decontaminate_edges(spark):
+    """Short docs (< n tokens) are trivially clean; exact copies of an
+    eval doc are contaminated; disjoint text is clean."""
+    from echem_dft_etl_spark.operators.dedup import decontaminate
+
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),  # shares 5-grams
+            (2, "one two three four"),                        # too short
+            (3, "totally different words here now friend"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_shared, r.is_contaminated)
+           for r in decontaminate(train, evals, shingle_n=5).collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed duplicate fractions on crafted docs."""
+    from echem_dft_etl_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens 1 distinct; 3 bigrams 1 distinct
+            (2, "a b c d"),          # all distinct
+            (3, "a b a b a"),        # 5 toks 2 distinct; 4 bigrams 2 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].dup_token_frac == 0.75 and got[1].dup_2gram_frac == 1 - 1 / 3
+    assert got[2].dup_token_frac == 0.0 and got[2].keep is True
+    assert got[3].dup_token_frac == 1 - 2 / 5 and got[3].dup_2gram_frac == 0.5
+    assert got[1].keep is False
