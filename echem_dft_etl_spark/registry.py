@@ -111,11 +111,11 @@ PRIORITY: tuple[str, ...] = (
     "x10_stream_tumbling",
     "x10_stream_sessions",
     "x10_stream_stateful_profile",
-    "x10_stream_static_join",
+    "x10_stream_stream_join",
     # dedup (X11)
     "d11_dedup_exact",
     "d12_minhash_lsh",
-    "d13_simhash",
+    "d12_dup_clusters",
     "d13_simhash_pairs",
     "d14_ngram_jaccard",
     # similarity (X12)
