@@ -192,6 +192,36 @@ def x14_udaf_median(spark, sf_dir):
 
 
 @_register(
+    "x14_udtf_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(trim(regexp_replace(lower(text),
+                          '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n, unnest(range(0, n, 8)) AS start FROM s)
+    SELECT doc_id,
+           CAST(start // 8 AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, LEAST(start + 16, n)),
+                           ' ') AS chunk,
+           CAST(LEAST(16, n - start) AS INT) AS n_tokens
+    FROM c
+    """,
+    survey_ids=("X14", "X13"),
+)
+def x14_udtf_chunks(spark, sf_dir):
+    """Python UDTF surface (X14): overlapping token-window chunking
+    (16-token windows, stride 8 — the RAG/embedding chunk expansion)
+    registered as a table function and invoked through a SQL LATERAL
+    join. The expression form (explode(sequence) + slice) is the
+    100 TB fast path and is asserted row-identical in tests.
+    operators/chunking.py."""
+    from .operators.chunking import chunk_documents_udtf
+
+    return chunk_documents_udtf(spark, _ld(spark, sf_dir, "documents"))
+
+
+@_register(
     "pipe_external_solver",
     oracle="""
     SELECT n.n_name || '_' || printf('%.1f', c.charge) AS run_id,

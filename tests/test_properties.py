@@ -389,3 +389,19 @@ def test_repetition_stats_known_values(spark):
     assert got[2].dup_token_frac == 0.0 and got[2].keep is True
     assert got[3].dup_token_frac == 1 - 2 / 5 and got[3].dup_2gram_frac == 0.5
     assert got[1].keep is False
+
+
+def test_chunking_udtf_equals_expression_form(spark):
+    """The Python UDTF and the explode(sequence)+slice expression form
+    must produce identical chunk rows."""
+    from echem_dft_etl_spark.operators.chunking import (
+        chunk_documents_expr,
+        chunk_documents_udtf,
+    )
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, chunk_documents_udtf(spark, docs).collect()))
+    b = sorted(map(tuple, chunk_documents_expr(docs).collect()))
+    assert a == b and len(a) > 500
