@@ -29,8 +29,15 @@ CHUNK_S = 8
 def _py_tokens(text: str) -> list[str]:
     """Python replica of ``functions.text.tokens`` (lower → collapse
     whitespace → trim → split → drop empties) — the cross-engine token
-    contract, used inside the UDTF where JVM expressions can't reach."""
-    norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    contract, used inside the UDTF where JVM expressions can't reach.
+
+    The whitespace class is spelled out because Python's ``\\s`` is
+    Unicode-aware (matches U+00A0, U+3000, …) while Java's and RE2's
+    default ``\\s`` — the engines the contract is defined against — are
+    ASCII-only."""
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower()).strip(
+        " \t\n\x0b\f\r"
+    )
     return [t for t in norm.split(" ") if t]
 
 

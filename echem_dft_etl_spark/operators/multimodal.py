@@ -339,9 +339,19 @@ def resize_bmp_batch(df: DataFrame, factor: int = 2) -> DataFrame:
                     continue
                 (pix_offset,) = struct.unpack_from("<I", payload, 10)
                 w, h = struct.unpack_from("<ii", payload, 18)
-                grid = np.frombuffer(
-                    payload, dtype=np.uint8, count=w * h * 3, offset=pix_offset
-                ).reshape(h, w, 3)
+                h = abs(h)  # negative height = top-down row order
+                # standards-correct stride: BMP rows pad to 4 bytes; a
+                # truncated/corrupt payload is skipped, not crashed on
+                # (a real corpus always contains some)
+                stride = (w * 3 + 3) // 4 * 4
+                if w <= 0 or h <= 0 or pix_offset < 54 or len(
+                    payload
+                ) < pix_offset + h * stride:
+                    continue
+                rows_bytes = np.frombuffer(
+                    payload, dtype=np.uint8, count=h * stride, offset=pix_offset
+                ).reshape(h, stride)
+                grid = rows_bytes[:, : w * 3].reshape(h, w, 3)
                 small = grid[::factor, ::factor, :]
                 rows["doc_id"].append(doc_id)
                 rows["old_w"].append(w)

@@ -65,6 +65,8 @@ def bm25_topk(
     matched-term occurrences, and the BM25 score in integer micro-units,
     ordered by (score_micro desc, doc_id).
     """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     c = _consts(k1, b)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     # tf via size-difference against array_remove: native collection
@@ -130,9 +132,13 @@ def bm25_oracle_sql(
     """The DuckDB replay of :func:`bm25_topk` — same constants (via
     repr), same fold order, same quantization. ``toks_sql`` is the
     engine-wide token-list SQL fragment over ``text``."""
+    if not terms:
+        raise ValueError("bm25_oracle_sql needs at least one query term")
     c = _consts(k1, b)
     tf_lanes = ", ".join(
-        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        # single quotes doubled: terms are spliced into SQL literals
+        f"CAST(len(list_filter(toks, x -> x = '{t.replace(chr(39), chr(39) * 2)}'))"
+        f" AS BIGINT) AS tf_{i}"
         for i, t in enumerate(terms)
     )
     df_aggs = ", ".join(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions.text import DUCKDB_TOKENS
 from .operators import multimodal, pipe, udfs
 from .registry import _register, _ld
 
@@ -193,10 +194,8 @@ def x14_udaf_median(spark, sf_dir):
 
 @_register(
     "x14_udtf_chunks",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split(trim(regexp_replace(lower(text),
-                          '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCKDB_TOKENS.format(col='text')} AS toks
                FROM documents),
     s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
     c AS (SELECT doc_id, toks, n, unnest(range(0, n, 8)) AS start FROM s)
@@ -261,9 +260,11 @@ def _mm_resize_checksum_sql() -> str:
     j = f"((t % {nw3}) // 3)"
     c = "(t % 3)"
     src = f"((({i} * 2 * w + {j} * 2) * 3 + {c}) % L)"
+    # COALESCE: an empty text (L = 0) makes `% L` NULL-out every element
+    # while the Python side zero-fills — the checksum of a zero fill is 0
     return (
-        f"list_sum(list_transform(range(0, (h // 2) * (w // 2) * 3), "
-        f"t -> ('0x' || substr(hx, {src} * 2 + 1, 2))::BIGINT))"
+        f"COALESCE(list_sum(list_transform(range(0, (h // 2) * (w // 2) * 3), "
+        f"t -> ('0x' || substr(hx, {src} * 2 + 1, 2))::BIGINT)), 0)"
     )
 
 

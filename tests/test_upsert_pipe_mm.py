@@ -115,3 +115,40 @@ def test_multimodal_payload_prunable(spark):
     narrow = multimodal.attach_binary_payload(docs).select("doc_id", "meta.width")
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("ReadSchema:")[-1][:200]
+
+
+def test_resize_handles_corrupt_and_padded_bmp(spark):
+    """A truncated header-lies payload must be skipped (not crash the
+    task), and a width whose row needs BMP 4-byte padding must resize
+    on the padded stride, not the naive w*3."""
+    from echem_dft_etl_spark.operators.multimodal import (
+        bmp_bytes,
+        resize_bmp_batch,
+    )
+
+    # w=6 -> row stride 20 (18 pixel bytes + 2 pad); build by hand
+    import struct as _s
+
+    w, h = 6, 4
+    stride = (w * 3 + 3) // 4 * 4
+    pix = bytes(range(1, 1 + w * 3)) + b"\xee\xee"  # one padded row
+    rows = pix * h
+    padded = (
+        _s.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+    truncated = bmp_bytes(8, 8, b"abc")[:100]  # header claims 8x8, bytes cut
+    df = spark.createDataFrame(
+        [(1, padded), (2, truncated), (3, b"junk")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in resize_bmp_batch(df, factor=2).collect()}
+    assert set(got) == {1}  # corrupt payloads skipped, no crash
+    r = got[1]
+    assert (r.old_w, r.old_h, r.new_w, r.new_h) == (6, 4, 3, 2)
+    # resized pixels: rows 0,2 cols 0,2,4 of the UNPADDED 18-byte rows —
+    # pad bytes (0xee) must not leak into the checksum
+    row_px = list(range(1, 19))
+    want = sum(row_px[c * 3 + k] for c in (0, 2, 4) for k in range(3)) * 2
+    assert r.pixel_checksum == want, (r.pixel_checksum, want)
