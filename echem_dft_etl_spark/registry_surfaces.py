@@ -390,15 +390,48 @@ def x10_stream_sliding(spark, sf_dir):
 
 @_register(
     "x10_stream_sessions",
-    oracle=None,  # tail-session emission under watermark is engine-defined
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM tagged GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(session_start AS TIMESTAMP) AS session_start,
+           CAST(session_end AS TIMESTAMP) AS session_end,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM sess
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+    """,
     survey_ids=("X10",),
 )
 def x10_stream_sessions(spark, sf_dir):
     """Streaming session windows (native session_window + watermark,
-    append mode). Sessions not closed by the final watermark are
-    withheld by definition, so this is rows-only at the driver; the
-    batch equivalence (emitted ⊆ batch sessions, exact match below the
-    watermark) is asserted in tests/test_streaming.py."""
+    append mode). Append emits exactly the sessions the final watermark
+    closed, so the oracle IS the batch sessionization filtered to
+    sessions ending at or below max(ts) − watermark — upgrading this
+    from a rows-only check to full value parity (the equality is also
+    asserted engine-side in tests/test_streaming.py). Caveat pinned by
+    that test: an event exactly on a session's gap boundary could
+    diverge between session_window (strict <) and the batch lag-gap
+    form (<=); no such tie exists in the deterministic corpus."""
     from .streaming.windows import read_events_stream, run_to_memory, session_windows
 
     stream = session_windows(read_events_stream(spark, sf_dir), "30 minutes", "2 hours")
