@@ -52,5 +52,9 @@ def test_previously_unchecked_surfaces_in_window():
         "x03_time_rollup",
         "x14_grouped_fit_pandas",
         "d01_nested_sites",
+        # r2 promotions: the transitive dedup clusters and the
+        # value-checked stream-stream interval join
+        "d12_dup_clusters",
+        "x10_stream_stream_join",
     ):
         assert required in window, f"{required} outside driver window"
