@@ -41,6 +41,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of RDDs currently pinned in executor storage."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def _tracked_checkpoint(df: DataFrame, owned_ids: list) -> DataFrame:
+    """``localCheckpoint`` that records the storage it pinned.
+
+    A checkpointed frame's blocks stay in executor storage for the
+    SESSION lifetime — ``DataFrame.unpersist`` does not touch them
+    (it clears plan-cache entries, not the checkpoint RDD). The only
+    handle is the persistent-RDD registry, so the ids created by this
+    checkpoint are captured for later release via :func:`_release_rdds`.
+    Without this, every CC round of every call leaks blocks in
+    long-lived sessions (the driver's bench runs the whole registry in
+    one JVM — measured as suite-wide storage/GC slowdown).
+    """
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    ck = df.localCheckpoint()
+    owned_ids.extend(_persistent_rdd_ids(spark) - before)
+    return ck
+
+
+def _release_rdds(spark, ids) -> None:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            r.unpersist(False)
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -48,28 +84,46 @@ def connected_components(
     src_col: str = "a",
     dst_col: str = "b",
     max_rounds: int = 20,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """(id, cluster_id): cluster_id = min vertex id reachable in the
     undirected graph. Vertices with no edges are their own cluster.
 
     ``vertices``: one row per vertex id; ``edges``: undirected pairs
     (each pair listed once in either orientation).
+
+    When ``round_stats`` is a list, one dict per executed round is
+    appended — ``{"round", "changed", "n_labels"}`` — so harnesses
+    (scripts/scale_probe.py) can record convergence shape and per-round
+    label-frame size without re-running the loop. The extra
+    distinct-label count only runs when stats are requested.
     """
     # Materialize the (symmetrized) edge set ONCE: every round joins it,
     # and without the checkpoint each round would re-derive the edges'
     # whole upstream lineage — for duplicate_clusters that is the full
     # MinHash pipeline per iteration (measured: ~2s of the per-round
     # cost at sf0.1; at 100 TB it would dominate everything).
-    sym = (
+    spark = vertices.sparkSession
+    # Storage discipline: every checkpoint's pinned blocks are released
+    # as soon as they are superseded (previous round) or on exit (edge
+    # set); only the FINAL labels checkpoint — which the returned frame
+    # reads — stays pinned. All checkpoints here are materialized
+    # eagerly, so releasing predecessors never recomputes lineage.
+    sym_ids: list = []
+    sym = _tracked_checkpoint(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .localCheckpoint()
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        ),
+        sym_ids,
     )
 
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
-    for _ in range(max_rounds):
+    prev_ids: list = []
+    labels = _tracked_checkpoint(
+        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl")),
+        prev_ids,
+    )
+    for round_no in range(max_rounds):
         # 1-hop: min neighbor label, one shuffle keyed on dst.
         nb_min = (
             sym.join(labels, sym["src"] == labels["v"])
@@ -83,23 +137,39 @@ def connected_components(
         # Pointer jump: label(v) <- label(label(v)). Labels are always
         # live vertex ids, so the self-join total-resolves.
         m = relaxed.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
-        jumped = (
-            relaxed.join(m, relaxed["lbl"] == m["mv"])
-            .select("v", "old_lbl", F.col("mlbl").alias("lbl"))
-            .localCheckpoint()
+        round_ids: list = []
+        jumped = _tracked_checkpoint(
+            relaxed.join(m, relaxed["lbl"] == m["mv"]).select(
+                "v", "old_lbl", F.col("mlbl").alias("lbl")
+            ),
+            round_ids,
         )
         # Convergence off the already-materialized round result — a
         # cheap filter-count, not another join against the old labels.
         changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
+        # this round is materialized; the previous round's blocks are dead
+        _release_rdds(spark, prev_ids)
+        prev_ids = round_ids
         labels = jumped.select("v", "lbl")
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "round": round_no,
+                    "changed": changed,
+                    "n_labels": labels.select("lbl").distinct().count(),
+                }
+            )
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    _release_rdds(spark, sym_ids)
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
-def duplicate_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def duplicate_clusters(
+    docs: DataFrame, threshold: float = 0.8, round_stats: list | None = None
+) -> DataFrame:
     """(doc_id, cluster_id, is_canonical, n_members): transitive
     near-duplicate groups from the MinHash-LSH pair graph, canonical
     survivor = lowest doc_id per group (the engine-wide first-wins
@@ -109,7 +179,7 @@ def duplicate_clusters(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
     pairs = near_dup_pairs_minhash(docs, threshold=threshold)
     labels = connected_components(
-        docs.select("doc_id"), pairs.select("a", "b")
+        docs.select("doc_id"), pairs.select("a", "b"), round_stats=round_stats
     )
     w = F.count("*").over(Window.partitionBy("cluster_id"))
     return labels.select(

@@ -363,3 +363,66 @@ def resize_bmp_batch(df: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def materialize_bmp_files(spark, sf_dir: str, docs: DataFrame) -> str:
+    """Build the on-disk BMP fixture once per corpus: one ``doc_<id>.bmp``
+    file per document (the reference's one-POSCAR-per-material sink
+    shape, my_dag.py:40-44), so the decode pipeline can exercise the
+    real ``binaryFile`` SOURCE instead of building payloads in-engine.
+
+    Files are written from the executors (Arrow-batched mapInPandas —
+    no driver collect) into a staging dir, then promoted atomically via
+    rename; a ``_SUCCESS`` marker gates reuse across sessions. In local
+    mode executors share the filesystem; on a cluster the same code
+    targets shared storage.
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.gettempdir()) / f"echem_bmp_files_{Path(sf_dir).name}"
+    if (base / "_SUCCESS").exists():
+        return str(base)
+    if base.exists():  # crashed prior build: discard and rebuild
+        shutil.rmtree(base, ignore_errors=True)
+    staging = Path(tempfile.mkdtemp(prefix="echem_bmp_staging_"))
+    payloads = build_bmp_payload(docs)
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with open(staging / f"doc_{int(did)}.bmp", "wb") as f:
+                    f.write(payload)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    payloads.mapInPandas(write_files, "n bigint").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    try:
+        os.rename(staging, base)
+        (base / "_SUCCESS").touch()
+    except OSError:  # concurrent builder promoted first
+        shutil.rmtree(staging, ignore_errors=True)
+    return str(base)
+
+
+def read_bmp_files(spark, path: str) -> DataFrame:
+    """The ``binaryFile`` source (SURVEY §2.1 S1/S2 mapping): one row
+    per file with (path, modificationTime, length, content); the doc id
+    is recovered from the file name and the raw bytes become the opaque
+    payload column every downstream decode stage consumes. The format
+    supports partition-parallel listing and predicate pushdown on the
+    metadata columns (e.g. ``length <`` caps decode input size)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bmp$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )

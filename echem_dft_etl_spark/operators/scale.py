@@ -154,3 +154,47 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables on the bucket key — exchange-free."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def grouped_percentiles_with_guard(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    exact_max_group_rows: int = 2_000_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """X6 authoring guard: exact ``percentile`` while the largest group
+    fits comfortably in one aggregation buffer, ``approx_percentile``
+    (Greenwald-Khanna sketch, bounded state) beyond it.
+
+    Exact interpolated percentiles buffer EVERY group value in the
+    aggregate state — the one X6 shape that pressures executor memory
+    when a single group grows past ~millions of rows (SCALE.md). The
+    sketch form caps state at O(accuracy·log n) per group regardless of
+    group size, at a rank-error ≤ 1/accuracy.
+
+    The switch is a pre-flight partial-aggregated group-size probe —
+    ONE map-side-combined count whose single result row crosses to the
+    driver (same class of driver action as the convergence count in
+    ``components.connected_components``; this helper is explicitly
+    eager by design, like every authoring-time decision). Output
+    columns: the group columns plus ``p_<percent>`` per quantile, same
+    names on either path so downstream code is agnostic to which was
+    chosen.
+    """
+    largest = (
+        df.groupBy(*group_cols).count().agg(F.max("count")).first()[0] or 0
+    )
+    v = F.col(value_col)
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    if largest <= exact_max_group_rows:
+        arr = F.percentile(v, qs)
+    else:
+        arr = F.percentile_approx(v, qs, F.lit(accuracy))
+    names = [f"p_{str(q).replace('0.', '').ljust(2, '0')}" for q in quantiles]
+    agg = df.groupBy(*group_cols).agg(arr.alias("_qarr"))
+    return agg.select(
+        *group_cols,
+        *[F.col("_qarr")[i].cast("double").alias(n) for i, n in enumerate(names)],
+    )

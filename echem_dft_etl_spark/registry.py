@@ -87,9 +87,10 @@ PRIORITY: tuple[str, ...] = (
     "q14_group_index",
     "q16_upsert_first_wins",
     "q17_multi_join",
-    "q18_grouped_collect",
     "q21_pricing_summary",
-    "pipeline_reference_e2e",
+    # S1/S4 value-checked read-back (the e2e composition of the same
+    # sinks stays registered behind the window, rows-only)
+    "s01_sink_roundtrip",
     "pipe_external_solver",
     "d01_nested_sites",
     # relational extensions (X1-X9)
@@ -121,6 +122,7 @@ PRIORITY: tuple[str, ...] = (
     # similarity (X12)
     "s12_cosine_topk",
     "s12_cosine_near_pairs",
+    "s12_near_pairs_pruned",
     "s12_ann_lsh_multiprobe",
     "s12_ivf_topk",
     "s12_kmeans_refine",

@@ -674,6 +674,30 @@ def s12_cosine_near_pairs(spark, sf_dir):
     )
 
 
+@_register(
+    "s12_near_pairs_pruned",
+    oracle=f"""
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           {_cosine_sql('x.embedding', 'y.embedding')} AS cosine
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= 0.85
+    """,
+    survey_ids=("X12",),
+)
+def s12_near_pairs_pruned(spark, sf_dir):
+    """Candidate-PRUNED near-pairs at the selective near-duplicate
+    threshold (cos ≥ 0.85): banded sign-bit LSH candidates +
+    exact-cosine verify — linear-ish in corpus size, unlike the exact
+    quadratic contract of s12_cosine_near_pairs. The oracle is the
+    EXACT all-pairs SQL: a green row certifies the pruned plan loses
+    nothing at this threshold on this corpus; completeness on planted
+    near-duplicates is asserted against the exact blocked form in
+    tests/test_properties.py. operators/similarity.py::lsh_near_pairs."""
+    return similarity.lsh_near_pairs(
+        _ld(spark, sf_dir, "embeddings"), threshold=0.85
+    )
+
+
 def _hp_sql(j: int, i_expr: str) -> str:
     """Hyperplane component h[j][i] — mirrors similarity.hyperplane_component."""
     return (

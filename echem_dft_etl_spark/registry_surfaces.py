@@ -322,16 +322,21 @@ def mm_resize_bmp(spark, sf_dir):
     survey_ids=("X14",),
 )
 def mm_decode_features(spark, sf_dir):
-    """Multimodal image decode, end-to-end on REAL bytes: build_bmp
-    encodes each document as a valid 24-bpp BMP (struct.pack, Arrow-
-    batched), decode_batch parses the actual BITMAPFILEHEADER /
-    BITMAPINFOHEADER back (magic, pixel offset, dimensions) and
-    byte-sums the leading pixels — nothing is read from metadata. The
-    oracle re-derives every header field and the pixel byte-sum from
-    first principles (hex-string byte extraction keeps it byte-exact
-    for non-ASCII text too). operators/multimodal.py."""
+    """Multimodal image decode, end-to-end on REAL bytes AND a real
+    file-format source: each document is encoded once as a valid
+    24-bpp BMP FILE on disk (one file per doc — the reference's
+    one-POSCAR-per-material sink shape, my_dag.py:40-44), the corpus is
+    scanned back through ``spark.read.format("binaryFile")`` (SURVEY
+    §2.1's named ingestion source), and decode_batch parses the actual
+    BITMAPFILEHEADER / BITMAPINFOHEADER from the scanned bytes (magic,
+    pixel offset, dimensions) and byte-sums the leading pixels —
+    nothing is read from metadata. The oracle re-derives every header
+    field and the pixel byte-sum from first principles (hex-string
+    byte extraction keeps it byte-exact for non-ASCII text too).
+    operators/multimodal.py."""
     docs = _ld(spark, sf_dir, "documents")
-    return multimodal.decode_batch(multimodal.build_bmp_payload(docs))
+    files_dir = multimodal.materialize_bmp_files(spark, sf_dir, docs)
+    return multimodal.decode_batch(multimodal.read_bmp_files(spark, files_dir))
 
 
 # =====================================================================
@@ -878,3 +883,78 @@ def sql_correlated_subquery(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+@_register(
+    "s01_sink_roundtrip",
+    oracle="""
+    SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+           COUNT(*) AS n_rows,
+           SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS bal_cents,
+           CAST(2 AS BIGINT) AS report_lines,
+           COUNT(*) AS reported_rows
+    FROM supplier GROUP BY 1
+    """,
+    survey_ids=("S1", "S4"),
+)
+def s01_sink_roundtrip(spark, sf_dir):
+    """Value-checked sink round-trip for the partitioned file sink (S1,
+    my_dag.py:40-44,93-99) and the append-only report sink (S4,
+    my_dag.py:240-243).
+
+    The query WRITES, then READS ITS OWN SINKS BACK — nothing in the
+    returned frame comes from the input directly, so a green oracle row
+    proves both sinks end-to-end:
+
+    - S1: supplier is written ``partitionBy(s_nationkey)`` to a fresh
+      temp dir and re-read; ``n_rows``/``bal_cents`` aggregate the
+      read-back frame (partition values round-trip through directory
+      names, hence the INTEGER cast in the oracle).
+    - S4: one report line per partition key is appended TWICE (two
+      append-mode text writes, the reference's repeated-run shape);
+      the report is re-read and parsed with regexp_extract —
+      ``report_lines`` counts the appends per key (= 2) and
+      ``reported_rows`` recovers the row count embedded in the line.
+
+    The full-pipeline composition of the same sinks stays registered as
+    ``pipeline_reference_e2e`` (rows-only, behind the driver window).
+    """
+    import tempfile
+
+    from .sources import sinks
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    out = tempfile.mkdtemp(prefix="echem_sink_roundtrip_")
+    table_path = f"{out}/suppliers"
+    report_path = f"{out}/report"
+    sinks.write_partitioned(sup, table_path, ["s_nationkey"])
+
+    back = spark.read.parquet(table_path)
+    per_key = back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
+    )
+
+    line = F.format_string("nation=%s rows=%s", "s_nationkey", "n_rows")
+    report_lines = per_key.select(line.alias("value"))
+    for _ in range(2):  # the reference appends one line per run
+        report_lines.coalesce(1).write.mode("append").text(report_path)
+
+    parsed = spark.read.text(report_path).select(
+        F.regexp_extract("value", r"nation=(\d+) rows=(\d+)", 1)
+        .cast("int")
+        .alias("s_nationkey"),
+        F.regexp_extract("value", r"nation=(\d+) rows=(\d+)", 2)
+        .cast("bigint")
+        .alias("rows_in_line"),
+    )
+    rep = parsed.groupBy("s_nationkey").agg(
+        F.count("*").alias("report_lines"),
+        F.max("rows_in_line").alias("reported_rows"),
+    )
+    return per_key.join(rep, "s_nationkey").select(
+        "s_nationkey", "n_rows", "bal_cents", "report_lines", "reported_rows"
+    )

@@ -21,7 +21,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: The driver-generated corpus (TESTDATA.md): TPC-H-ish star schema plus
 #: event-stream / document / embedding tables.
@@ -116,11 +116,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # Parquet TIMESTAMP(NANOS) arrives as int64 nanos (see
-        # session.py nanosAsLong); truncate to microseconds exactly as
-        # microsecond-native readers (DuckDB, Spark's own µs type) do.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Parquet TIMESTAMP(NANOS) arrives as int64 nanos (see
+            # session.py nanosAsLong); truncate to microseconds exactly
+            # as microsecond-native readers (DuckDB, Spark µs) do.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Parquet TIMESTAMP(µs, no tz) arrives as TIMESTAMP_NTZ.
+            # Normalize to the session type (UTC-pinned, so the wall
+            # clock is unchanged): watermarks/event-time ops accept only
+            # TIMESTAMP, and it keeps one ts type across corpus vintages
+            # (the fixture generator has shipped both encodings).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -51,8 +51,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .parquet(_as_stream_dir(sf_dir))
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(stream.dtypes)["ts"]
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # watermarks accept only TIMESTAMP; UTC session tz keeps the
+        # wall clock identical (same normalization as sources.load_table)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -69,6 +69,7 @@ def main() -> None:
     n_docs, n_emb = docs.count(), emb.count()
     print(f"scaled corpus: {n_docs} docs, {n_emb} embeddings (K={k})")
 
+    cc_stats: list = []
     runs = [
         (
             f"d13_simhash_pairs ({n_docs} docs)",
@@ -88,12 +89,13 @@ def main() -> None:
         (
             # K-fold duplication multiplies component sizes, not just
             # counts — the probe checks rounds stay logarithmic and the
-            # per-round joins absorb the K2 edge growth
+            # per-round joins absorb the K2 edge growth; cc_stats below
+            # records per-round (changed, n_labels) frame sizes
             f"d12_dup_clusters ({n_docs} docs, pointer-jumping CC)",
             lambda: __import__(
                 "echem_dft_etl_spark.operators.components",
                 fromlist=["duplicate_clusters"],
-            ).duplicate_clusters(docs, threshold=0.8),
+            ).duplicate_clusters(docs, threshold=0.8, round_stats=cc_stats),
         ),
         (
             f"t13_bm25_topk ({n_docs} docs)",
@@ -109,6 +111,8 @@ def main() -> None:
         t0 = time.perf_counter()
         n = build().count()
         print(f"{label}: {n} pairs in {time.perf_counter() - t0:.1f}s")
+    if cc_stats:
+        print(f"d12_dup_clusters per-round label frames: {cc_stats}")
 
 
 if __name__ == "__main__":

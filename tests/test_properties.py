@@ -405,3 +405,42 @@ def test_chunking_udtf_equals_expression_form(spark):
     a = sorted(map(tuple, chunk_documents_udtf(spark, docs).collect()))
     b = sorted(map(tuple, chunk_documents_expr(docs).collect()))
     assert a == b and len(a) > 500
+
+
+def test_lsh_near_pairs_complete_on_planted_duplicates(spark):
+    """Recall property for the pruned near-pairs path: on a corpus of
+    isotropic vectors with PLANTED near-duplicates (clone + small
+    deterministic perturbation, cosine ≈ 0.95), the LSH-candidate +
+    exact-verify plan must return EXACTLY the exact blocked form's
+    pairs, with bit-identical cosines. Everything here is
+    deterministic (fixed integer-derived vectors, deterministic
+    hyperplanes), so this is a frozen recall=1 certificate for the
+    registered threshold, not a flaky statistical assertion."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        lsh_near_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 64))
+    planted = []
+    for i in range(20):  # clone vector i with a small perturbation
+        planted.append(base[i] + 0.15 * rng.standard_normal(64))
+    vecs = np.vstack([base, np.array(planted)])
+    rows = [
+        (int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    exact = {
+        (r.a, r.b): r.cosine
+        for r in cosine_near_pairs(emb, threshold=0.85).collect()
+    }
+    pruned = {
+        (r.a, r.b): r.cosine
+        for r in lsh_near_pairs(emb, threshold=0.85).collect()
+    }
+    assert len(exact) >= 15, f"fixture planted too few pairs: {len(exact)}"
+    assert pruned == exact

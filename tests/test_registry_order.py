@@ -34,6 +34,27 @@ def test_first_window_covers_every_survey_id():
     )
 
 
+#: Canonical SURVEY §2 ids (S5 is out of scope per §2.1). The window
+#: must keep ≥ 1 query claiming each — this is the guard that fails if
+#: a future registration change evicts an id's LAST in-window query
+#: (the union test below cannot catch the case where the id's only
+#: claimants were all inside the window).
+CANONICAL_SURVEY_IDS = frozenset(
+    [f"Q{i}" for i in range(1, 23)]
+    + ["S1", "S2", "S3", "S4"]
+    + [f"X{i}" for i in range(1, 15)]
+)
+
+
+def test_window_retains_every_canonical_survey_id():
+    specs = _ordered_specs()
+    window_ids = {i for s in specs[:DRIVER_WINDOW] for i in s.survey_ids}
+    missing = CANONICAL_SURVEY_IDS - window_ids
+    assert not missing, (
+        f"SURVEY ids with no query left in the driver window: {sorted(missing)}"
+    )
+
+
 def test_previously_unchecked_surfaces_in_window():
     """The five SURVEY ids flagged by VERDICT r1 (Q10, S1, S2, S4, X10)
     must have their primary queries inside the window."""
@@ -41,7 +62,10 @@ def test_previously_unchecked_surfaces_in_window():
     window = {s.name for s in specs[:DRIVER_WINDOW]}
     for required in (
         "q10_serializer_expr",
-        "pipeline_reference_e2e",
+        # r3: S1/S4 value-checked read-back replaces the rows-only e2e
+        # slot; the pruned near-pairs variant is the VERDICT r2 ask
+        "s01_sink_roundtrip",
+        "s12_near_pairs_pruned",
         "pipe_external_solver",
         "x10_stream_tumbling",
         "x10_stream_sessions",
