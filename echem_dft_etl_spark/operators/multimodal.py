@@ -365,11 +365,14 @@ def resize_bmp_batch(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.mapInPandas(gen, RESIZE_SCHEMA)
 
 
-def materialize_bmp_files(spark, sf_dir: str, docs: DataFrame) -> str:
-    """Build the on-disk BMP fixture once per corpus: one ``doc_<id>.bmp``
-    file per document (the reference's one-POSCAR-per-material sink
-    shape, my_dag.py:40-44), so the decode pipeline can exercise the
-    real ``binaryFile`` SOURCE instead of building payloads in-engine.
+def _materialize_payload_files(
+    sf_dir: str, payloads: DataFrame, suffix: str
+) -> str:
+    """Build an on-disk payload fixture once per (corpus, format): one
+    ``doc_<id>.<suffix>`` file per document (the reference's
+    one-POSCAR-per-material sink shape, my_dag.py:40-44), so decode
+    pipelines can exercise the real ``binaryFile`` SOURCE instead of
+    building payloads in-engine.
 
     Files are written from the executors (Arrow-batched mapInPandas —
     no driver collect) into a staging dir, then promoted atomically via
@@ -382,18 +385,19 @@ def materialize_bmp_files(spark, sf_dir: str, docs: DataFrame) -> str:
     import tempfile
     from pathlib import Path
 
-    base = Path(tempfile.gettempdir()) / f"echem_bmp_files_{Path(sf_dir).name}"
+    base = Path(tempfile.gettempdir()) / (
+        f"echem_{suffix}_files_{Path(sf_dir).name}"
+    )
     if (base / "_SUCCESS").exists():
         return str(base)
     if base.exists():  # crashed prior build: discard and rebuild
         shutil.rmtree(base, ignore_errors=True)
-    staging = Path(tempfile.mkdtemp(prefix="echem_bmp_staging_"))
-    payloads = build_bmp_payload(docs)
+    staging = Path(tempfile.mkdtemp(prefix=f"echem_{suffix}_staging_"))
 
     def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with open(staging / f"doc_{int(did)}.bmp", "wb") as f:
+                with open(staging / f"doc_{int(did)}.{suffix}", "wb") as f:
                     f.write(payload)
             yield pd.DataFrame({"n": [len(pdf)]})
 
@@ -408,7 +412,17 @@ def materialize_bmp_files(spark, sf_dir: str, docs: DataFrame) -> str:
     return str(base)
 
 
-def read_bmp_files(spark, path: str) -> DataFrame:
+def materialize_bmp_files(spark, sf_dir: str, docs: DataFrame) -> str:
+    """On-disk BMP fixture (see :func:`_materialize_payload_files`)."""
+    return _materialize_payload_files(sf_dir, build_bmp_payload(docs), "bmp")
+
+
+def materialize_wav_files(spark, sf_dir: str, docs: DataFrame) -> str:
+    """On-disk WAV fixture (see :func:`_materialize_payload_files`)."""
+    return _materialize_payload_files(sf_dir, build_wav_payload(docs), "wav")
+
+
+def read_payload_files(spark, path: str, suffix: str) -> DataFrame:
     """The ``binaryFile`` source (SURVEY §2.1 S1/S2 mapping): one row
     per file with (path, modificationTime, length, content); the doc id
     is recovered from the file name and the raw bytes become the opaque
@@ -417,12 +431,17 @@ def read_bmp_files(spark, path: str) -> DataFrame:
     metadata columns (e.g. ``length <`` caps decode input size)."""
     return (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bmp")
+        .option("pathGlobFilter", f"*.{suffix}")
         .load(path)
         .select(
-            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bmp$", 1)
+            F.regexp_extract(F.col("path"), rf"doc_(\d+)\.{suffix}$", 1)
             .cast("bigint")
             .alias("doc_id"),
             F.col("content").alias("payload"),
         )
     )
+
+
+def read_bmp_files(spark, path: str) -> DataFrame:
+    """BMP ``binaryFile`` scan (see :func:`read_payload_files`)."""
+    return read_payload_files(spark, path, "bmp")

@@ -837,18 +837,27 @@ def pipeline_reference_e2e(spark, sf_dir):
     survey_ids=("X14",),
 )
 def mm_audio_chunks(spark, sf_dir):
-    """Audio analysis-window chunking over REAL WAV payloads: build_wav
-    wraps each document's bytes in a valid 16-bit mono PCM RIFF
-    container; chunk_audio parses the actual fmt/data chunks back (the
+    """Audio analysis-window chunking over REAL WAV FILES scanned
+    through ``spark.read.format("binaryFile")`` (the audio twin of the
+    mm_decode_features image path): each document is written once as a
+    valid 16-bit mono PCM RIFF file, the corpus is scanned back from
+    disk, and chunk_audio parses the actual fmt/data chunks (the
     output's sample count and rate come from the header bytes, which
     the oracle re-derives: 2 bytes per sample, 16 kHz). 1024-sample
     windows at 512 hop via a 1:N mapInPandas generator — the third
     modality next to image decode and video frame sampling.
     operators/multimodal.py::chunk_audio."""
-    from .operators.multimodal import build_wav_payload, chunk_audio
+    from .operators.multimodal import (
+        chunk_audio,
+        materialize_wav_files,
+        read_payload_files,
+    )
 
     docs = _ld(spark, sf_dir, "documents")
-    return chunk_audio(build_wav_payload(docs), window=1024, hop=512)
+    wav_dir = materialize_wav_files(spark, sf_dir, docs)
+    return chunk_audio(
+        read_payload_files(spark, wav_dir, "wav"), window=1024, hop=512
+    )
 
 
 #: Correlated scalar subquery, dialect-portable (runs verbatim in both

@@ -10,22 +10,34 @@ track its candidate volume, and does it finish with bounded memory, at
 a scale the bench never reaches" — the question PLANS.md's static
 shapes can't. Run it after touching dedup/similarity join shapes.
 
-Measured (K=4: 20k docs / 8k vectors, local[32], 24g heap):
-  d13_simhash_pairs     36.1M pairs    18.8s  (was 152.1s before the
+Measured (K=4: 20k docs / 8k vectors, local[32], 24g heap; r3 re-run):
+  d13_simhash_pairs     36.1M pairs    18.4s  (was 152.1s before the
                         first-agreeing-band filter replaced the
                         distinct over the candidate stream — at this
                         duplicate density the distinct re-shuffled
                         36M+ pair rows; output itself is quadratic in
                         the copy count — cost tracks output, no OOM)
-  s12_cosine_near_pairs 32.0M-pair grid 3.6s (kernel cost tracks the
+  s12_cosine_near_pairs 32.0M-pair grid 4.0s (kernel cost tracks the
                         pair grid; 12.5M in ~1.2s at sf0.1)
-  d14_ngram_jaccard     34.1k pairs    11.1s  (df cap bounds the
+  s12_near_pairs_pruned 12k true dups  2.2s  (banded candidates +
+                        Arrow verify beating the 4.0s exact grid; the
+                        K-fold union plants 6 copies per original
+                        vector at cos 1.0 — identical signatures
+                        collide in every band, all 12000 found. 32
+                        bands x 16 GAUSSIAN bits: the sequential
+                        multiplicative-hash plane family collapsed
+                        sig entropy ~300x — 3.2M joined rows instead
+                        of ~400k — and took 13.6s; spherically
+                        symmetric planes restore the 1-theta/pi bit
+                        agreement the banding math assumes)
+  d14_ngram_jaccard     34.1k pairs    13.0s  (df cap bounds the
                         posting-list blowup from 4x duplication)
-  d12_dup_clusters      20k labels     21.5s  (4x duplication fattens
-                        every component; pointer jumping still
-                        converges in 3 rounds, edge set checkpointed
-                        once)
-  t13_bm25_topk         top-25          4.9s  (two scans + 1-row agg)
+  d12_dup_clusters      20k labels     22.8s  (4x duplication fattens
+                        every component; pointer jumping converges in
+                        2 rounds — per-round stats now printed — edge
+                        set checkpointed once, superseded round
+                        checkpoints released eagerly)
+  t13_bm25_topk         top-25          2.4s  (two scans + 1-row agg)
 NOTE: with Spark's default 1g local heap the simhash join OOMs
 (GCLocker retries) — get_session now sets spark.driver.memory.
 """
@@ -81,6 +93,14 @@ def main() -> None:
             lambda: similarity.cosine_near_pairs_blocked_pandas(
                 emb, 0.45, n_blocks=max(8, 2 * k)
             ),
+        ),
+        (
+            # every original vector has K-1 shifted exact copies, so
+            # the pruned path has (K choose 2)·n_base true cos-1.0
+            # pairs to find — identical signatures collide in every
+            # band, so missing any would be a correctness bug
+            f"s12_near_pairs_pruned ({n_emb} vecs, banded + verify)",
+            lambda: similarity.lsh_near_pairs(emb, threshold=0.85),
         ),
         (
             f"d14_ngram_jaccard ({n_docs} docs, df-capped)",
