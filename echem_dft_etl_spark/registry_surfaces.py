@@ -967,3 +967,49 @@ def s01_sink_roundtrip(spark, sf_dir):
     return per_key.join(rep, "s_nationkey").select(
         "s_nationkey", "n_rows", "bal_cents", "report_lines", "reported_rows"
     )
+
+
+#: TPC-H-Q5-shaped 6-table join, dialect-portable (its own oracle):
+#: revenue per nation for one region-year, suppliers local to their
+#: customers. The join-reordering / broadcast-selection showcase.
+_REVENUE_BY_NATION_SQL = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+             AS BIGINT) AS revenue_c4,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate <  DATE '1996-01-01'
+    GROUP BY n.n_name
+    """
+
+
+@_register(
+    "sql_surface_revenue_by_nation",
+    oracle=_REVENUE_BY_NATION_SQL,
+    survey_ids=("Q17", "Q21", "X5"),
+)
+def sql_surface_revenue_by_nation(spark, sf_dir):
+    """The classic local-supplier-revenue analytical join (TPC-H Q5
+    shape) through ``spark.sql`` over registered views: six tables,
+    one selective dimension filter (region), a date-range predicate
+    pushed to the orders scan, and a non-key equality
+    (supplier-nation = customer-nation) layered on the equi-joins.
+    This is the query class Catalyst's join reordering + broadcast
+    selection exists for: region/nation/supplier broadcast, the
+    fact-side joins shuffle on their keys, aggregation is partial
+    map-side. Monetary math stays in integer cents x percent so the
+    grouped sums are bit-identical in any engine. Same text is the
+    DuckDB oracle (HUGEINT sum folded back to BIGINT on both sides)."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_NATION_SQL)
