@@ -108,16 +108,17 @@ def main() -> None:
     # so the timed sf runs measure execution, not javac/JIT.
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
-    # one-time fixture materialization (the on-disk binaryFile corpus)
-    # happens OUTSIDE the timed loop — fixture generation isn't query
-    # execution, and only the first run of a round would ever pay it
+    # one-time fixture materialization (both on-disk binaryFile
+    # corpora) happens OUTSIDE the timed loop — fixture generation
+    # isn't query execution, and only the first run of a round would
+    # ever pay it
     try:
         from echem_dft_etl_spark.operators import multimodal
         from echem_dft_etl_spark.sources import load_table
 
-        multimodal.materialize_bmp_files(
-            spark, SF_DIR, load_table(spark, SF_DIR, "documents")
-        )
+        docs = load_table(spark, SF_DIR, "documents")
+        multimodal.materialize_bmp_files(spark, SF_DIR, docs)
+        multimodal.materialize_wav_files(spark, SF_DIR, docs)
     except Exception:
         pass
     for name in names:
@@ -132,7 +133,7 @@ def main() -> None:
         """Between-query storage hygiene (UNTIMED): drop any persistent
         RDDs and cached plans a query left behind so later queries are
         measured against a clean heap, not the accumulated storage of
-        everything before them (85 queries share this one JVM)."""
+        everything before them (the whole registry shares this JVM)."""
         try:
             m = spark.sparkContext._jsc.getPersistentRDDs()
             it = m.values().iterator()

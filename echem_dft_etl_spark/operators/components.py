@@ -123,47 +123,62 @@ def connected_components(
         vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl")),
         prev_ids,
     )
-    for round_no in range(max_rounds):
-        # 1-hop: min neighbor label, one shuffle keyed on dst.
-        nb_min = (
-            sym.join(labels, sym["src"] == labels["v"])
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nb_lbl"))
-        )
-        relaxed = (
-            labels.join(nb_min, labels["v"] == nb_min["dst"], "left")
-            .select("v", F.col("lbl").alias("old_lbl"), F.least("lbl", "nb_lbl").alias("lbl"))
-        )
-        # Pointer jump: label(v) <- label(label(v)). Labels are always
-        # live vertex ids, so the self-join total-resolves.
-        m = relaxed.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
-        round_ids: list = []
-        jumped = _tracked_checkpoint(
-            relaxed.join(m, relaxed["lbl"] == m["mv"]).select(
-                "v", "old_lbl", F.col("mlbl").alias("lbl")
-            ),
-            round_ids,
-        )
-        # Convergence off the already-materialized round result — a
-        # cheap filter-count, not another join against the old labels.
-        changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
-        # this round is materialized; the previous round's blocks are dead
-        _release_rdds(spark, prev_ids)
-        prev_ids = round_ids
-        labels = jumped.select("v", "lbl")
-        if round_stats is not None:
-            round_stats.append(
-                {
-                    "round": round_no,
-                    "changed": changed,
-                    "n_labels": labels.select("lbl").distinct().count(),
-                }
+    # try/finally: failures (no-fixpoint, a mid-round task error) must
+    # not leak the edge set or the in-flight round's blocks — leaking
+    # on the error path would reintroduce the exact session-lifetime
+    # storage growth this bookkeeping exists to prevent.
+    converged = False
+    try:
+        for round_no in range(max_rounds):
+            # 1-hop: min neighbor label, one shuffle keyed on dst.
+            nb_min = (
+                sym.join(labels, sym["src"] == labels["v"])
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nb_lbl"))
             )
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
-    _release_rdds(spark, sym_ids)
+            relaxed = labels.join(
+                nb_min, labels["v"] == nb_min["dst"], "left"
+            ).select(
+                "v",
+                F.col("lbl").alias("old_lbl"),
+                F.least("lbl", "nb_lbl").alias("lbl"),
+            )
+            # Pointer jump: label(v) <- label(label(v)). Labels are
+            # always live vertex ids, so the self-join total-resolves.
+            m = relaxed.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
+            round_ids: list = []
+            jumped = _tracked_checkpoint(
+                relaxed.join(m, relaxed["lbl"] == m["mv"]).select(
+                    "v", "old_lbl", F.col("mlbl").alias("lbl")
+                ),
+                round_ids,
+            )
+            # Convergence off the already-materialized round result — a
+            # cheap filter-count, not another join against old labels.
+            changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
+            # this round is materialized; the previous round's are dead
+            _release_rdds(spark, prev_ids)
+            prev_ids = round_ids
+            labels = jumped.select("v", "lbl")
+            if round_stats is not None:
+                round_stats.append(
+                    {
+                        "round": round_no,
+                        "changed": changed,
+                        "n_labels": labels.select("lbl").distinct().count(),
+                    }
+                )
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_rounds} rounds"
+            )
+    finally:
+        _release_rdds(spark, sym_ids)
+        if not converged:  # error path: the last round's blocks are dead too
+            _release_rdds(spark, prev_ids)
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 

@@ -376,17 +376,27 @@ def _materialize_payload_files(
 
     Files are written from the executors (Arrow-batched mapInPandas —
     no driver collect) into a staging dir, then promoted atomically via
-    rename; a ``_SUCCESS`` marker gates reuse across sessions. In local
-    mode executors share the filesystem; on a cluster the same code
-    targets shared storage.
+    rename; a ``_SUCCESS`` marker gates reuse across sessions. The
+    cache key folds in the source parquet's (size, mtime), so a
+    regenerated corpus — a documented recurring event — invalidates the
+    fixture instead of silently serving payloads built from the OLD
+    documents while the oracle reads the new ones. In local mode
+    executors share the filesystem; on a cluster the same code targets
+    shared storage.
     """
+    import hashlib
     import os
     import shutil
     import tempfile
     from pathlib import Path
 
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    vintage = hashlib.md5(
+        f"{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     base = Path(tempfile.gettempdir()) / (
-        f"echem_{suffix}_files_{Path(sf_dir).name}"
+        f"echem_{suffix}_files_{Path(sf_dir).name}_{vintage}"
     )
     if (base / "_SUCCESS").exists():
         return str(base)

@@ -687,7 +687,7 @@ def band_signatures(vec_col: Column, n_bands: int, band_bits: int) -> Column:
 def lsh_near_pairs(
     emb: DataFrame,
     threshold: float,
-    n_bands: int = 32,
+    n_bands: int = 64,
     band_bits: int = 16,
 ) -> DataFrame:
     """Candidate-pruned near-pairs: banded sign-bit LSH candidate
@@ -704,19 +704,23 @@ def lsh_near_pairs(
 
     Recall is the standard banding curve
     ``1 − (1 − q^band_bits)^n_bands`` with per-bit agreement
-    ``q = 1 − θ/π``: at the defaults (32 bands × 16 bits), ≥ 0.998 for
-    cos 0.95 and ≈ 0.94 for cos 0.9, dropping fast below — which is
-    why the registered threshold sits in the near-dup regime. Expected
-    candidate volume for isotropic non-pairs is
-    ``n²/2 · n_bands / 2^band_bits`` — **0.05% of the exact grid** at
+    ``q = 1 − θ/π``: at the defaults (64 bands × 16 bits),
+    ≥ 1 − 3·10⁻⁶ for cos 0.95, ≈ 0.996 for cos 0.9, ≈ 0.95 for
+    cos 0.85 and dropping fast below — which is why the REGISTERED
+    threshold sits at 0.95, deep in the exact-duplicate regime where
+    the curve is effectively 1 and an oracle-exact contract is
+    defensible; callers wanting looser thresholds trade recall per the
+    curve (raise ``n_bands`` to buy it back). Expected candidate
+    volume for isotropic non-pairs is
+    ``n²/2 · n_bands / 2^band_bits`` — **~0.1% of the exact grid** at
     the defaults (8-bit bands admit ~6%, which the exact blocked GEMM
     then beats on constant factor; 16-bit bands are where pruning
-    genuinely wins: measured 19 s → ~4 s on the K=4 probe corpus, all
-    12 000 planted cos-1.0 pairs found). The join fans out by bucket
-    occupancy, so skewed buckets split under AQE like any equi-join.
-    The exact blocked form remains the completeness oracle (recall
-    equality asserted on a planted-duplicates corpus in
-    tests/test_properties.py).
+    genuinely wins: all 12 000 planted cos-1.0 pairs found on the K=4
+    probe corpus in a fraction of the exact grid's time). The join
+    fans out by bucket occupancy, so skewed buckets split under AQE
+    like any equi-join. The exact blocked form remains the
+    completeness oracle (recall equality asserted on a
+    planted-duplicates corpus in tests/test_properties.py).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -730,7 +734,23 @@ def lsh_near_pairs(
     # still competitive — the pruned path pays off as n grows and the
     # ~n_bands/2^band_bits candidate fraction holds while the grid is
     # quadratic).
-    sigged = emb.select(
+    # Non-finite vectors (any NaN/Inf component) cannot be hashed —
+    # their plane dots are NaN, every sign bit collapses, and banding
+    # would silently drop pairs the EXACT contract keeps (a NaN cosine
+    # compares `>= t` true under Spark's NaN-is-greatest ordering, so
+    # in the exact form a NaN vector pairs with every other vector).
+    # They are split out and paired against the whole corpus through a
+    # broadcast constant-key equi-join — output volume |dirty|·n, the
+    # same as the exact contract's, and zero rows plus a trivially
+    # empty broadcast when the data is clean (the normal case).
+    bad = lambda x: F.isnan(x.cast("double")) | (
+        F.abs(x.cast("double")) == float("inf")
+    )
+    dirty_flag = F.exists("embedding", bad)
+    clean = emb.filter(~dirty_flag)
+    dirty = emb.filter(dirty_flag)
+
+    sigged = clean.select(
         "vec_id",
         band_signatures(F.col("embedding"), n_bands, band_bits).alias("sigs"),
     )
@@ -763,14 +783,48 @@ def lsh_near_pairs(
         .filter(first_band)
         .select("l_id", "r_id")
     )
+    # dirty × everyone (including other dirty rows, each pair once).
+    # The join key is ``pmod(vec_id, 1)`` — always 0 but NOT
+    # constant-foldable, so the planner keeps a broadcast HASH join
+    # (a literal key folds to a trivially-true condition and degrades
+    # to BroadcastNestedLoopJoin). The broadcast is empty on clean
+    # data, so the normal case pays one no-op stage.
+    dirty_cands = (
+        emb.select(
+            F.col("vec_id").alias("o_id"),
+            dirty_flag.alias("o_dirty"),
+            F.pmod(F.col("vec_id"), F.lit(1)).alias("k"),
+        )
+        .join(
+            F.broadcast(
+                dirty.select(
+                    F.col("vec_id").alias("d_id"),
+                    F.pmod(F.col("vec_id"), F.lit(1)).alias("k"),
+                )
+            ),
+            "k",
+        )
+        .filter(
+            (F.col("d_id") < F.col("o_id"))
+            | ((F.col("d_id") > F.col("o_id")) & ~F.col("o_dirty"))
+        )
+        .select(
+            F.least("d_id", "o_id").alias("l_id"),
+            F.greatest("d_id", "o_id").alias("r_id"),
+        )
+    )
 
-    # Exact verify: dimension-sequential float64 accumulation — the
-    # same op order as the ``aggregate`` expression and the DuckDB
-    # oracle (see make_cosine_pandas_udf), so scores stay bit-identical.
-    # Zero-norm pairs become NULL (pandas nullable Float64 -> Arrow
-    # null), matching the expression form's `when(denom != 0, ...)`;
-    # NaN arising from NaN *data* stays NaN, which Spark SQL orders
-    # above every double so `cosine >= t` keeps it — also matching.
+    # Exact verify, clean branch: dimension-sequential float64
+    # accumulation — the same op order as the ``aggregate`` expression
+    # and the DuckDB oracle (see make_cosine_pandas_udf), so scores
+    # stay bit-identical. Clean (all-finite) vectors can only produce
+    # a finite cosine or a zero denominator; the kernel returns NULL
+    # for the latter (matching the expression form's
+    # ``when(denom != 0, ...)``). It must NOT be used for non-finite
+    # data: Spark's Arrow return path folds every NaN a pandas UDF
+    # emits into NULL (verified — object dtype and nullable Float64
+    # both), which would silently drop NaN-cosine pairs the exact
+    # contract keeps; the dirty branch therefore scores JVM-side.
     @pandas_udf("double")
     def cos_or_null(a: pd.Series, b: pd.Series) -> pd.Series:
         A = np.stack(a.to_numpy()).astype("float64")
@@ -786,24 +840,42 @@ def lsh_near_pairs(
         denom = np.sqrt(na) * np.sqrt(nb)
         with np.errstate(invalid="ignore"):
             vals = dots / np.where(denom == 0, 1, denom)
-        out = pd.array(vals, dtype="Float64")
-        out[denom == 0] = pd.NA
+        out = vals.astype(object)
+        out[denom == 0] = None
         return pd.Series(out)
 
     slim = emb.select("vec_id", "embedding")
-    pairs = cands.join(
-        slim.select(
-            F.col("vec_id").alias("l_id"), F.col("embedding").alias("l_emb")
-        ),
-        "l_id",
-    ).join(
-        slim.select(
-            F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_emb")
-        ),
-        "r_id",
+    slim_l = slim.select(
+        F.col("vec_id").alias("l_id"), F.col("embedding").alias("l_emb")
     )
-    return pairs.select(
-        F.col("l_id").alias("a"),
-        F.col("r_id").alias("b"),
-        cos_or_null(F.col("l_emb"), F.col("r_emb")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    slim_r = slim.select(
+        F.col("vec_id").alias("r_id"), F.col("embedding").alias("r_emb")
+    )
+    scored_clean = (
+        cands.join(slim_l, "l_id")
+        .join(slim_r, "r_id")
+        .select(
+            F.col("l_id").alias("a"),
+            F.col("r_id").alias("b"),
+            cos_or_null(F.col("l_emb"), F.col("r_emb")).alias("cosine"),
+        )
+    )
+    # Dirty branch: the exact path's own JVM expression (hoisted
+    # norms), where NaN survives — `NaN != 0` is true under Spark's
+    # NaN-is-greatest semantics, so a NaN denominator flows through to
+    # a NaN cosine exactly like cosine_near_pairs.
+    d_denom = l2_norm(F.col("l_emb")) * l2_norm(F.col("r_emb"))
+    scored_dirty = (
+        dirty_cands.join(slim_l, "l_id")
+        .join(slim_r, "r_id")
+        .select(
+            F.col("l_id").alias("a"),
+            F.col("r_id").alias("b"),
+            F.when(
+                d_denom != 0, dot(F.col("l_emb"), F.col("r_emb")) / d_denom
+            ).alias("cosine"),
+        )
+    )
+    return scored_clean.unionByName(scored_dirty).filter(
+        F.col("cosine") >= threshold
+    )

@@ -927,8 +927,17 @@ def s01_sink_roundtrip(spark, sf_dir):
 
     The full-pipeline composition of the same sinks stays registered as
     ``pipeline_reference_e2e`` (rows-only, behind the driver window).
+
+    One FIXED output dir per corpus, recreated per invocation — the
+    previous run's sinks are deleted first so repeated bench/verify
+    cycles stay bounded instead of accumulating a supplier copy per
+    call. Single-caller assumption (the driver, bench, and tests all
+    consume each returned frame before the next invocation), the same
+    contract as any overwrite-mode sink.
     """
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from .sources import sinks
 
@@ -937,7 +946,11 @@ def s01_sink_roundtrip(spark, sf_dir):
         "s_nationkey",
         F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
     )
-    out = tempfile.mkdtemp(prefix="echem_sink_roundtrip_")
+    out = Path(tempfile.gettempdir()) / (
+        f"echem_sink_roundtrip_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
     table_path = f"{out}/suppliers"
     report_path = f"{out}/report"
     sinks.write_partitioned(sup, table_path, ["s_nationkey"])

@@ -444,3 +444,47 @@ def test_lsh_near_pairs_complete_on_planted_duplicates(spark):
     }
     assert len(exact) >= 15, f"fixture planted too few pairs: {len(exact)}"
     assert pruned == exact
+
+
+def test_lsh_near_pairs_nan_and_zero_norm_contract(spark):
+    """The pruned path must match the exact form's edge semantics
+    exactly: a zero-norm vector's pairs are NULL-cosine (dropped by
+    `>= t`), while a NaN-DATA vector's pairs score NaN, which Spark SQL
+    orders above every double so `>= t` KEEPS them. The Arrow verify
+    kernel must preserve that distinction (nullable-Float64 would fold
+    NaN into NULL and silently drop pairs the exact contract keeps)."""
+    import math
+
+    from echem_dft_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        lsh_near_pairs,
+    )
+
+    base = [1.0] + [0.0] * 63
+    rows = [
+        (0, base),
+        (1, base),                     # exact duplicate of 0 -> cos 1.0
+        (2, [0.0] * 64),               # zero norm -> NULL vs everyone
+        (3, [float("nan")] + [0.0] * 63),  # NaN data -> NaN cosine
+        (4, base),                     # another duplicate
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def norm(df):
+        return {
+            (r.a, r.b): "nan" if r.cosine is not None and math.isnan(r.cosine)
+            else r.cosine
+            for r in df.collect()
+        }
+
+    exact = norm(cosine_near_pairs(emb, threshold=0.95))
+    pruned = norm(lsh_near_pairs(emb, threshold=0.95))
+    # the NaN-data vector pairs with SOMETHING in the exact form
+    assert any(v == "nan" for v in exact.values()), exact
+    # zero-norm vs finite vectors: denom 0 -> NULL -> dropped. (The
+    # zero-vs-NaN pair is a different story: denom = 0 * NaN = NaN,
+    # Spark's `NaN != 0` is true, so the exact form KEEPS it as NaN —
+    # the pruned path must reproduce that too, via pruned == exact.)
+    for k in exact:
+        assert not (2 in k and 3 not in k), exact
+    assert pruned == exact
