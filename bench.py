@@ -1,11 +1,26 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Runs the registry's headline queries on local[$SPARK_GRAFT_CPUS]
-(default sf0.1, local[32]) and prints exactly ONE JSON line:
+Runs the registry's full query inventory on local[$SPARK_GRAFT_CPUS]
+(default sf0.1, local[32]) and prints exactly ONE COMPACT JSON line:
 
     {"metric": "suite_seconds", "value": <total>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+     "queries": {"<headline name>": <median sec>, ...}, "sf": <sf>,
+     "n_queries": <total count>, "k": 3, "detail": "BENCH_DETAIL.json"}
+
+The stdout line is deliberately bounded (~1.3 KB): the driver captures
+only the last ~2000 chars of output, and round 3's one-line-with-86-
+queries overflowed that window (BENCH_r03.json parsed: null). The
+stdout "queries" dict therefore carries ONLY the headline prefix;
+per-query timings for the whole inventory — including every individual
+run behind each median — go to ``BENCH_DETAIL.json`` next to this file
+(override with $SPARK_GRAFT_BENCH_DETAIL).
+
+Headline queries are timed k=3 and reported as the MEDIAN: the builder
+measured identical suites drifting 1.3-1.7x run-to-run on this host
+(README round-3 notes), so single-shot timings can't support
+round-over-round regression calls. Non-headline queries stay
+single-shot to keep the suite inside the round budget.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect bottleneck). One warm-up run of a tiny query first so JVM
@@ -97,7 +112,12 @@ def main() -> None:
     from echem_dft_etl_spark.registry import all_queries
     from echem_dft_etl_spark.session import get_session
 
-    spark = get_session(app_name="echem-spark-bench")
+    # No console progress bar: its \r-spam shares the driver's ~2000-char
+    # output tail with the one JSON line this script must deliver.
+    spark = get_session(
+        app_name="echem-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     names = bench_names(specs)
@@ -144,30 +164,66 @@ def main() -> None:
             pass
 
     release_leftovers()
-    timings: dict[str, float] = {}
-    for name in names:
+
+    def timed_run(name: str) -> float:
         t0 = time.perf_counter()
         df = specs[name].fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        elapsed = round(time.perf_counter() - t0, 3)
         release_leftovers()
+        return elapsed
+
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
+    runs: dict[str, list[float]] = {}
+    timings: dict[str, float] = {}
+    for name in names:
+        n_runs = k if name in HEADLINE else 1
+        runs[name] = [timed_run(name) for _ in range(n_runs)]
+        timings[name] = sorted(runs[name])[len(runs[name]) // 2]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
+
+    headline = {n: timings[n] for n in names if n in HEADLINE}
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", str(REPO / "BENCH_DETAIL.json")
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "suite_seconds",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
-            }
+                "k_headline": k,
+                "headline_seconds": round(sum(headline.values()), 3),
+                "queries": timings,
+                "runs": runs,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    summary = {
+        "metric": "suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "k": k,
+        "detail": detail_path,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1700:  # driver tail capture is ~2000 chars; stay under
+        summary["queries"] = {
+            n: headline[n] for n in list(headline)[:20]
+        }
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
