@@ -365,6 +365,27 @@ def resize_bmp_batch(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.mapInPandas(gen, RESIZE_SCHEMA)
 
 
+def _fixture_paths(sf_dir: str, name: str):
+    """(root, base) for a write-once payload fixture keyed by the source
+    corpus vintage (size + mtime of documents.parquet), rooted at
+    ``$SPARK_GRAFT_SHARED_TMP`` (default: local tempdir — see the
+    cluster caveat in :func:`_materialize_payload_files`)."""
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    vintage = hashlib.md5(
+        f"{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = Path(
+        os.environ.get("SPARK_GRAFT_SHARED_TMP", tempfile.gettempdir())
+    )
+    return root, root / f"echem_{name}_{Path(sf_dir).name}_{vintage}"
+
+
 def _materialize_payload_files(
     sf_dir: str, payloads: DataFrame, suffix: str
 ) -> str:
@@ -380,29 +401,28 @@ def _materialize_payload_files(
     cache key folds in the source parquet's (size, mtime), so a
     regenerated corpus — a documented recurring event — invalidates the
     fixture instead of silently serving payloads built from the OLD
-    documents while the oracle reads the new ones. In local mode
-    executors share the filesystem; on a cluster the same code targets
-    shared storage.
+    documents while the oracle reads the new ones.
+
+    The fixture root (both staging and the promoted dir) is
+    ``$SPARK_GRAFT_SHARED_TMP``, defaulting to the local tempdir. The
+    default is LOCAL-MODE-ONLY: executor tasks open plain paths, so on
+    a multi-node cluster the env var must point at storage every node
+    mounts at the same path (NFS/FUSE-mounted object store) — a
+    node-local default would scatter files across machines and promote
+    a partial fixture. Staging lives under the same root so the
+    promote rename stays a same-filesystem atomic op.
     """
-    import hashlib
     import os
     import shutil
     import tempfile
     from pathlib import Path
 
-    src = Path(sf_dir) / "documents.parquet"
-    st = src.stat()
-    vintage = hashlib.md5(
-        f"{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:10]
-    base = Path(tempfile.gettempdir()) / (
-        f"echem_{suffix}_files_{Path(sf_dir).name}_{vintage}"
-    )
+    root, base = _fixture_paths(sf_dir, f"{suffix}_files")
     if (base / "_SUCCESS").exists():
         return str(base)
     if base.exists():  # crashed prior build: discard and rebuild
         shutil.rmtree(base, ignore_errors=True)
-    staging = Path(tempfile.mkdtemp(prefix=f"echem_{suffix}_staging_"))
+    staging = Path(tempfile.mkdtemp(prefix=f"echem_{suffix}_staging_", dir=root))
 
     def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -430,6 +450,46 @@ def materialize_bmp_files(spark, sf_dir: str, docs: DataFrame) -> str:
 def materialize_wav_files(spark, sf_dir: str, docs: DataFrame) -> str:
     """On-disk WAV fixture (see :func:`_materialize_payload_files`)."""
     return _materialize_payload_files(sf_dir, build_wav_payload(docs), "wav")
+
+
+def materialize_bmp_parquet(spark, sf_dir: str, docs: DataFrame) -> str:
+    """COLUMNAR payload fixture: the same BMP bytes as
+    :func:`materialize_bmp_files`, stored as a ``binary`` column in
+    parquet instead of one file per document.
+
+    This is the 100 TB ingestion layout — millions of payloads pack
+    into a bounded number of parquet files, the scan is a normal
+    columnar read (payload pruned away when untouched), and nothing
+    scales with document COUNT the way per-file listing does. The
+    one-file-per-record ``binaryFile`` fixture stays registered for
+    genuine file-drop ingestion; SCALE.md documents the crossover.
+
+    Write-once per corpus vintage; the promote rename makes re-entrant
+    and concurrent builds safe, and readers of an already-promoted
+    fixture are never invalidated (the dir is immutable once
+    ``_SUCCESS`` — Spark's own marker — exists).
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    root, base = _fixture_paths(sf_dir, "bmp_parquet")
+    if (base / "_SUCCESS").exists():
+        return str(base)
+    if base.exists():  # crashed prior build: discard and rebuild
+        shutil.rmtree(base, ignore_errors=True)
+    staging = Path(
+        tempfile.mkdtemp(prefix="echem_bmp_parquet_staging_", dir=root)
+    )
+    out = staging / "data"
+    build_bmp_payload(docs).write.parquet(str(out))
+    try:
+        os.rename(out, base)
+    except OSError:  # concurrent builder promoted first
+        pass
+    shutil.rmtree(staging, ignore_errors=True)
+    return str(base)
 
 
 def read_payload_files(spark, path: str, suffix: str) -> DataFrame:

@@ -344,14 +344,29 @@ def _minhash_cte() -> str:
     """
 
 
-_MINHASH_AGGS = ", ".join(
-    f"MIN({_perm_sql('h', j)}) AS mh_{j}" for j in range(dedup.N_PERMS)
-)
-_BAND_SELECTS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, CAST(mh_{2*b} AS VARCHAR) || '_' || "
-    f"CAST(mh_{2*b+1} AS VARCHAR) AS band_key FROM sigs"
-    for b in range(dedup.N_BANDS)
-)
+def _minhash_aggs(n_perms: int) -> str:
+    return ", ".join(
+        f"MIN({_perm_sql('h', j)}) AS mh_{j}" for j in range(n_perms)
+    )
+
+
+def _band_selects(n_bands: int, rows_per_band: int) -> str:
+    """Banded signature keys — mirrors dedup.lsh_candidate_pairs'
+    concat_ws('_', mh_{b*r}..mh_{b*r+r-1}) per band b."""
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+
+
+_MINHASH_AGGS = _minhash_aggs(dedup.N_PERMS)
+_BAND_SELECTS = _band_selects(dedup.N_BANDS, dedup.ROWS_PER_BAND)
 
 
 @_register(
@@ -387,6 +402,56 @@ def d12_minhash_lsh(spark, sf_dir):
     full scale-path pipeline; see operators/dedup.py."""
     return dedup.near_dup_pairs_minhash(
         _ld(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+#: Production LSH geometry: 64 permutations in 16 bands of 4 rows.
+#: P(candidate | jaccard j) = 1 - (1 - j^4)^16 — ~0.9998 at j = 0.8.
+_PROD_BANDS, _PROD_ROWS = 16, 4
+_PROD_PERMS = _PROD_BANDS * _PROD_ROWS
+
+
+@_register(
+    "d12_minhash_lsh_prod",
+    oracle=_minhash_cte()
+    + f""",
+    sigs AS (SELECT doc_id, {_minhash_aggs(_PROD_PERMS)} FROM hh GROUP BY doc_id),
+    bands AS ({_band_selects(_PROD_BANDS, _PROD_ROWS)}),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+    SELECT i.a, i.b, i.n_inter, za.n_sh AS na, zb.n_sh AS nb,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.8
+    """,
+    survey_ids=("X11", "X12"),
+)
+def d12_minhash_lsh_prod(spark, sf_dir):
+    """MinHash+LSH at PRODUCTION geometry — 64 permutations, 16 bands
+    of 4 rows (P(candidate) ≈ 0.9998 at j = 0.8 vs ≈ 0.99 for the
+    8-perm demo default) — same banded pipeline, same oracle constants
+    (functions/hashing.py), so recall-vs-cost is a declared parameter,
+    not a code fork. The 4-row band key is also MORE selective per
+    band (fewer false candidates per bucket), which is what keeps the
+    candidate join linear-ish when the corpus has heavy shingle reuse.
+    """
+    return dedup.near_dup_pairs_minhash(
+        _ld(spark, sf_dir, "documents"),
+        threshold=0.8,
+        n_bands=_PROD_BANDS,
+        rows_per_band=_PROD_ROWS,
     )
 
 
@@ -674,12 +739,48 @@ def s12_cosine_near_pairs(spark, sf_dir):
     )
 
 
+#: Near-dupe planting for the pruned-pairs row: every 101st vector gets
+#: a perturbed twin (vec_id + 1_000_000). The perturbation is a fixed
+#: per-index delta ((i % 7) - 3) / 1000, added in DOUBLE and rounded
+#: back to FLOAT — small ints times an exact double literal, so Spark
+#: and DuckDB produce bit-identical twins and the exact-cosine oracle
+#: stays exact over the augmented corpus.
+_TWIN_STRIDE = 101
+_TWIN_OFFSET = 1_000_000
+_AUG_EMB_SQL = f"""
+    aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(CAST(embedding[i] AS DOUBLE)
+                         + ((i - 1) % 7 - 3) * 0.001 AS REAL)) AS embedding
+      FROM embeddings WHERE vec_id % {_TWIN_STRIDE} = 0)
+    """
+
+
+def _augment_with_twins(emb):
+    """Spark side of _AUG_EMB_SQL: same deltas, same double→float
+    rounding (transform index is 0-based here, 1-based in DuckDB)."""
+    twins = emb.filter(F.col("vec_id") % _TWIN_STRIDE == 0).select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") + (i % 7 - 3).cast("double") * F.lit(0.001)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(twins)
+
+
 @_register(
     "s12_near_pairs_pruned",
     oracle=f"""
+    WITH {_AUG_EMB_SQL}
     SELECT x.vec_id AS a, y.vec_id AS b,
            {_cosine_sql('x.embedding', 'y.embedding')} AS cosine
-    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    FROM aug x JOIN aug y ON x.vec_id < y.vec_id
     WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= 0.95
     """,
     survey_ids=("X12",),
@@ -694,11 +795,19 @@ def s12_near_pairs_pruned(spark, sf_dir):
     row is then a property of the operator, not of the current
     fixture happening to have no marginal pairs (at looser thresholds
     the curve decays and an oracle-exact registration would be
-    fixture-dependent). Completeness on planted near-duplicates is
-    asserted against the exact blocked form in tests/test_properties.py.
+    fixture-dependent).
+
+    The corpus is AUGMENTED with deterministic perturbed twins
+    (one per {_TWIN_STRIDE} vectors, cosine ≈ 1−1e-4 to their
+    original) planted identically in Spark and in the oracle SQL, so
+    the driver row exercises a NON-EMPTY candidate→verify path — the
+    round-3 row proved only 0 = 0 because the natural sf0.01 slice has
+    no pairs above 0.95. Completeness on randomly planted
+    near-duplicates is additionally asserted against the exact blocked
+    form in tests/test_properties.py.
     operators/similarity.py::lsh_near_pairs."""
     return similarity.lsh_near_pairs(
-        _ld(spark, sf_dir, "embeddings"), threshold=0.95
+        _augment_with_twins(_ld(spark, sf_dir, "embeddings")), threshold=0.95
     )
 
 

@@ -339,6 +339,46 @@ def mm_decode_features(spark, sf_dir):
     return multimodal.decode_batch(multimodal.read_bmp_files(spark, files_dir))
 
 
+@_register(
+    "mm_decode_features_parquet",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L,
+                      ((doc_id % 4) + 1) * 4 AS w,
+                      ((doc_id % 3) + 1) * 4 AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(54 + w * h * 3 AS BIGINT) AS n_bytes,
+           'image/bmp' AS format,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(COALESCE(list_sum(list_transform(range(0, least(64, w * h * 3)),
+                i -> ('0x' || substr(hx, (i % L) * 2 + 1, 2))::BIGINT)), 0)
+             AS BIGINT) AS feature_sum
+    FROM d
+    """,
+    survey_ids=("X14",),
+)
+def mm_decode_features_parquet(spark, sf_dir):
+    """The COLUMNAR-ingestion twin of ``mm_decode_features``: identical
+    BMP bytes and identical decode, but the payload arrives as a
+    ``binary`` column in parquet (one columnar round-trip through the
+    on-disk fixture) instead of one file per document through
+    ``binaryFile``. Registering both layouts value-checks the scale
+    path — at 100 TB the per-record-file layout is the classic
+    small-files killer (listing and task scheduling scale with
+    document count), while the parquet payload column keeps the scan
+    a bounded columnar read; ``binaryFile`` remains the right source
+    for genuine file-drop ingestion at the edge. Same oracle as the
+    file-drop twin: the decoded features must not depend on the
+    ingestion layout. operators/multimodal.py::materialize_bmp_parquet.
+    """
+    docs = _ld(spark, sf_dir, "documents")
+    pq_dir = multimodal.materialize_bmp_parquet(spark, sf_dir, docs)
+    return multimodal.decode_batch(spark.read.parquet(pq_dir))
+
+
 # =====================================================================
 # Structured Streaming (X10): availableNow replays into memory sinks
 # =====================================================================
@@ -928,12 +968,18 @@ def s01_sink_roundtrip(spark, sf_dir):
     The full-pipeline composition of the same sinks stays registered as
     ``pipeline_reference_e2e`` (rows-only, behind the driver window).
 
-    One FIXED output dir per corpus, recreated per invocation — the
-    previous run's sinks are deleted first so repeated bench/verify
-    cycles stay bounded instead of accumulating a supplier copy per
-    call. Single-caller assumption (the driver, bench, and tests all
-    consume each returned frame before the next invocation), the same
-    contract as any overwrite-mode sink.
+    REENTRANT by construction (the round-3 driver row hash-failed
+    because a fixed shared dir was rmtree'd by a second invocation
+    while the first invocation's lazy frame could still re-list it):
+    every call writes to its own ``mkdtemp`` dir, then EAGERLY
+    materializes the 25-row result with ``localCheckpoint(eager=True)``
+    so the returned frame is backed by in-memory blocks, not the sink
+    files — after which the temp dir is deleted immediately. No shared
+    state, no accumulation, and any number of concurrent or repeated
+    invocations (warm-up vs timed run, rows/schema/hash computed across
+    separate calls) see consistent values. The checkpoint holds one
+    row per partition key (bounded by #nations = 25), so repeated
+    bench cycles pin negligible storage.
     """
     import shutil
     import tempfile
@@ -946,11 +992,9 @@ def s01_sink_roundtrip(spark, sf_dir):
         "s_nationkey",
         F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
     )
-    out = Path(tempfile.gettempdir()) / (
-        f"echem_sink_roundtrip_{Path(sf_dir).name}"
+    out = Path(
+        tempfile.mkdtemp(prefix=f"echem_sink_roundtrip_{Path(sf_dir).name}_")
     )
-    shutil.rmtree(out, ignore_errors=True)
-    out.mkdir(parents=True)
     table_path = f"{out}/suppliers"
     report_path = f"{out}/report"
     sinks.write_partitioned(sup, table_path, ["s_nationkey"])
@@ -977,9 +1021,15 @@ def s01_sink_roundtrip(spark, sf_dir):
         F.count("*").alias("report_lines"),
         F.max("rows_in_line").alias("reported_rows"),
     )
-    return per_key.join(rep, "s_nationkey").select(
+    result = per_key.join(rep, "s_nationkey").select(
         "s_nationkey", "n_rows", "bal_cents", "report_lines", "reported_rows"
     )
+    # Materialize NOW (one job over the 25-key result), then drop the
+    # sink files: later actions on the returned frame read checkpoint
+    # blocks, never the deleted dir.
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 #: TPC-H-Q5-shaped 6-table join, dialect-portable (its own oracle):
