@@ -153,12 +153,17 @@ def connected_components(
                 ),
                 round_ids,
             )
+            # The checkpoint above is EAGER, so at this point the
+            # previous round's blocks are already dead — release them
+            # and promote round_ids to prev_ids BEFORE any action that
+            # can throw (the convergence/stats counts below), so the
+            # finally block always sees the in-flight round's ids and
+            # a mid-count failure cannot leak its checkpoint.
+            _release_rdds(spark, prev_ids)
+            prev_ids = round_ids
             # Convergence off the already-materialized round result — a
             # cheap filter-count, not another join against old labels.
             changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
-            # this round is materialized; the previous round's are dead
-            _release_rdds(spark, prev_ids)
-            prev_ids = round_ids
             labels = jumped.select("v", "lbl")
             if round_stats is not None:
                 round_stats.append(
