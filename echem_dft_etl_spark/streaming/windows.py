@@ -167,6 +167,79 @@ def run_to_memory(
     raise last_exc
 
 
+def run_processing_time(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    interval: str = "500 milliseconds",
+    drain_timeout: float = 120.0,
+) -> DataFrame:
+    """Execute a stream under a periodic ``processingTime`` trigger —
+    the CONTINUOUS operation mode (SURVEY §1.2): the query stays up and
+    fires micro-batches on a wall-clock cadence, unlike the bounded
+    ``availableNow`` replays used everywhere else here.
+
+    Against a bounded source this drains in the first few triggers;
+    the helper watches the query STATUS (not progress events — idle
+    triggers don't run batches, and no-data progress is only emitted
+    every ~10 s) until the source reports no data available with no
+    trigger in flight after ≥ 1 non-empty batch, then stops the query
+    and returns the memory-sink table. Results are identical to the
+    availableNow replay of the same plan — asserted in
+    tests/test_streaming.py — because trigger cadence changes only
+    batch BOUNDARIES, and every operator here is
+    batch-boundary-agnostic (watermark semantics, not trigger
+    semantics). On an unbounded source, callers own the lifecycle:
+    start the writeStream themselves and skip the drain watch.
+
+    One retry on transient failure, same rationale as
+    :func:`run_to_memory` (local masters run task.maxFailures=1).
+    """
+    import time
+
+    last_exc: Exception | None = None
+    for _attempt in range(2):
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(processingTime=interval)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + drain_timeout
+            drained_polls = 0
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                p = q.lastProgress
+                s = q.status
+                if (
+                    p is not None
+                    and not s["isDataAvailable"]
+                    and not s["isTriggerActive"]
+                ):
+                    # two consecutive idle polls: not a gap between
+                    # file-listing and batch start
+                    drained_polls += 1
+                    if drained_polls >= 2:
+                        break
+                else:
+                    drained_polls = 0
+                time.sleep(0.25)
+            else:
+                raise TimeoutError(
+                    f"stream did not drain in {drain_timeout}s"
+                )
+            return spark.table(name)
+        except Exception as exc:
+            last_exc = exc
+        finally:
+            q.stop()
+    raise last_exc
+
+
 def stream_interval_join(
     events: DataFrame,
     left_type: str = "click",

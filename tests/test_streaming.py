@@ -11,6 +11,7 @@ from echem_dft_etl_spark.operators.sessions import session_aggregate, sessionize
 from echem_dft_etl_spark.sources import load_table
 from echem_dft_etl_spark.streaming.windows import (
     read_events_stream,
+    run_processing_time,
     run_to_memory,
     session_windows,
     tumbling_counts,
@@ -23,6 +24,28 @@ def test_stream_tumbling_equals_batch(spark):
     got = {
         (r.window_start, r.event_type): r.n_events
         for r in run_to_memory(stream, spark, mode="complete").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp = {
+        (r.ws, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp
+
+
+def test_stream_tumbling_processing_time_trigger(spark):
+    """CONTINUOUS mode smoke (SURVEY §1.2): the same tumbling query
+    under a periodic processingTime trigger must produce exactly the
+    batch result once the bounded source drains — trigger cadence moves
+    batch boundaries, never window contents."""
+    stream = tumbling_counts(read_events_stream(spark, SF_SMOKE), "1 hour", "2 hours")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in run_processing_time(
+            stream, spark, mode="complete", interval="500 milliseconds"
+        ).collect()
     }
     ev = load_table(spark, SF_SMOKE, "events")
     exp = {
