@@ -1032,6 +1032,55 @@ def s01_sink_roundtrip(spark, sf_dir):
     return result
 
 
+@_register(
+    "s03_merge_upsert",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 3 = 0
+                THEN CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) + 1000
+                ELSE CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)
+           END AS bal_cents
+    FROM supplier
+    WHERE s_suppkey % 2 = 0 OR s_suppkey % 3 = 0
+    """,
+    survey_ids=("S3",),
+)
+def s03_merge_upsert(spark, sf_dir):
+    """Managed-table MERGE round-trip (S3, the true-upsert shape of
+    my_dag.py:196-205): batch 1 (even suppkeys) creates the table,
+    batch 2 (suppkeys % 3 = 0, balances bumped +1000 cents) MERGEs in —
+    matched keys must come back UPDATED and unmatched INSERTED, which
+    is exactly what the oracle's CASE expresses. Everything in the
+    returned frame is read back from the committed snapshot, so a
+    green row proves the copy-on-write write path, the _SUCCESS commit
+    gating, and the update-vs-insert split end-to-end.
+    Reentrant like s01_sink_roundtrip: per-invocation mkdtemp, result
+    eagerly materialized, table root deleted before returning.
+    sources/sinks.py::merge_parquet."""
+    import shutil
+    import tempfile
+
+    from .sources import sinks
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    batch1 = sup.filter(F.col("s_suppkey") % 2 == 0)
+    batch2 = sup.filter(F.col("s_suppkey") % 3 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 1000
+    )
+    root = tempfile.mkdtemp(prefix="echem_merge_upsert_")
+    table_root = f"{root}/tbl"
+    sinks.merge_parquet(batch1, table_root, ["s_suppkey"], "bal_cents")
+    result = sinks.merge_parquet(
+        batch2, table_root, ["s_suppkey"], "bal_cents"
+    ).select("s_suppkey", "bal_cents")
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 #: TPC-H-Q5-shaped 6-table join, dialect-portable (its own oracle):
 #: revenue per nation for one region-year, suppliers local to their
 #: customers. The join-reordering / broadcast-selection showcase.

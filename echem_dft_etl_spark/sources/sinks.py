@@ -12,9 +12,12 @@ The reference writes one POSCAR per material/slab in a Python loop
   touched keys on re-runs.
 - S2 → ``read_text_runs``: ``spark.read.text`` + ``input_file_name()``
   keys every line by its source file (the .out scan).
-- S3 → ``upsert_parquet`` / ``write_jdbc``: first-wins conflict-skip as
-  dedup + left-anti append (deterministic, re-run idempotent); the JDBC
-  form ships the same frame to a staging table for a server-side MERGE.
+- S3 → ``upsert_parquet`` / ``write_jdbc`` / ``merge_parquet``:
+  first-wins conflict-skip as dedup + left-anti append (deterministic,
+  re-run idempotent); the JDBC form ships the same frame to a staging
+  table for a server-side MERGE; ``merge_parquet`` is the engine-side
+  managed-table MERGE (matched→update, unmatched→insert) via
+  copy-on-write snapshots with an atomic commit point.
 - S4 → ``append_report``: append-mode text with a single partition —
   the report is driver-scale by definition.
 """
@@ -124,6 +127,102 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _committed_snapshots(spark: SparkSession, table_root: str):
+    """Sorted [(version, path)] of COMMITTED snapshots under a
+    :func:`merge_parquet` table root — committed means Spark's own
+    ``_SUCCESS`` marker exists, which is written last and is therefore
+    the atomic commit point on any filesystem."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(table_root, "snap_*")):
+        p = st.getPath()
+        name = p.getName()
+        if not st.isDirectory() or not name.startswith("snap_"):
+            continue
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            continue  # in-flight or crashed write: invisible to readers
+        try:
+            out.append((int(name[len("snap_"):]), str(p)))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def merge_parquet(
+    new_rows: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    order_col: str,
+    keep_snapshots: int = 2,
+) -> DataFrame:
+    """S3 managed-table MERGE: matched keys are UPDATED, unmatched keys
+    INSERTED — the ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    THEN INSERT`` contract of Delta/Iceberg, completing the upsert
+    family (my_dag.py:196-205 generalized):
+
+    - :func:`upsert_parquet` — ON CONFLICT DO NOTHING (first-wins,
+      append-only; re-run no-op).
+    - :func:`write_jdbc` — server-side MERGE through a staging table.
+    - ``merge_parquet`` — engine-side MERGE with the same two mechanics
+      every transactional table format uses underneath: copy-on-write
+      (rewrite the data containing matched keys; a real format prunes
+      the rewrite to affected files, here the snapshot is rewritten
+      whole) and an ATOMIC commit point (a new ``snap_<n>`` directory
+      becomes visible only when Spark writes its ``_SUCCESS`` marker —
+      readers never observe a torn snapshot, and a crashed writer
+      leaves an invisible directory, not a corrupt table).
+
+    Within the incoming batch the winner per key is the lowest
+    ``order_col`` (the engine-wide deterministic convention); against
+    the existing table the BATCH wins (update semantics — the exact
+    behavior :func:`upsert_parquet` deliberately refuses). Re-running
+    the same batch is content-idempotent: a new snapshot with
+    identical rows.
+
+    Old snapshots are pruned to ``keep_snapshots`` — keeping ≥ 2 gives
+    in-flight readers of the previous snapshot time travel for free,
+    the same reason Delta vacuums lazily. Single-writer assumption for
+    the version counter (concurrent writers could both produce v+1 and
+    the globbed max silently wins); multi-writer needs a conditional
+    put / lock exactly as Delta's commit protocol provides. If
+    ``delta-spark`` is installed this function is the one-call swap
+    point for a real ``DeltaTable.merge`` — the signature and
+    semantics match deliberately.
+    """
+    spark = new_rows.sparkSession
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    batch = (
+        new_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    snaps = _committed_snapshots(spark, table_root)
+    if snaps:
+        version, head = snaps[-1]
+        current = spark.read.parquet(head)
+        untouched = current.join(
+            batch.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = batch.unionByName(untouched)
+    else:
+        version, merged = 0, batch
+    new_path = f"{table_root}/snap_{version + 1:010d}"
+    merged.write.parquet(new_path)  # _SUCCESS written last = commit
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(table_root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for old_v, old_path in _committed_snapshots(spark, table_root)[
+        : -max(keep_snapshots, 1)
+    ]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), True)
+    return spark.read.parquet(new_path)
 
 
 def append_report(spark: SparkSession, path: str, lines: list[str]) -> None:

@@ -1,0 +1,96 @@
+"""Managed-table MERGE sink (S3 variant 3): copy-on-write snapshots
+with an atomic _SUCCESS commit point — matched keys UPDATE, unmatched
+INSERT, re-runs content-idempotent. The Delta/Iceberg MERGE contract
+(SURVEY §2.1 S3, my_dag.py:196-205's true-upsert shape) without a
+table-format package; merge_parquet is the documented one-call swap
+point for DeltaTable.merge when delta-spark is on the classpath."""
+
+from __future__ import annotations
+
+from echem_dft_etl_spark.sources.sinks import (
+    _committed_snapshots,
+    merge_parquet,
+    upsert_parquet,
+)
+
+
+def _rows(df):
+    return {r.MP_id: r.pzc for r in df.collect()}
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "MP_id string, pzc double")
+
+
+def test_merge_updates_matched_and_inserts_unmatched(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t1 = merge_parquet(
+        _mk(spark, [("a", 1.0), ("b", 2.0)]), root, ["MP_id"], "pzc"
+    )
+    assert _rows(t1) == {"a": 1.0, "b": 2.0}
+    # batch 2: 'b' matched -> UPDATED (not skipped), 'c' -> inserted
+    t2 = merge_parquet(
+        _mk(spark, [("b", 9.0), ("c", 3.0)]), root, ["MP_id"], "pzc"
+    )
+    assert _rows(t2) == {"a": 1.0, "b": 9.0, "c": 3.0}
+
+
+def test_merge_vs_upsert_conflict_semantics(spark, tmp_path):
+    """The two S3 variants differ exactly on matched keys: DO NOTHING
+    keeps the incumbent, MERGE takes the batch."""
+    mroot, uroot = str(tmp_path / "m"), str(tmp_path / "u")
+    first = _mk(spark, [("k", 1.0)])
+    second = _mk(spark, [("k", 2.0)])
+    merge_parquet(first, mroot, ["MP_id"], "pzc")
+    upsert_parquet(first, uroot, ["MP_id"], "pzc")
+    assert _rows(merge_parquet(second, mroot, ["MP_id"], "pzc")) == {"k": 2.0}
+    assert _rows(upsert_parquet(second, uroot, ["MP_id"], "pzc")) == {"k": 1.0}
+
+
+def test_merge_rerun_is_content_idempotent(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    batch = _mk(spark, [("a", 1.0), ("a", 5.0), ("b", 2.0)])
+    r1 = _rows(merge_parquet(batch, root, ["MP_id"], "pzc"))
+    # within-batch first-wins: lowest order_col survives per key
+    assert r1 == {"a": 1.0, "b": 2.0}
+    r2 = _rows(merge_parquet(batch, root, ["MP_id"], "pzc"))
+    assert r2 == r1
+
+
+def test_merge_snapshot_retention_and_reader_isolation(spark, tmp_path):
+    """keep_snapshots=2 retains the previous snapshot, so a frame read
+    before a merge still resolves after it commits; older snapshots are
+    vacuumed."""
+    root = str(tmp_path / "tbl")
+    merge_parquet(_mk(spark, [("a", 1.0)]), root, ["MP_id"], "pzc")
+    before = spark.read.parquet(
+        _committed_snapshots(spark, root)[-1][1]
+    )
+    merge_parquet(_mk(spark, [("b", 2.0)]), root, ["MP_id"], "pzc")
+    merge_parquet(_mk(spark, [("c", 3.0)]), root, ["MP_id"], "pzc")
+    snaps = _committed_snapshots(spark, root)
+    assert len(snaps) == 2, "older snapshots must be vacuumed"
+    assert [v for v, _ in snaps] == [2, 3]
+    # the pre-merge reader pinned snapshot 1 files... which are gone;
+    # but the keep=2 window means a reader of snapshot 2 (the previous
+    # head) still works after the third merge:
+    prev = spark.read.parquet(snaps[0][1])
+    assert _rows(prev) == {"a": 1.0, "b": 2.0}
+    assert _rows(spark.read.parquet(snaps[1][1])) == {"a": 1.0, "b": 2.0, "c": 3.0}
+    del before
+
+
+def test_crashed_write_is_invisible(spark, tmp_path):
+    """A snap dir without _SUCCESS (crashed writer) must not be read
+    and must not advance the version counter to readers."""
+    root = str(tmp_path / "tbl")
+    merge_parquet(_mk(spark, [("a", 1.0)]), root, ["MP_id"], "pzc")
+    torn = tmp_path / "tbl" / "snap_0000000099"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"not parquet")
+    snaps = _committed_snapshots(spark, str(root))
+    assert [v for v, _ in snaps] == [1]
+    # next merge versions off the COMMITTED max (v1 -> v2); the torn
+    # uncommitted dir neither advances the counter nor feeds the merge
+    t = merge_parquet(_mk(spark, [("b", 2.0)]), str(root), ["MP_id"], "pzc")
+    assert _rows(t) == {"a": 1.0, "b": 2.0}
