@@ -98,13 +98,14 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def refine(
+def assignments(
     emb: DataFrame, k: int = 8, rounds: int = 1
 ) -> DataFrame:
-    """k-means refinement: deterministic init (lowest vec_ids), then
-    ``rounds`` Lloyd rounds, returning the final per-cell summary
-    (n_members, integer id-checksum) — exact in any engine.
-    """
+    """(vec_id, cell): final cluster assignment after ``rounds`` Lloyd
+    rounds from the deterministic init (lowest ``k`` vec_ids seed the
+    centroids) — the reusable half of :func:`refine`, consumed by
+    cluster-scoped operators like SemDeDup
+    (similarity.py::semdedup)."""
     points = emb.select(
         "vec_id", quantize_micro(F.col("embedding")).alias("qv")
     )
@@ -120,7 +121,17 @@ def refine(
     for _ in range(rounds):
         cent_arr = update_centroids(assigned)
         assigned = assign(points, cent_arr)
-    return assigned.groupBy("cell").agg(
+    return assigned.select("vec_id", "cell")
+
+
+def refine(
+    emb: DataFrame, k: int = 8, rounds: int = 1
+) -> DataFrame:
+    """k-means refinement: deterministic init (lowest vec_ids), then
+    ``rounds`` Lloyd rounds, returning the final per-cell summary
+    (n_members, integer id-checksum) — exact in any engine.
+    """
+    return assignments(emb, k, rounds).groupBy("cell").agg(
         F.count("*").alias("n_members"),
         F.sum("vec_id").alias("sum_vec_ids"),
     )

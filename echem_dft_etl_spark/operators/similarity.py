@@ -872,3 +872,63 @@ def lsh_near_pairs(
     return scored_clean.unionByName(scored_dirty).filter(
         F.col("cosine") >= threshold
     )
+
+
+def semdedup(
+    emb: DataFrame, k: int = 8, rounds: int = 1, threshold: float = 0.4
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    the embedding space, then drop within-cluster near-duplicates —
+    the embedding-side analogue of MinHash-LSH, and the standard way
+    LLM pipelines remove SEMANTIC redundancy exact/fuzzy text dedup
+    cannot see.
+
+    Contract (deterministic, engine-portable): a vector is dropped iff
+    some LOWER-id vector in the SAME cell has cosine ≥ ``threshold``
+    with it — the first-wins convention applied pairwise (no
+    transitive closure: chains where the dominator was itself dropped
+    still drop the dominated row; the cheaper one-pass contract, and
+    the one the oracle states verbatim). Returns every input id with
+    ``(vec_id, cell, n_dominators, is_kept)`` so both the survivor
+    set and the drop evidence are value-checkable.
+
+    Scale shape: clustering is the broadcast-argmin assignment of
+    ``kmeans.assignments`` (one narrow shuffle per Lloyd round); the
+    pair stage is an equi-join on ``cell`` — quadratic ONLY within a
+    cell, which is the SemDeDup design point: k grows with corpus size
+    (production runs use 10⁴-10⁵ clusters) precisely so cells stay
+    small enough for in-cell comparison. Skewed cells split under AQE
+    like any equi-join. Scores use the same dimension-ordered
+    double fold as every cosine in this module, so the DuckDB oracle
+    reproduces them bit-for-bit.
+    """
+    from .kmeans import assignments
+
+    asg = assignments(emb, k, rounds)
+    pts = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    a = pts.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"), "cell"
+    )
+    b = pts.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"), "cell"
+    )
+    denom = l2_norm(F.col("a_emb")) * l2_norm(F.col("b_emb"))
+    cos = F.when(denom != 0, dot(F.col("a_emb"), F.col("b_emb")) / denom)
+    dom = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= F.lit(threshold))
+        .groupBy("b")
+        .agg(F.count("*").alias("n_dominators"))
+    )
+    return (
+        pts.join(dom, pts["vec_id"] == dom["b"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_dominators", F.lit(0)).cast("bigint").alias(
+                "n_dominators"
+            ),
+            F.col("n_dominators").isNull().alias("is_kept"),
+        )
+    )

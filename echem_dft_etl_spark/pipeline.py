@@ -86,6 +86,31 @@ def stratified_sample_by_hash(
     )
 
 
+def mixture_sample_by_weight(
+    df: DataFrame, weight_ppm: Column, key: str, seed: int = 27
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling: keep a row iff
+    ``hash(key, seed) mod 10⁶ < weight_ppm`` — the data-MIXING
+    primitive (per-domain reweighting of an LLM training mix, e.g.
+    up-sample curated sources / down-sample web crawl).
+
+    ``weight_ppm`` is an integer column (parts-per-million survival
+    rate), so the whole decision is integer arithmetic — no float
+    weight can round differently across engines. Properties that
+    matter at 100 TB: a pure per-row pushed filter (zero shuffles,
+    zero state; the expected surviving fraction per group is
+    weight_ppm/10⁶ with binomial concentration), and the SAME key set
+    survives on any engine, any partitioning, any re-run — unlike
+    ``df.sample()``, whose selection is partition-order dependent.
+    Complements :func:`stratified_sample_by_hash` (exact quotas, needs
+    a per-stratum order) when quotas may be approximate but the corpus
+    is too large to rank.
+    """
+    return df.filter(
+        F.pmod(det_hash_i64(F.col(key), seed), F.lit(1_000_000)) < weight_ppm
+    )
+
+
 def split_assign(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) by key hash —
     a pure projection (the split survives any re-partitioning, re-run,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .functions.hashing import KNUTH, MERSENNE31, MOD32
+from .functions.hashing import KNUTH, MERSENNE31, MOD32, duckdb_det_hash_i64
 from .operators import dedup, similarity, textstats
 from .registry import _register, _ld
 
@@ -665,6 +665,49 @@ def d15_decontaminate(spark, sf_dir):
     return dedup.decontaminate(train, evals, shingle_n=5)
 
 
+#: Mixture weights as pure INTEGER ppm — survival rate per source
+#: bucket, {0.1, 0.3, 0.5, 0.7, 0.9} over source index mod 5. Integer
+#: end-to-end so no float weight can round differently across engines.
+_MIX_W_SQL = (
+    "(100000 + 200000 * (CAST(SUBSTR(source, 4) AS BIGINT) % 5))"
+)
+
+
+@_register(
+    "d17_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({_MIX_W_SQL} AS BIGINT) AS weight_ppm
+    FROM documents
+    WHERE {duckdb_det_hash_i64('doc_id', 27)} % 1000000 < {_MIX_W_SQL}
+    """,
+    survey_ids=("Q11",),
+)
+def d17_mixture_sample(spark, sf_dir):
+    """Deterministic data-MIXING sample: each source keeps an integer
+    ppm fraction of its documents ({{0.1 .. 0.9}} by source index mod
+    5), decided per row by the engine's multiplicative key hash — the
+    domain-reweighting step of an LLM training mix (up-sample curated
+    sources, down-sample crawl), as a pure pushed filter with zero
+    shuffles and the same surviving key set on any engine / any
+    partitioning / any re-run. pipeline.py::mixture_sample_by_weight.
+    """
+    from .pipeline import mixture_sample_by_weight
+
+    docs = _ld(spark, sf_dir, "documents")
+    w = (
+        F.lit(100000)
+        + F.lit(200000)
+        * F.pmod(F.substring(F.col("source"), 4, 8).cast("bigint"), F.lit(5))
+    )
+    return mixture_sample_by_weight(
+        docs.select("doc_id", "source", w.cast("bigint").alias("weight_ppm")),
+        F.col("weight_ppm"),
+        "doc_id",
+        seed=27,
+    )
+
+
 # =====================================================================
 # Similarity search (X12 + LLM ops)
 # =====================================================================
@@ -986,15 +1029,17 @@ def _sqd_sql(qv: str, cv: str) -> str:
 
 _KM_K = 8
 
-
-@_register(
-    "s12_kmeans_refine",
-    oracle=f"""
-    WITH p AS (SELECT vec_id,
-                      list_transform(embedding,
-                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
-                                     AS BIGINT)) AS qv
-               FROM embeddings),
+#: Shared CTE chain: quantized points → deterministic init → one Lloyd
+#: round → final assignment ``asg1(vec_id, cell)``. Mirrors
+#: kmeans.assignments(k=_KM_K, rounds=1) bit-for-bit; reused by the
+#: kmeans summary AND the SemDeDup oracle so both stay one source of
+#: truth for the clustering arithmetic.
+_KM_ASG1_CTE = f"""
+    p AS (SELECT vec_id,
+                 list_transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS qv
+          FROM embeddings),
     c0 AS (SELECT vec_id AS cent_id,
                   list_transform(qv, v -> CAST(v AS DOUBLE)) AS c_vec
            FROM p WHERE vec_id < {_KM_K}),
@@ -1023,7 +1068,13 @@ _KM_K = 8
                   ROW_NUMBER() OVER (PARTITION BY vec_id
                        ORDER BY d ASC, cent_id ASC) AS rk
            FROM d1),
-    asg1 AS (SELECT vec_id, cell FROM r1 WHERE rk = 1)
+    asg1 AS (SELECT vec_id, cell FROM r1 WHERE rk = 1)"""
+
+
+@_register(
+    "s12_kmeans_refine",
+    oracle=f"""
+    WITH {_KM_ASG1_CTE}
     SELECT cell, COUNT(*) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
     FROM asg1 GROUP BY cell
@@ -1040,6 +1091,39 @@ def s12_kmeans_refine(spark, sf_dir):
     from .operators.kmeans import refine
 
     return refine(_ld(spark, sf_dir, "embeddings"), k=_KM_K, rounds=1)
+
+
+@_register(
+    "d16_semdedup",
+    oracle=f"""
+    WITH {_KM_ASG1_CTE},
+    pts AS (SELECT a.vec_id, a.cell, e.embedding
+            FROM asg1 a JOIN embeddings e ON e.vec_id = a.vec_id),
+    pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+           FROM pts x JOIN pts y
+             ON x.cell = y.cell AND x.vec_id < y.vec_id
+           WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= 0.4),
+    dom AS (SELECT b AS vec_id, COUNT(*) AS n_dominators FROM pr GROUP BY b)
+    SELECT t.vec_id, t.cell,
+           CAST(coalesce(d.n_dominators, 0) AS BIGINT) AS n_dominators,
+           d.vec_id IS NULL AS is_kept
+    FROM pts t LEFT JOIN dom d ON d.vec_id = t.vec_id
+    """,
+    survey_ids=("X11", "X12"),
+)
+def d16_semdedup(spark, sf_dir):
+    """Semantic deduplication (SemDeDup): k-means the embedding space
+    (same deterministic clustering as s12_kmeans_refine — the oracle
+    reuses the identical CTE chain), then drop any vector dominated by
+    a lower-id vector with cosine ≥ 0.4 in the SAME cell. The
+    embedding-side near-dup family member exact/fuzzy TEXT dedup can't
+    express: paraphrases and re-encodings cluster together even when
+    they share no n-grams. In-cell pairing is the SemDeDup design
+    point — k grows with the corpus so cells stay small.
+    operators/similarity.py::semdedup."""
+    return similarity.semdedup(
+        _ld(spark, sf_dir, "embeddings"), k=_KM_K, rounds=1, threshold=0.4
+    )
 
 
 @_register(

@@ -165,8 +165,12 @@ def test_engine_wide_plan_hygiene(spark):
     # static-plan budgets above the default: the df-cut window in d14
     # sits below the shingle index's four consumers (sa, sb, sizes ×2),
     # so its one exchange+window prints four times in the static plan
-    # (AQE stage reuse collapses them at runtime)
-    exchange_budget = {"d14_ngram_jaccard": 12}
+    # (AQE stage reuse collapses them at runtime); d16's k-means
+    # assignment subtree (~5 exchanges: posexplode groupBy, centroid
+    # re-agg, cell join) likewise prints three times — pair-left,
+    # pair-right, and the final keep-verdict join all consume the same
+    # (vec_id, cell) lineage
+    exchange_budget = {"d14_ngram_jaccard": 12, "d16_semdedup": 18}
     window_budget = {"d14_ngram_jaccard": 4}
     offenders = []
     for name, spec in sorted(all_queries().items()):

@@ -488,3 +488,64 @@ def test_lsh_near_pairs_nan_and_zero_norm_contract(spark):
     for k in exact:
         assert not (2 in k and 3 not in k), exact
     assert pruned == exact
+
+
+def test_semdedup_drops_planted_semantic_twins(spark):
+    """SemDeDup contract on a constructed corpus: clones of a vector
+    (same direction, any magnitude) land in the same k-means cell and
+    every clone with a lower-id twin is dropped; isolated vectors
+    survive. Also pins the pairwise (non-transitive) domination
+    contract: a vector is dropped iff a LOWER-id same-cell vector has
+    cosine >= threshold with it, regardless of whether that dominator
+    was itself dropped."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    # ids 100..104: scaled clones of vector 3 (cosine exactly ~1)
+    for j in range(5):
+        rows.append(
+            (100 + j, [float(x * (1.0 + 0.1 * j)) for x in base[3]])
+        )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(emb, k=4, rounds=1, threshold=0.99).collect()}
+    assert len(out) == 45, "every input id must come back with a verdict"
+    clone_cells = {out[i].cell for i in (3, 100, 101, 102, 103, 104)}
+    assert len(clone_cells) == 1, "clones of one direction must co-cluster"
+    assert out[3].is_kept, "lowest-id twin survives"
+    for j in range(5):
+        assert not out[100 + j].is_kept, "higher-id clones are dropped"
+        assert out[100 + j].n_dominators >= 1
+    # dropped set is exactly the clones at this threshold (0.99 is far
+    # above any cosine between independent 16-dim gaussians here)
+    assert {v for v, r in out.items() if not r.is_kept} == {100, 101, 102, 103, 104}
+
+
+def test_mixture_sample_rate_and_determinism(spark):
+    """Weighted sampling keeps ~weight_ppm/1e6 of each group (binomial
+    tolerance) and selects an identical key set on re-run and under a
+    different partitioning."""
+    from echem_dft_etl_spark.pipeline import mixture_sample_by_weight
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 250_000).otherwise(750_000).alias("w"),
+    )
+    kept = mixture_sample_by_weight(df, F.col("w"), "k", seed=5)
+    rates = {
+        r.w: r.n / 10_000
+        for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates[250_000] - 0.25) < 0.02
+    assert abs(rates[750_000] - 0.75) < 0.02
+    ids1 = sorted(r.k for r in kept.collect())
+    ids2 = sorted(
+        r.k
+        for r in mixture_sample_by_weight(
+            df.repartition(7), F.col("w"), "k", seed=5
+        ).collect()
+    )
+    assert ids1 == ids2
