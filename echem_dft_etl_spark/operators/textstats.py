@@ -181,6 +181,84 @@ def repetition_stats(docs: DataFrame, max_dup_2gram_frac: float = 0.2) -> DataFr
     )
 
 
+#: Default composite-gate thresholds (C4/Gopher-rule shapes, tuned to
+#: produce a meaningful keep/drop mix on the test corpus; production
+#: corpora retune them — they are declared parameters, not constants).
+GATE_MIN_TOKENS = 30
+GATE_MAX_TOKENS = 10_000
+GATE_MIN_AVG_TOKEN_LEN = 3.0
+GATE_MAX_AVG_TOKEN_LEN = 5.0
+GATE_MAX_DUP_2GRAM_FRAC = 0.05
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = GATE_MIN_TOKENS,
+    max_tokens: int = GATE_MAX_TOKENS,
+    min_avg_len: float = GATE_MIN_AVG_TOKEN_LEN,
+    max_avg_len: float = GATE_MAX_AVG_TOKEN_LEN,
+    max_dup_2gram: float = GATE_MAX_DUP_2GRAM_FRAC,
+) -> DataFrame:
+    """The COMPOSITE filter chain of a C4/Gopher-style cleaning
+    pipeline as ONE declarative pass: language identified, length
+    bounds, mean-token-length bounds (the 'gibberish' rule), and the
+    duplicate-2-gram repetition cut, each emitted as its own boolean
+    so downstream analysis can attribute drops per rule, plus the
+    conjunction ``keep``.
+
+    This is how the individual t13 operators compose in production:
+    one scan, one projection chain over a single materialized token
+    array (the ``_toked`` discipline — no per-rule re-tokenization),
+    zero shuffles at any scale. Documents failing language ID
+    (``und`` — e.g. the zh slice against the de/en/es/fr stopword
+    lists) fail the gate, mirroring how a real pipeline quarantines
+    unidentifiable text rather than silently keeping it.
+    """
+    toks = F.col("toks")
+    n_tok = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    avg_len = F.when(
+        n_tok > 0, sum_len.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    g2 = word_ngrams(toks, 2)
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(g2)).cast("double")
+        / F.size(g2).cast("double"),
+    ).otherwise(F.lit(0.0))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[_stop_hits(toks, l) for l in langs])
+    signals = _toked(docs).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        dup2.alias("dup_2gram_frac"),
+        (best > 0).alias("pass_lang"),
+    )
+    gated = signals.select(
+        "*",
+        F.col("n_tokens").between(min_tokens, max_tokens).alias("pass_length"),
+        F.col("avg_token_len")
+        .between(min_avg_len, max_avg_len)
+        .alias("pass_word_len"),
+        (F.col("dup_2gram_frac") <= F.lit(max_dup_2gram)).alias(
+            "pass_repetition"
+        ),
+    )
+    return gated.withColumn(
+        "keep",
+        F.col("pass_lang")
+        & F.col("pass_length")
+        & F.col("pass_word_len")
+        & F.col("pass_repetition"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive content fingerprint (LLM-pipeline op): a
     positional polynomial over token hashes,

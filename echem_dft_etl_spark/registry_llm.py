@@ -635,6 +635,58 @@ def t13_repetition(spark, sf_dir):
 
 
 @_register(
+    "t13_quality_gate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(toks) > 0
+                      THEN CAST(coalesce(list_sum(list_transform(toks,
+                               x -> length(x))), 0) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len,
+                 CASE WHEN len(toks) > 1
+                      THEN CAST(1.0 AS DOUBLE)
+                           - CAST(len(list_distinct(list_transform(
+                                 range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])))
+                               AS DOUBLE)
+                             / CAST(len(toks) - 1 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+                 {_BEST} > 0 AS pass_lang
+          FROM (SELECT doc_id, toks,
+                       {", ".join(f"{_stop_list_sql(l)} AS hits_{l}" for l in _LANGS)}
+                FROM t))
+    SELECT doc_id, n_tokens, avg_token_len, dup_2gram_frac, pass_lang,
+           n_tokens BETWEEN {textstats.GATE_MIN_TOKENS}
+                        AND {textstats.GATE_MAX_TOKENS} AS pass_length,
+           avg_token_len BETWEEN {textstats.GATE_MIN_AVG_TOKEN_LEN}
+                             AND {textstats.GATE_MAX_AVG_TOKEN_LEN}
+             AS pass_word_len,
+           dup_2gram_frac <= {textstats.GATE_MAX_DUP_2GRAM_FRAC}
+             AS pass_repetition,
+           pass_lang
+             AND (n_tokens BETWEEN {textstats.GATE_MIN_TOKENS}
+                               AND {textstats.GATE_MAX_TOKENS})
+             AND (avg_token_len BETWEEN {textstats.GATE_MIN_AVG_TOKEN_LEN}
+                                    AND {textstats.GATE_MAX_AVG_TOKEN_LEN})
+             AND dup_2gram_frac <= {textstats.GATE_MAX_DUP_2GRAM_FRAC}
+             AS keep
+    FROM s
+    """,
+    survey_ids=("X13",),
+)
+def t13_quality_gate(spark, sf_dir):
+    """The COMPOSITE cleaning gate (C4/Gopher rule chain) in one pass:
+    language-ID, token-count bounds, mean-token-length bounds, and the
+    duplicate-2-gram repetition cut — per-rule booleans plus the
+    conjunction, one scan, zero shuffles. The production composition
+    of the individual t13 operators.
+    operators/textstats.py::quality_gate."""
+    return textstats.quality_gate(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
     "d15_decontaminate",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -549,3 +549,25 @@ def test_mixture_sample_rate_and_determinism(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_semdedup_zero_norm_contract(spark):
+    """Zero-norm vectors have undefined cosine: the kernel's guarded
+    division yields NULL, NULL >= threshold is never true, so a zero
+    vector neither dominates nor is dominated — it clusters and
+    survives. Pins the Spark-side contract explicitly (the natural
+    corpus has no zero vectors, so oracle parity can't cover this)."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 8))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((50, [0.0] * 8))
+    rows.append((51, [0.0] * 8))  # two zero vectors: still no pair
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(emb, k=4, rounds=1, threshold=0.5).collect()}
+    assert len(out) == 22
+    assert out[50].is_kept and out[51].is_kept
+    assert out[50].n_dominators == 0 and out[51].n_dominators == 0

@@ -178,6 +178,55 @@ def test_foreachbatch_streaming_upsert(spark, tmp_path):
     assert after == got
 
 
+def test_foreachbatch_streaming_merge_updates(spark, tmp_path):
+    """Streaming MERGE: micro-batches land through merge_parquet via
+    foreachBatch — CDC-style continuous upsert where later batches
+    UPDATE matched keys (the semantics upsert_parquet's DO-NOTHING
+    refuses, test above). Batch 2's re-write of key 2 must win, and a
+    full bounded replay must be content-idempotent."""
+    from echem_dft_etl_spark.sources.sinks import merge_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id bigint, val double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame([(2, 99.0), (3, 3.0)], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    table = str(tmp_path / "tbl")
+
+    def run_once(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _id: merge_parquet(
+                    batch, table, key_cols=["event_id"], order_col="val"
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once("ckpt1")
+    from echem_dft_etl_spark.sources.sinks import _committed_snapshots
+
+    head = _committed_snapshots(spark, table)[-1][1]
+    got = {r.event_id: r.val for r in spark.read.parquet(head).collect()}
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0}  # batch 2 UPDATED key 2
+    run_once("ckpt2")  # full replay from a fresh checkpoint
+    head = _committed_snapshots(spark, table)[-1][1]
+    after = {r.event_id: r.val for r in spark.read.parquet(head).collect()}
+    assert after == got
+
+
 def test_foreachbatch_multibatch_incremental_upsert(spark, tmp_path):
     """Genuine multi-micro-batch incremental upsert: the source is split
     into 4 files streamed one per trigger (maxFilesPerTrigger=1), each
