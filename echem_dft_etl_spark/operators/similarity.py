@@ -740,7 +740,16 @@ def lsh_near_pairs(
     # to the banded explode. Measured at sf0.1 (5e3 vectors, identical
     # 4017-candidate output): narrow+distinct 1.03 s vs wide+first-band
     # 1.26 s median-of-3 — already faster where shuffle volume barely
-    # matters, and the gap is wire-proportional at cluster scale. The embeddings rejoin by id just before
+    # matters, and the gap is wire-proportional at cluster scale.
+    # Density caveat (measured, scripts/scale_probe.py K=4): a TRUE
+    # near-dup pair agrees on ~every band, so the distinct ingests
+    # ~n_bands narrow rows per dup pair — at the probe's adversarial
+    # density (6 cos-1.0 copies per vector → 12k dup pairs × 64 bands
+    # ≈ 0.8M 16-byte rows) that costs ~1s over the first-band shape's
+    # emit-once. The trade only inverts when dup pairs × n_bands
+    # approaches corpus_rows × n_bands — i.e. when most of the corpus
+    # is one duplicate cluster — while the narrow join saves ~28× on
+    # the banded stream EVERY corpus pays in full. The embeddings rejoin by id just before
     # the verify, and the exact scoring runs in the Arrow kernel below
     # rather than as an interpreted per-row higher-order fold (measured
     # 5.0 s -> 2.4 s at sf0.1, where ~2e5 candidates survive banding;

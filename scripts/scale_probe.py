@@ -30,6 +30,17 @@ Measured (K=4: 20k docs / 8k vectors, local[32], 24g heap; r3 re-run):
                         of ~400k — and took 13.6s; spherically
                         symmetric planes restore the 1-theta/pi bit
                         agreement the banding math assumes)
+                        r4 re-run: 3.5s with the NARROW banded join
+                        (ids only, distinct over the candidate
+                        stream) on a host running the other probes
+                        ~1.5-2x faster than r3 — the planted
+                        all-cos-1.0 density is the distinct's worst
+                        case (every dup pair arrives x64 bands ≈
+                        0.8M 16-byte rows, still ~12MB); the narrow
+                        shape wins everywhere duplicate mass is a
+                        minority because it strips ~512B of sig
+                        arrays from EVERY banded row (28x wire on
+                        the dominant stream; see similarity.py)
   d14_ngram_jaccard     34.1k pairs    13.0s  (df cap bounds the
                         posting-list blowup from 4x duplication)
   d12_dup_clusters      20k labels     22.8s  (4x duplication fattens
