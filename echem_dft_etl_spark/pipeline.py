@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.hashing import det_hash_i64, det_hash_str
+from .functions.hashing import MOD32, det_hash_i64, det_hash_str
 from .operators import echem
 from .operators.pipe import pipe_solver_stub
 from .operators.udfs import serialize_run_expr
@@ -83,6 +83,50 @@ def stratified_sample_by_hash(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_h", "_rn")
+    )
+
+
+def stratified_sample_threshold(
+    df: DataFrame,
+    strata: list[str],
+    key: str,
+    n_per_stratum: int,
+    seed: int,
+) -> DataFrame:
+    """The GIANT-STRATUM form of :func:`stratified_sample_by_hash`:
+    approximately ``n_per_stratum`` rows per stratum WITHOUT a
+    per-stratum total order.
+
+    The exact form ranks every stratum with ``row_number`` — one task
+    per stratum, which is exactly right until one stratum holds a
+    trillion rows and that task becomes the job. Here the per-stratum
+    hash CUTOFF is computed instead: the multiplicative key hash is
+    uniform on [0, 2³²), so keeping ``h < (n/stratum_size)·2³²``
+    selects ~n rows. One count-only aggregation (map-side partial),
+    the tiny per-stratum cutoff table broadcast back, one per-row
+    filter — two linear passes, no windows, no per-stratum
+    serialization point. The price is approximate per-stratum counts
+    (binomial around n); a non-uniform scoring column would use an
+    ``approx_percentile`` sketch for the cutoff instead, same shape.
+
+    Determinism: re-runs select the SAME rows, and because selection
+    is a hash-value PREFIX (h below cutoff), the selected set is also
+    stable under stratum growth except at the moving cutoff boundary
+    — a property the rank-based exact form does not have. Strata at or
+    below ``n_per_stratum`` rows keep everything (fraction clamps to
+    1), matching the exact form's min(n, size). Tested against the
+    exact form in tests/test_properties.py.
+    """
+    h = det_hash_i64(F.col(key), seed)
+    hashed = df.withColumn("_h", h)
+    cuts = hashed.groupBy(*strata).agg(F.count("*").alias("_n"))
+    cut = F.least(
+        F.lit(float(MOD32)),
+        F.lit(float(n_per_stratum)) / F.col("_n").cast("double") * MOD32,
+    )
+    out = hashed.join(F.broadcast(cuts.select(*strata, cut.alias("_cut"))), strata)
+    return out.filter(F.col("_h").cast("double") < F.col("_cut")).drop(
+        "_h", "_cut"
     )
 
 

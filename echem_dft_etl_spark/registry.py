@@ -576,6 +576,40 @@ def q11_split_assign(spark, sf_dir):
 
 
 @_register(
+    "q11_threshold_sample",
+    oracle=f"""
+    WITH c AS (SELECT o_orderpriority, COUNT(*) AS n
+               FROM orders GROUP BY 1),
+    h AS (SELECT o_orderpriority, o_orderkey,
+                 {duckdb_det_hash_i64('o_orderkey', 11)} AS h
+          FROM orders)
+    SELECT h.o_orderpriority, h.o_orderkey
+    FROM h JOIN c USING (o_orderpriority)
+    WHERE CAST(h.h AS DOUBLE) <
+          least(CAST(4294967296 AS DOUBLE),
+                CAST(20 AS DOUBLE) / CAST(c.n AS DOUBLE) * 4294967296)
+    """,
+    survey_ids=("Q11",),
+)
+def q11_threshold_sample(spark, sf_dir):
+    """The GIANT-STRATUM threshold sampler: ~20 orders per priority via
+    a per-stratum hash cutoff (count-agg → broadcast cutoffs → pushed
+    per-row filter) — no per-stratum total order, so no single-task
+    stratum bottleneck at 100 TB; approximate counts are the declared
+    trade vs q11_stratified_sample's exact ranks. The cutoff arithmetic
+    (one double division and multiply) is replayed verbatim in the
+    oracle, so the selected row SET is engine-exact even though the
+    count is binomial. pipeline.py::stratified_sample_threshold."""
+    o = _ld(spark, sf_dir, "orders")
+    from .pipeline import stratified_sample_threshold
+
+    return stratified_sample_threshold(
+        o.select("o_orderpriority", "o_orderkey"),
+        ["o_orderpriority"], "o_orderkey", 20, seed=11,
+    )
+
+
+@_register(
     "q12_det_pick_one",
     oracle=f"""
     SELECT o_orderkey, o_custkey, o_orderstatus

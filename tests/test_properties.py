@@ -571,3 +571,48 @@ def test_semdedup_zero_norm_contract(spark):
     assert len(out) == 22
     assert out[50].is_kept and out[51].is_kept
     assert out[50].n_dominators == 0 and out[51].n_dominators == 0
+
+
+def test_stratified_threshold_tracks_exact_form(spark):
+    """The giant-stratum threshold sampler must (a) select a subset
+    determined purely by hash value, identical across re-runs and
+    partitionings, (b) land within binomial tolerance of the target
+    per-stratum n, and (c) degenerate to keep-everything for strata at
+    or below n — the same min(n, size) contract as the exact form."""
+    from echem_dft_etl_spark.pipeline import (
+        stratified_sample_by_hash,
+        stratified_sample_threshold,
+    )
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(3))).alias("g"),
+    )
+    # add a tiny stratum (7 rows) that must survive whole
+    tiny = spark.range(7).select(
+        (F.col("id") + 1_000_000).alias("k"), F.lit("tiny").alias("g")
+    )
+    df = df.unionByName(tiny)
+    got = stratified_sample_threshold(df, ["g"], "k", 200, seed=13)
+    counts = {r.g: r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["tiny"] == 7
+    for g in ("s0", "s1", "s2"):  # 10k rows, target 200, ±4 sigma ≈ 56
+        assert abs(counts[g] - 200) < 60, (g, counts[g])
+    ids1 = sorted(r.k for r in got.collect())
+    ids2 = sorted(
+        r.k
+        for r in stratified_sample_threshold(
+            df.repartition(11), ["g"], "k", 200, seed=13
+        ).collect()
+    )
+    assert ids1 == ids2
+    # same universe as the exact form: the threshold picks hash-small
+    # rows, the exact form the hash-smallest — overlap must be high
+    # (every threshold-selected row whose h is among the stratum's 200
+    # smallest is in the exact sample by construction)
+    exact = {
+        r.k for r in stratified_sample_by_hash(df, ["g"], "k", 200, seed=13).collect()
+    }
+    thr = set(ids1)
+    inter = len(exact & thr)
+    assert inter > 0.7 * min(len(exact), len(thr)), (len(exact), len(thr), inter)
