@@ -149,22 +149,15 @@ def minhash_signatures_from_arrays(
     return hashed.select("doc_id", *lanes)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    n_bands: int = N_BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
+def _band_entries(
+    sigs: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH band.
-
-    Bands are (band_index, concatenated-row-values) keys; the self-join
-    on the band key only compares documents inside a bucket. At scale
-    this is the standard banded-LSH equi-join: shuffle on band key,
-    quadratic only within buckets.
+    """(doc_id, band, band_key): the banded signature keys.
 
     The k-way band expansion is ONE generator (explode of a k-element
     struct array), not a union of k selects — a union would plant k
     copies of the signature lineage in the plan and recompute it k
-    times per side of the self-join.
+    times per consumer.
     """
     entries = F.array(
         *[
@@ -181,9 +174,24 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(entries).alias("e")).select(
+    return sigs.select("doc_id", F.explode(entries).alias("e")).select(
         "doc_id", "e.band", "e.band_key"
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    Bands are (band_index, concatenated-row-values) keys; the self-join
+    on the band key only compares documents inside a bucket. At scale
+    this is the standard banded-LSH equi-join: shuffle on band key,
+    quadratic only within buckets.
+    """
+    bands = _band_entries(sigs, n_bands, rows_per_band)
     left = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
     right = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
     return (
@@ -553,3 +561,74 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) ->
         )
         .select("a", "b", "hamming")
     )
+
+
+def near_dups_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: for each document in a (small)
+    incoming ``batch``, the documents in the (huge) existing ``corpus``
+    with exact Jaccard ≥ ``threshold`` — the daily-ingest shape of
+    every production dedup pipeline, where re-running all-pairs over
+    the full corpus per ingest would be absurd.
+
+    The asymmetry is the scale story: signatures and band keys are
+    computed on BOTH sides with the same constants (so this composes
+    with a STORED corpus signature table — at 100 TB you persist
+    signatures once and only the batch side is computed per ingest),
+    but the candidate equi-join BROADCASTS the batch's banded keys:
+    the corpus side streams map-side, zero corpus shuffle for
+    candidate generation. Only candidates (batch_id, corpus_id) and
+    the shingle rows needed for exact verification shuffle. Output
+    columns: (batch_id, corpus_id, n_inter, nb, nc, jaccard).
+
+    Each (batch, corpus) pair is emitted once (``distinct`` over the
+    narrow candidate stream, the same trade as lsh_near_pairs); the
+    verify stage is the standard intersection join, asymmetric too —
+    the batch side of the verify is small by construction.
+    """
+    n_perms = n_bands * rows_per_band
+    b_sh = doc_shingles(batch, shingle_n)
+    c_sh = doc_shingles(corpus, shingle_n)
+    b_bands = _band_entries(
+        minhash_signatures(b_sh, n_perms), n_bands, rows_per_band
+    ).select(F.col("doc_id").alias("batch_id"), "band", "band_key")
+    c_bands = _band_entries(
+        minhash_signatures(c_sh, n_perms), n_bands, rows_per_band
+    ).select(F.col("doc_id").alias("corpus_id"), "band", "band_key")
+    cands = (
+        c_bands.join(F.broadcast(b_bands), ["band", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    b_sizes = b_sh.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    c_sizes = c_sh.groupBy("doc_id").agg(F.count("*").alias("nc"))
+    sa = b_sh.select(F.col("doc_id").alias("batch_id"), "shingle")
+    sb = c_sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    inter = (
+        cands.join(sa, "batch_id")
+        .join(sb, ["corpus_id", "shingle"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            b_sizes.select(F.col("doc_id").alias("batch_id"), "nb"), "batch_id"
+        )
+        .join(
+            c_sizes.select(F.col("doc_id").alias("corpus_id"), "nc"),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("nb") + F.col("nc") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("batch_id", "corpus_id", "n_inter", "nb", "nc", "jaccard")

@@ -537,6 +537,53 @@ def d14_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "d18_incremental_dedup",
+    oracle=_minhash_cte()
+    + f""",
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    bb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+    cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+    cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+             FROM cb JOIN bb
+               ON cb.band = bb.band AND cb.band_key = bb.band_key),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.batch_id, c.corpus_id, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.batch_id
+              JOIN sh sb2 ON sb2.doc_id = c.corpus_id
+                         AND sb2.shingle = sa.shingle
+              GROUP BY c.batch_id, c.corpus_id)
+    SELECT i.batch_id, i.corpus_id, i.n_inter,
+           zb.n_sh AS nb, zc.n_sh AS nc,
+           CAST(i.n_inter AS DOUBLE)
+             / CAST(zb.n_sh + zc.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes zb ON zb.doc_id = i.batch_id
+    JOIN sizes zc ON zc.doc_id = i.corpus_id
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(zb.n_sh + zc.n_sh - i.n_inter AS DOUBLE) >= 0.5
+    """,
+    survey_ids=("X11",),
+)
+def d18_incremental_dedup(spark, sf_dir):
+    """INCREMENTAL near-dup: an incoming batch (doc_id % 10 = 7, the
+    daily-ingest slice) checked against the existing corpus (the rest)
+    — the production shape where all-pairs re-runs per ingest are
+    absurd. The batch's banded keys BROADCAST, so candidate generation
+    streams the corpus map-side with zero corpus shuffle; signatures
+    use the same constants on both sides, composing with a persisted
+    corpus signature table at scale.
+    operators/dedup.py::near_dups_against_corpus."""
+    docs = _ld(spark, sf_dir, "documents")
+    return dedup.near_dups_against_corpus(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+        threshold=0.5,
+    )
+
+
+@_register(
     "d13_simhash",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -616,3 +616,33 @@ def test_stratified_threshold_tracks_exact_form(spark):
     thr = set(ids1)
     inter = len(exact & thr)
     assert inter > 0.7 * min(len(exact), len(thr)), (len(exact), len(thr), inter)
+
+
+def test_incremental_dedup_finds_planted_batch_dup(spark):
+    """A batch document that duplicates a corpus document must surface
+    with jaccard 1.0; unrelated batch docs must not. Also pins the
+    asymmetric contract: within-batch and within-corpus pairs are NOT
+    emitted (that's the all-pairs operator's job)."""
+    from echem_dft_etl_spark.operators.dedup import near_dups_against_corpus
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different text about electrochemistry and solvation"),
+        (3, "another unrelated corpus document mentioning spark and parquet"),
+    ]
+    batch_rows = [
+        # exact content dup of corpus doc 1
+        (100, "the quick brown fox jumps over the lazy dog again and again"),
+        # duplicates ANOTHER BATCH doc (200/201) — must NOT be emitted
+        (200, "batch internal duplicate text that repeats verbatim here now"),
+        (201, "batch internal duplicate text that repeats verbatim here now"),
+        (300, "fresh novel content sharing nothing with the corpus at all"),
+    ]
+    schema = "doc_id bigint, text string"
+    out = near_dups_against_corpus(
+        spark.createDataFrame(batch_rows, schema),
+        spark.createDataFrame(corpus_rows, schema),
+        threshold=0.8,
+    ).collect()
+    pairs = {(r.batch_id, r.corpus_id): r.jaccard for r in out}
+    assert pairs == {(100, 1): 1.0}, pairs
