@@ -921,12 +921,21 @@ def semdedup(
     b = pts.select(
         F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"), "cell"
     )
-    denom = l2_norm(F.col("a_emb")) * l2_norm(F.col("b_emb"))
-    cos = F.when(denom != 0, dot(F.col("a_emb"), F.col("b_emb")) / denom)
+    # In-cell pair scoring runs in the Arrow kernel, not the
+    # interpreted higher-order fold: the in-cell grid is the dominant
+    # cost (~n²/k pairs) and the kernel's dimension-sequential
+    # accumulation is bit-identical to the expression form and the
+    # oracle (see make_cosine_pandas_udf) at ~numpy speed — measured
+    # 8.0 s → ~2 s at sf0.1 (5e3 vectors, k=8, ~1.5M in-cell pairs).
+    # Zero-norm pairs: the kernel's NaN comes back NULL through Arrow,
+    # NULL >= τ is never true — same survive-contract as the guarded
+    # expression (pinned in tests/test_properties.py).
+    cos = make_cosine_pandas_udf()
     dom = (
         a.join(b, "cell")
         .filter(F.col("a") < F.col("b"))
-        .filter(cos >= F.lit(threshold))
+        .select("a", "b", cos(F.col("a_emb"), F.col("b_emb")).alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(threshold))
         .groupBy("b")
         .agg(F.count("*").alias("n_dominators"))
     )
