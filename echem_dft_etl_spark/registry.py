@@ -1288,6 +1288,54 @@ def x08_json_extract(spark, sf_dir):
 
 
 @_register(
+    "x08_json_quarantine",
+    oracle="""
+    WITH m AS (SELECT event_type,
+                      CASE WHEN event_id % 37 = 0
+                           THEN SUBSTR(props, 1, length(props) - 2)
+                           ELSE props END AS p
+               FROM events),
+    x AS (SELECT event_type,
+                 CASE WHEN json_valid(p)
+                      THEN json_extract_string(p, '$.k') END AS k
+          FROM m)
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k_valid
+    FROM x GROUP BY event_type
+    """,
+    survey_ids=("X8",),
+)
+def x08_json_quarantine(spark, sf_dir):
+    """Corrupt-tolerant JSON ingestion (X8): a deterministic slice of
+    the payloads is TRUNCATED (event_id % 37 — the planted-corruption
+    discipline), and the pipeline must quarantine-count the bad rows
+    and aggregate only the valid ones, never crash. At 100 TB corrupt
+    records are a certainty, and a parse that throws poisons the whole
+    task; ``get_json_object`` degrades to NULL per-record, keeping the
+    quarantine decision a per-row expression. The mangle is truncation
+    (not appended garbage) deliberately: Spark's Jackson parser accepts
+    trailing garbage that strict JSON validators reject, so appended
+    garbage would diverge from the oracle's ``json_valid`` — truncated
+    records are invalid under BOTH semantics."""
+    ev = _ld(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 37 == 0,
+        F.substring("props", 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(mangled, "$.k")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k_valid"),
+    )
+
+
+@_register(
     "x09_sessionize",
     oracle="""
     WITH ordered AS (
