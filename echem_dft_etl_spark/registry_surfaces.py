@@ -1033,6 +1033,50 @@ def s01_sink_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "s01_schema_evolution",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+    FROM documents
+    """,
+    survey_ids=("S1", "Q3"),
+)
+def s01_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (S1's long-lived-table reality): half the
+    corpus is written under the OLD schema (no ``lang`` column), half
+    under the NEW one, into the same table directory — exactly what a
+    100 TB table looks like after a column is added mid-life. The
+    ``mergeSchema`` read must unify them: old-vintage rows surface
+    NULL for the added column (the oracle's CASE), new-vintage rows
+    keep their values, and nothing is dropped or crashed on. Spark
+    merges parquet footers at planning time, so the unified schema
+    costs a footer pass, not a data rewrite — the property that makes
+    additive evolution free on immutable stores. Reentrant via the
+    s01_sink_roundtrip pattern (mkdtemp → write → read → eager
+    checkpoint → delete)."""
+    import shutil
+    import tempfile
+
+    docs = _ld(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="echem_schema_evo_")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "n_chars"
+    ).write.parquet(f"{out}/tbl/v1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    ).write.parquet(f"{out}/tbl/v2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{out}/tbl")
+        .select("doc_id", "n_chars", "lang")
+    )
+    result = merged.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@_register(
     "s03_merge_upsert",
     oracle="""
     SELECT s_suppkey,
