@@ -282,3 +282,72 @@ def test_foreachbatch_multibatch_incremental_upsert(spark, tmp_path):
         assert eid in by_key[key]
         residue = eid % 4
         assert eid == min(e for e in by_key[key] if e % 4 == residue)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The late-data contract itself: once a window's state has been
+    EVICTED (its end passed the watermark and, in append mode, its row
+    was emitted), a late-arriving event for it is DROPPED — the
+    bounded-state guarantee that distinguishes the stream from its
+    batch oracle, proven by the deliberate batch/stream mismatch on
+    the late row.
+
+    Three files because of a real Spark semantic this test documents:
+    the watermark advances BETWEEN micro-batches and "too late" drops
+    are only guaranteed once the state is gone — a late row arriving
+    in the same batch whose start-of-batch watermark first passed the
+    window still merges into the live state (observed: two-file
+    layouts emit count 2). File b2 exists purely to trigger the
+    eviction/emission batch; the late row rides b3 against evicted
+    state and must not resurrect the window."""
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id bigint, ts timestamp, event_type string"
+    d = tmp_path / "src"
+    d.mkdir()
+    # b1: one event in the 00:00 window, one at 05:00 — after this
+    # batch the watermark (10 min delay) sits at 04:50
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), "a"),
+         (2, t0 + dt.timedelta(hours=5), "a")],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    time.sleep(1.2)  # file source orders batches by modification time
+    # b2: advances nothing much; its batch runs with watermark 04:50
+    # and evicts + emits the closed 00:00 window (count 1)
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=5, minutes=10), "a")], schema
+    ).coalesce(1).write.parquet(str(d / "b2"))
+    time.sleep(1.2)
+    # b3: the LATE row for the long-evicted 00:00 window
+    spark.createDataFrame(
+        [(4, t0 + dt.timedelta(minutes=30), "a"),
+         (5, t0 + dt.timedelta(hours=5, minutes=20), "a")],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b3"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in run_to_memory(
+            tumbling_counts(stream, "1 hour", "10 minutes"),
+            spark,
+            mode="append",
+        ).collect()
+    }
+    # the 00:00 window was emitted with ONLY the on-time event; the
+    # late row (event 4) neither updated nor resurrected it
+    assert got[(t0, "a")] == 1
+    # the batch form (no watermark pressure) counts BOTH — the
+    # difference IS the late-data drop
+    batch = (
+        spark.read.parquet(str(d / "*"))
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert {(r.ws, r.event_type): r.n for r in batch.collect()}[(t0, "a")] == 2
