@@ -253,3 +253,26 @@ def test_bm25_plan_shape(spark):
     assert s["sort_merge_joins"] == 0 and s["cartesian_products"] == 0, s
     p = plans.physical_plan(q)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_r4_operator_plan_shapes(spark):
+    """The round-4 operators' load-bearing plan properties, pinned:
+    the samplers and the gate are shuffle-free per-row plans, the
+    incremental dedup broadcasts the batch side, and the threshold
+    sampler needs no window (that absence IS its scale story vs the
+    exact form)."""
+    # mixture sampling: pure pushed filter — zero exchanges
+    s = plans.plan_summary(_q(spark, "d17_mixture_sample"))
+    assert s["shuffle_exchanges"] == 0 and s["windows"] == 0
+    # composite quality gate: one scan, zero shuffles
+    s = plans.plan_summary(_q(spark, "t13_quality_gate"))
+    assert s["shuffle_exchanges"] == 0 and s["windows"] == 0
+    # threshold sampler: count-agg + broadcast cutoffs, NO window
+    s = plans.plan_summary(_q(spark, "q11_threshold_sample"))
+    assert s["windows"] == 0 and s["broadcast_joins"] >= 1
+    # incremental dedup: batch side broadcast, no cartesian
+    p = plans.physical_plan(_q(spark, "d18_incremental_dedup"))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # json quarantine: scan + one aggregation exchange, no join at all
+    s = plans.plan_summary(_q(spark, "x08_json_quarantine"))
+    assert s["shuffle_exchanges"] <= 1 and s["broadcast_joins"] == 0
