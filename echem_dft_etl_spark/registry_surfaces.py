@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .functions.text import DUCKDB_TOKENS
 from .operators import multimodal, pipe, udfs
-from .registry import _register, _ld
+from .registry import _cents, _ld, _register
 
 
 def _runs_grid(spark, sf_dir):
@@ -1169,3 +1169,459 @@ def sql_surface_revenue_by_nation(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+_SHIPPING_PRIORITY_SQL = """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+             AS BIGINT) AS revenue_c4,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c4 DESC, o.o_orderkey
+    LIMIT 10
+    """
+
+
+@_register(
+    "sql_surface_shipping_priority",
+    oracle=_SHIPPING_PRIORITY_SQL,
+    survey_ids=("Q17", "Q21", "X1"),
+)
+def sql_surface_shipping_priority(spark, sf_dir):
+    """Unshipped-high-value-orders analytics (TPC-H Q3 shape) through
+    ``spark.sql``: a selective dimension filter (market segment), two
+    date predicates pushed into DIFFERENT fact scans (order placed
+    before / line shipped after the cutoff), a two-hop key join, and a
+    grouped top-k. The plan Catalyst should produce — and the one
+    tests/test_plans.py pins for the surface family — broadcasts the
+    filtered customer side, shuffles the facts on their join keys, and
+    resolves the top-10 with a TakeOrderedAndProject (no global sort
+    materialization: each partition keeps 10 candidates, the driver
+    merges — the LIMIT-pushdown shape that makes top-k safe at 100 TB).
+    Revenue ties are broken by the unique order key so the selected
+    row set is engine-independent. Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
+
+
+_LARGE_ORDERS_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY total_cents DESC, o.o_orderkey
+    LIMIT 20
+    """
+
+
+@_register(
+    "sql_surface_large_orders",
+    oracle=_LARGE_ORDERS_SQL,
+    survey_ids=("Q17", "Q21", "X5"),
+)
+def sql_surface_large_orders(spark, sf_dir):
+    """Large-volume-customer report (TPC-H Q18 shape): an aggregated
+    IN-subquery over the SAME fact table the outer query joins.
+    Catalyst rewrites the IN into a left-semi join against the grouped
+    subquery, and — the part worth pinning — reuses one shuffle of
+    lineitem for both the HAVING aggregation and the outer join when
+    the exchanges line up. The quantity threshold (sum > 250, ~1% of
+    orders at every tested SF) keeps the semi-join side small enough
+    to broadcast at cluster scale; the final top-20 is again
+    TakeOrderedAndProject with the unique order key as tiebreak.
+    Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LARGE_ORDERS_SQL)
+
+
+@_register(
+    "s02_csv_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderstatus,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+               o_orderdate,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio,
+               o_orderpriority || ',"' || o_orderstatus || '"' AS tricky
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           SUM(total_cents) AS sum_cents,
+           SUM(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS n_null_prio,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date,
+           SUM(LENGTH(tricky)) AS tricky_chars
+    FROM src GROUP BY o_orderstatus
+    """,
+    survey_ids=("S2", "S1"),
+)
+def s02_csv_roundtrip(spark, sf_dir):
+    """Typed CSV round-trip source (S2's text-file family beyond raw
+    lines): the orders table — keys, money, timestamps, NULLs, and a
+    deliberately hostile string column embedding the delimiter AND the
+    quote character — is written as headered CSV and read back with an
+    EXPLICIT schema (schema inference is a second full scan and a
+    type-stability hazard at 100 TB; production readers declare).
+    The returned aggregate is computed from the READ-BACK frame only,
+    while the oracle replays the same derivation straight from the
+    parquet view — so any lossiness in the text round-trip (quote
+    escaping, timestamp formatting, NULL vs empty-string encoding)
+    breaks value parity. NULLs survive because write and read agree on
+    a non-empty nullValue sentinel; Spark's default round-trips
+    empty-string and NULL identically, which silently corrupts
+    nullable string columns — the kind of source-contract detail this
+    row exists to pin. Reentrant via the s01 pattern (mkdtemp → write →
+    read → eager checkpoint → delete)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    orders = _ld(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("total_cents"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.concat(
+            F.col("o_orderpriority"), F.lit(',"'), F.col("o_orderstatus"), F.lit('"')
+        ).alias("tricky"),
+    )
+    out = tempfile.mkdtemp(prefix="echem_csv_roundtrip_")
+    csv_opts = {"header": "true", "nullValue": "\\N"}
+    src.write.mode("overwrite").options(**csv_opts).csv(out)
+
+    schema = StructType(
+        [
+            StructField("o_orderstatus", StringType()),
+            StructField("total_cents", LongType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("prio", StringType()),
+            StructField("tricky", StringType()),
+        ]
+    )
+    back = spark.read.options(**csv_opts).schema(schema).csv(out)
+    result = back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("total_cents").alias("sum_cents"),
+        F.sum(F.when(F.col("prio").isNull(), 1).otherwise(0)).alias("n_null_prio"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.sum(F.length("tricky")).alias("tricky_chars"),
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@_register(
+    "s02_jsonl_roundtrip",
+    oracle="""
+    WITH per_nation AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_members,
+               SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS bal_cents
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_members, bal_cents,
+           n_members AS exploded_members
+    FROM per_nation
+    """,
+    survey_ids=("S2", "X8"),
+)
+def s02_jsonl_roundtrip(spark, sf_dir):
+    """Nested JSON-lines round-trip source (S2 + the X8 JSON type
+    system): customers are rolled up into one record per nation with
+    an ARRAY OF STRUCTS member list, written as JSON lines, and read
+    back with an explicit nested schema — the document-shaped
+    interchange format every ingestion pipeline meets. The read-back
+    frame is then both aggregated at the top level AND re-exploded to
+    count members, so struct-field names, array order-independence,
+    and bigint fidelity through JSON text are all value-checked
+    against the oracle's replay from the parquet view. Explicit
+    schema, not inference: at 100 TB sampling-based inference is a
+    correctness hazard (a rare field missing from the sample silently
+    drops the column). Reentrant via the s01 pattern."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cust = _ld(spark, sf_dir, "customer")
+    rolled = cust.groupBy("c_nationkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("c_custkey").alias("custkey"),
+                    _cents(F.col("c_acctbal")).alias("bal_cents"),
+                )
+            )
+        ).alias("members")
+    )
+    out = tempfile.mkdtemp(prefix="echem_jsonl_roundtrip_")
+    rolled.write.mode("overwrite").json(out)
+
+    schema = StructType(
+        [
+            StructField("c_nationkey", IntegerType()),
+            StructField(
+                "members",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("custkey", LongType()),
+                            StructField("bal_cents", LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    top = back.select(
+        "c_nationkey",
+        F.size("members").alias("n_members"),
+        F.aggregate(
+            "members", F.lit(0).cast("bigint"), lambda acc, m: acc + m["bal_cents"]
+        ).alias("bal_cents"),
+    )
+    exploded = (
+        back.select("c_nationkey", F.explode("members").alias("m"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("exploded_members"))
+    )
+    result = top.join(exploded, "c_nationkey").select(
+        "c_nationkey", "n_members", "bal_cents", "exploded_members"
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@_register(
+    "s17_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS price_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey_ids=("Q17", "S1"),
+)
+def s17_bucketed_join(spark, sf_dir):
+    """Co-located (bucketed) fact-fact join through the catalog: both
+    tables are persisted ``bucketBy(orderkey)`` into per-invocation
+    external tables, then joined and aggregated WITH BROADCAST
+    DISABLED — so the join must run scan-to-scan on the bucketed
+    layout, zero exchanges (the shape tests/test_plans.py pins; at
+    100 TB this is THE pattern for repeated fact-fact joins: pay the
+    shuffle once at write time, never again per query). The aggregate
+    is computed from the catalog read-back only; the oracle replays it
+    from the raw views, so bucket-pruned scans returning short rows
+    would break parity. Reentrant: unique table names + mkdtemp paths,
+    tables dropped and dirs deleted after eager materialization; the
+    broadcast threshold is restored in a finally."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators import scale
+
+    tag = uuid.uuid4().hex[:8]
+    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    out = tempfile.mkdtemp(prefix="echem_bucketed_join_")
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _cents(F.col("l_extendedprice")).alias("price_cents")
+    )
+    orders = _ld(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        scale.write_bucketed(li, li_t, "l_orderkey", 8, path=f"{out}/li")
+        scale.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            ord_t,
+            "l_orderkey",
+            8,
+            path=f"{out}/orders",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = scale.bucketed_join(spark, li_t, ord_t, "l_orderkey")
+        result = joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_lines"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+        result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {ord_t}")
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@_register(
+    "s01_sorted_layout_scan",
+    oracle="""
+    SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS ship_day,
+           COUNT(*) AS n_lines,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY 1
+    """,
+    survey_ids=("Q1", "S1"),
+)
+def s01_sorted_layout_scan(spark, sf_dir):
+    """Clustered-layout write + pruned read (the S1 sink feeding the
+    Q1 pushed-predicate scan): lineitem is laid out with
+    ``repartitionByRange(l_shipdate)`` + ``sortWithinPartitions`` —
+    every output file covers a NARROW, non-overlapping shipdate band —
+    then re-read with a one-month filter. Because parquet keeps
+    min/max stats per row group, the range-clustered layout lets the
+    pushed predicate (PushedFilters in the plan) skip ~all files
+    outside the month: the I/O for a time-windowed query scales with
+    the window, not the table — the property that makes a 100 TB
+    time-series table queryable. The month aggregate is computed from
+    the read-back clustered copy; the oracle replays it from the raw
+    view. Reentrant via the s01 pattern."""
+    import shutil
+    import tempfile
+
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_shipdate", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    out = tempfile.mkdtemp(prefix="echem_sorted_layout_")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    result = (
+        back.groupBy(
+            F.date_trunc("day", "l_shipdate").cast("date").alias("ship_day")
+        )
+        .agg(F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty"))
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@_register(
+    "s02_custom_datasource",
+    oracle="""
+    SELECT n_name AS run_id,
+           CAST((n_nationkey % 3) + 2 AS BIGINT) AS n_fillings,
+           CAST(printf('%.6f',
+                -0.2 + 0.01 * (n_nationkey + (n_nationkey % 3) + 1))
+             AS DOUBLE) AS mu,
+           CAST(printf('%.3f',
+                CAST(250 + n_nationkey + 2 * ((n_nationkey % 3) + 1) AS DOUBLE))
+             AS DOUBLE) AS ne
+    FROM nation
+    WHERE n_name < 'NATION_2'
+    """,
+    survey_ids=("S2", "Q5", "Q6"),
+)
+def s02_custom_datasource(spark, sf_dir):
+    """The solver-output corpus through a REAL custom connector — the
+    Spark 4 Python Data Source API (sources/solver_out.py) instead of
+    ``spark.read.text`` + path parsing: one InputPartition per `.out`
+    file, rows typed ``(run_id, line_no, value)`` at the source, and
+    ``run_id < 'NATION_2'`` consumed by the connector's ``pushFilters`` so
+    pruned files are NEVER OPENED (tests/test_datasource.py asserts
+    the listing shrinks) — scan I/O proportional to the predicate,
+    not the corpus, on a plain directory of text files. Downstream is
+    the reference's exact parse (my_dag.py:152-158): keep
+    FillingsUpdate lines, token-extract mu/nElectrons, last match per
+    file wins (max_by over line_no). The oracle replays the fixture
+    generator's printf arithmetic from the nation view — a green row
+    proves generator → files → connector → parse end-to-end."""
+    from .sources.solver_out import (
+        build_solver_out_fixture,
+        make_solver_out_datasource,
+    )
+
+    path = build_solver_out_fixture(spark, sf_dir)
+    spark.dataSource.register(make_solver_out_datasource())
+    # Python-source filter pushdown is conf-gated (off by default in
+    # 4.1); enable it for the planning/execution of THIS query and
+    # restore — the eager checkpoint below pins execution inside the
+    # window, so the returned frame never re-plans the scan.
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    lines = (
+        spark.read.format("solverout")
+        .option("path", path)
+        .load()
+        .filter(F.col("run_id") < "NATION_2")
+    )
+    fillings = lines.filter(F.col("value").contains("FillingsUpdate:")).select(
+        "run_id",
+        "line_no",
+        F.regexp_extract(
+            "value", r"mu:\s+(-?[\d.]+)\s+nElectrons:\s+(-?[\d.]+)", 1
+        )
+        .cast("double")
+        .alias("mu"),
+        F.regexp_extract(
+            "value", r"mu:\s+(-?[\d.]+)\s+nElectrons:\s+(-?[\d.]+)", 2
+        )
+        .cast("double")
+        .alias("ne"),
+    )
+    result = fillings.groupBy("run_id").agg(
+        F.count("*").alias("n_fillings"),
+        F.max_by("mu", F.col("line_no")).alias("mu"),
+        F.max_by("ne", F.col("line_no")).alias("ne"),
+    )
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+    return result
