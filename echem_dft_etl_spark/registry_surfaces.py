@@ -1625,3 +1625,132 @@ def s02_custom_datasource(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
     return result
+
+
+@_register(
+    "x08_variant_shred",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_cents,
+           SUM(user_id) AS sum_second_id,
+           COUNT(*) AS n_type_mismatch_null
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids=("X8",),
+)
+def x08_variant_shred(spark, sf_dir):
+    """Semi-structured analytics through the Spark 4 VARIANT type (the
+    X8 family's open-schema end state): each event is re-serialized as
+    a nested JSON document, parsed ONCE into a VARIANT column
+    (``parse_json`` — binary-encoded, fields shredded on access
+    without a declared schema), then consumed with typed path
+    extraction: ``variant_get('$.who.cents', bigint)`` for a nested
+    field, ``'$.ids[1]'`` for an array element, and
+    ``try_variant_get('$.who', int)`` proving the TRY form yields NULL
+    (counted, = every row) instead of throwing when an object can't
+    cast to a scalar. Every output value flows THROUGH the variant
+    encode/decode; the oracle replays from the raw relational columns,
+    so a green row pins the whole VARIANT path byte-faithful. At
+    100 TB, VARIANT is the schema-drift answer: ingestion stays
+    one-pass with no schema negotiation, and Catalyst prunes shredded
+    field access instead of re-parsing JSON text per predicate."""
+    ev = _ld(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("user_id").alias("u"),
+                _cents(F.col("value")).alias("cents"),
+            ).alias("who"),
+            F.array(F.col("event_id"), F.col("user_id")).alias("ids"),
+        )
+    )
+    v = ev.select(
+        "event_type", F.parse_json(doc).alias("v")
+    )
+    shredded = v.select(
+        "event_type",
+        F.variant_get("v", "$.who.cents", "bigint").alias("cents"),
+        F.variant_get("v", "$.ids[1]", "bigint").alias("second_id"),
+        F.try_variant_get("v", "$.who", "int").alias("who_as_int"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("second_id").alias("sum_second_id"),
+        F.sum(F.when(F.col("who_as_int").isNull(), 1).otherwise(0)).alias(
+            "n_type_mismatch_null"
+        ),
+    )
+
+
+@_register(
+    "s04_custom_sink",
+    oracle="""
+    WITH per_key AS (
+        SELECT s_nationkey, COUNT(*) AS n_sup
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, n_sup,
+           (SELECT COUNT(*) FROM per_key) AS manifest_total,
+           CAST(4 AS BIGINT) AS manifest_parts
+    FROM per_key
+    """,
+    survey_ids=("S4", "S1"),
+)
+def s04_custom_sink(spark, sf_dir):
+    """The append-only report sink (S4, my_dag.py:240-243) through a
+    custom Python Data Source WRITER (sources/report_sink.py): report
+    lines are written by executor tasks into uniquely-named part
+    files, and the job is published by the DRIVER-side commit — a
+    manifest.json naming every part with its row count plus a
+    _SUCCESS marker (task death leaves an unreferenced file, never a
+    torn report; cf. the bare open-append it re-expresses). The
+    result is assembled ONLY from what the sink produced: part files
+    re-read and parsed for the per-nation counts, the manifest for
+    the committed total and part count (the write is repartition(4),
+    so exactly 4 commit messages). The oracle replays everything from
+    the supplier view — a green row proves write → commit → manifest
+    → read-back end-to-end. Reentrant via the s01 pattern."""
+    import shutil
+    import tempfile
+
+    from .sources.report_sink import make_report_sink_datasource
+
+    spark.dataSource.register(make_report_sink_datasource())
+    sup = _ld(spark, sf_dir, "supplier")
+    lines = (
+        sup.groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_sup"))
+        .select(
+            F.format_string("nation=%s suppliers=%s", "s_nationkey", "n_sup").alias(
+                "value"
+            )
+        )
+    )
+    out = tempfile.mkdtemp(prefix="echem_custom_sink_")
+    lines.repartition(4).write.format("reportsink").option("path", out).mode(
+        "append"
+    ).save()
+
+    parsed = spark.read.text(f"{out}/part-*.txt").select(
+        F.regexp_extract("value", r"nation=(\d+) suppliers=(\d+)", 1)
+        .cast("int")
+        .alias("s_nationkey"),
+        F.regexp_extract("value", r"nation=(\d+) suppliers=(\d+)", 2)
+        .cast("bigint")
+        .alias("n_sup"),
+    )
+    manifest = spark.read.option("multiLine", "true").json(f"{out}/manifest.json")
+    totals = manifest.select(
+        F.col("total_rows").alias("manifest_total"),
+        F.size("parts").cast("bigint").alias("manifest_parts"),
+    )
+    result = parsed.crossJoin(F.broadcast(totals)).select(
+        "s_nationkey", "n_sup", "manifest_total", "manifest_parts"
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

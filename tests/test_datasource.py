@@ -106,3 +106,94 @@ def test_connector_matches_text_source(spark, fixture_path):
     for r, n, _ in ds_rows:
         by_file.setdefault(r, []).append(n)
     assert all(v == list(range(len(v))) for v in by_file.values())
+
+
+# ---------------------------------------------------------------------
+# Custom Python Data Source WRITER (sources/report_sink.py)
+# ---------------------------------------------------------------------
+
+
+def test_report_sink_commit_protocol(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+    from echem_dft_etl_spark.sources.report_sink import make_report_sink_datasource
+
+    spark.dataSource.register(make_report_sink_datasource())
+    df = spark.range(100).select(
+        F.format_string("line-%s", "id").alias("value")
+    )
+    out = str(tmp_path / "report")
+    import os
+
+    os.makedirs(out)
+    df.repartition(3).write.format("reportsink").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = sorted(p.name for p in (tmp_path / "report").glob("part-*.txt"))
+    manifest = json.loads((tmp_path / "report" / "manifest.json").read_text())
+    assert (tmp_path / "report" / "_SUCCESS").exists()
+    # manifest references exactly the visible part files, counts match
+    assert sorted(p["file"] for p in manifest["parts"]) == files
+    assert manifest["total_rows"] == 100
+    n_lines = sum(
+        len((tmp_path / "report" / f).read_text().splitlines()) for f in files
+    )
+    assert n_lines == 100
+    per_file = {
+        p["file"]: p["rows"] for p in manifest["parts"]
+    }
+    for f in files:
+        assert len((tmp_path / "report" / f).read_text().splitlines()) == per_file[f]
+
+
+def test_report_sink_abort_leaves_no_visible_parts(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from echem_dft_etl_spark.sources.report_sink import make_report_sink_datasource
+
+    spark.dataSource.register(make_report_sink_datasource())
+    # one partition poisoned: writing None.value raises inside write()
+    df = spark.range(40).select(
+        F.when(F.col("id") == 37, F.lit(None))
+        .otherwise(F.format_string("line-%s", "id"))
+        .alias("value")
+    )
+    out = str(tmp_path / "report")
+    os.makedirs(out)
+    with _pytest.raises(Exception):
+        df.repartition(4).write.format("reportsink").option("path", out).mode(
+            "append"
+        ).save()
+    # no commit artifacts, and abort removed every completed part —
+    # a manifest-honoring reader sees an empty (never torn) report
+    assert not (tmp_path / "report" / "manifest.json").exists()
+    assert not (tmp_path / "report" / "_SUCCESS").exists()
+    assert list((tmp_path / "report").glob("part-*.txt")) == []
+
+
+def test_report_sink_append_accumulates_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from echem_dft_etl_spark.sources.report_sink import make_report_sink_datasource
+
+    spark.dataSource.register(make_report_sink_datasource())
+    out = str(tmp_path / "report")
+    os.makedirs(out)
+    for run in (1, 2):
+        df = spark.range(10 * run).select(
+            F.format_string(f"run{run}-%s", "id").alias("value")
+        )
+        df.repartition(2).write.format("reportsink").option("path", out).mode(
+            "append"
+        ).save()
+    manifest = json.loads((tmp_path / "report" / "manifest.json").read_text())
+    assert manifest["total_rows"] == 30  # 10 + 20, merged across jobs
+    files = sorted(p.name for p in (tmp_path / "report").glob("part-*.txt"))
+    assert sorted(p["file"] for p in manifest["parts"]) == files
+    assert len({f.split("-")[1] for f in files}) == 2  # two distinct job ids
