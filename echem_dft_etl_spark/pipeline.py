@@ -286,3 +286,29 @@ def run_reference_pipeline(
         [f"## run: {n} slab(s) analyzed", "![plot](visualize/echem.png)"],
     )
     return table
+
+
+def with_observation(df: DataFrame, metrics: dict):
+    """Attach zero-cost data-quality accounting to a frame: returns
+    ``(df, Observation)`` where the metrics — arbitrary aggregate
+    Columns, e.g. row counts, null counts, bounds violations — are
+    collected AS A SIDE EFFECT of whatever action next materializes
+    the frame. At 100 TB this is the difference between validating a
+    load and re-scanning it: the reference's row-count logging
+    (my_dag.py:30) costs a task per check; an observation rides the
+    existing job's partial aggregates through the driver for free.
+
+    Usage::
+
+        gated, obs = with_observation(df, {
+            "n": F.count(F.lit(1)),
+            "null_keys": F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)),
+        })
+        gated.write.parquet(...)     # any full action
+        assert obs.get["null_keys"] == 0
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *named), obs

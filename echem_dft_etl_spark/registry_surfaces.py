@@ -1754,3 +1754,64 @@ def s04_custom_sink(spark, sf_dir):
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "x10_stream_custom_source",
+    oracle="""
+    SELECT n_name AS run_id,
+           CAST((n_nationkey % 3) + 2 AS BIGINT) AS n_fillings,
+           CAST(printf('%.6f',
+                -0.2 + 0.01 * (n_nationkey + (n_nationkey % 3) + 1))
+             AS DOUBLE) AS mu
+    FROM nation
+    """,
+    survey_ids=("X10", "S2"),
+)
+def x10_stream_custom_source(spark, sf_dir):
+    """Structured Streaming FROM a custom Python connector
+    (sources/solver_out.py stream variant): the solver corpus arrives
+    as a bounded file-drop stream — 7 files per micro-batch, offsets =
+    position in the sorted listing, replayable via readBetweenOffsets —
+    and the reference's last-match parse runs as a streaming
+    aggregation (complete mode). Driven by the processingTime
+    continuous mode with the status-based drain watch
+    (run_processing_time): the simple Python stream reader prefetches
+    one batch per trigger, so availableNow would stop after the first
+    prefetch — the periodic trigger drains all 4 batches and the
+    watch stops the query when the source reports empty. Proves the
+    streaming layer composes with user-defined sources exactly like
+    built-in ones: same parse expressions as the batch connector row
+    (s02_custom_datasource), same oracle arithmetic, results equal to
+    batch on replay (SURVEY §7 streaming-state discipline)."""
+    from .sources.solver_out import (
+        build_solver_out_fixture,
+        make_solver_out_stream_datasource,
+    )
+    from .streaming.windows import run_processing_time
+
+    path = build_solver_out_fixture(spark, sf_dir)
+    spark.dataSource.register(make_solver_out_stream_datasource())
+    lines = (
+        spark.readStream.format("solverout_stream")
+        .option("path", path)
+        .option("batch_files", "7")
+        .load()
+    )
+    fillings = lines.filter(F.col("value").contains("FillingsUpdate:")).select(
+        "run_id",
+        "line_no",
+        F.regexp_extract(
+            "value", r"mu:\s+(-?[\d.]+)\s+nElectrons:\s+(-?[\d.]+)", 1
+        )
+        .cast("double")
+        .alias("mu"),
+    )
+    agg = fillings.groupBy("run_id").agg(
+        F.count("*").alias("n_fillings"),
+        F.max_by("mu", F.col("line_no")).alias("mu"),
+    )
+    # 100 ms cadence: the corpus is bounded (7 micro-batches), so the
+    # trigger interval is pure idle time between prefetched batches —
+    # production cadence is a latency/cost knob, not a semantics one
+    return run_processing_time(agg, spark, mode="complete", interval="100 milliseconds")

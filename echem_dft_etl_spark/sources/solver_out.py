@@ -213,3 +213,87 @@ def build_solver_out_fixture(spark, sf_dir: str) -> str:
     except OSError:  # concurrent builder promoted first; use theirs
         shutil.rmtree(staging, ignore_errors=True)
     return str(base)
+
+
+def make_solver_out_stream_datasource():
+    """Streaming variant of the connector: the same file corpus
+    consumed as a Structured Streaming SOURCE via
+    ``SimpleDataSourceStreamReader`` — the file-drop-directory shape
+    (solver runs appearing over time) with exactly-once micro-batch
+    semantics.
+
+    Offsets are ``{"files_done": n}`` over the SORTED listing: each
+    ``read`` ingests the next ``batch_files`` files and advances the
+    offset; ``readBetweenOffsets`` replays any committed range
+    deterministically (failure recovery re-reads the exact slice).
+    Contract: the directory must be append-only with sort-stable names
+    (time-ordered prefixes in production; the fixture's fixed 25 names
+    trivially qualify) — the same monotonicity every offset-addressed
+    log source (Kafka, file source) assumes. Returned as a SEPARATE
+    class from the batch connector so each pickles only what it uses;
+    both register under their own format name.
+    """
+    import os
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SolverOutStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("solverout_stream requires option 'path'")
+            self.suffix = options.get("suffix", ".out")
+            self.batch_files = int(options.get("batch_files", "5"))
+
+        def _listing(self):
+            return sorted(
+                n for n in os.listdir(self.path) if n.endswith(self.suffix)
+            )
+
+        def _rows(self, names):
+            for n in names:
+                run_id = n[: -len(self.suffix)]
+                with open(
+                    os.path.join(self.path, n), "r", encoding="utf-8"
+                ) as fh:
+                    for i, line in enumerate(fh):
+                        yield (run_id, i, line.rstrip("\n"))
+
+        def initialOffset(self):
+            return {"files_done": 0}
+
+        def read(self, start):
+            names = self._listing()
+            done = int(start["files_done"])
+            take = names[done : done + self.batch_files]
+            # a materialized list_iterator, not a generator: the
+            # simple-reader prefetch cache copy.copy()s the returned
+            # iterator (generators are uncopyable) and later next()s
+            # it (bare lists fail). batch_files therefore bounds
+            # DRIVER memory per micro-batch — the documented trade of
+            # the Simple API (the partition-planning stream API is the
+            # executor-side alternative once batches outgrow the
+            # driver).
+            return iter(list(self._rows(take))), {"files_done": done + len(take)}
+
+        def readBetweenOffsets(self, start, end):
+            names = self._listing()
+            return self._rows(
+                names[int(start["files_done"]) : int(end["files_done"])]
+            )
+
+        def commit(self, end):
+            pass  # offsets live in the checkpoint; nothing source-side
+
+    class SolverOutStreamDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "solverout_stream"
+
+        def schema(self):
+            return SCHEMA
+
+        def simpleStreamReader(self, schema):
+            return SolverOutStreamReader(self.options)
+
+    return SolverOutStreamDataSource

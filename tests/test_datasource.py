@@ -197,3 +197,51 @@ def test_report_sink_append_accumulates_manifest(spark, tmp_path):
     files = sorted(p.name for p in (tmp_path / "report").glob("part-*.txt"))
     assert sorted(p["file"] for p in manifest["parts"]) == files
     assert len({f.split("-")[1] for f in files}) == 2  # two distinct job ids
+
+
+# ---------------------------------------------------------------------
+# Streaming custom source (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------
+
+
+def _stream_reader(path, **options):
+    from echem_dft_etl_spark.sources.solver_out import (
+        make_solver_out_stream_datasource,
+    )
+
+    cls = make_solver_out_stream_datasource()
+    return cls(options={"path": path, **options}).simpleStreamReader(None)
+
+
+def test_stream_reader_offsets_partition_the_listing(fixture_path):
+    rdr = _stream_reader(fixture_path, batch_files="4")
+    off = rdr.initialOffset()
+    assert off == {"files_done": 0}
+    seen, batches = [], 0
+    while True:
+        rows, nxt = rdr.read(off)
+        rows = list(rows)
+        if not rows and nxt == off:
+            break
+        seen.extend(rows)
+        batches += 1
+        off = nxt
+    assert batches == 7  # ceil(25 / 4) micro-batches
+    assert off == {"files_done": 25}
+    assert len({r[0] for r in seen}) == 25
+    # whole corpus, line-exact: equals the batch connector's rows
+    batch_rdr = _reader(fixture_path)
+    batch_rows = [
+        r for p in batch_rdr.partitions() for r in batch_rdr.read(p)
+    ]
+    assert sorted(seen) == sorted(batch_rows)
+
+
+def test_stream_reader_replay_is_deterministic(fixture_path):
+    rdr = _stream_reader(fixture_path, batch_files="4")
+    first = list(rdr.readBetweenOffsets({"files_done": 4}, {"files_done": 8}))
+    again = list(rdr.readBetweenOffsets({"files_done": 4}, {"files_done": 8}))
+    assert first == again and first
+    # a replayed range never overlaps its neighbors
+    before = list(rdr.readBetweenOffsets({"files_done": 0}, {"files_done": 4}))
+    assert {r[0] for r in before}.isdisjoint({r[0] for r in first})

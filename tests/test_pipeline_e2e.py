@@ -132,3 +132,36 @@ def test_append_report(spark, tmp_path):
     append_report(spark, path, ["## run 2"])
     vals = {r.value for r in spark.read.text(path).collect()}
     assert vals == {"## run 1", "## run 2"}
+
+
+def test_observation_rides_the_job(spark):
+    """with_observation: quality metrics collected by the SAME job that
+    materializes the frame — counts match an explicit re-aggregation."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.pipeline import with_observation
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    )
+    gated, obs = with_observation(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_keys": F.sum(
+                F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+            ),
+            "bad_discount": F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                ).otherwise(0)
+            ),
+        },
+    )
+    gated.write.format("noop").mode("overwrite").save()  # one real action
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["null_keys"] == 0
+    assert got["bad_discount"] == 0
