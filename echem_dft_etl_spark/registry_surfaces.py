@@ -1527,16 +1527,13 @@ def s01_sorted_layout_scan(spark, sf_dir):
     import shutil
     import tempfile
 
+    from .sources.sinks import write_clustered
+
     li = _ld(spark, sf_dir, "lineitem").select(
         "l_shipdate", F.col("l_quantity").cast("bigint").alias("qty")
     )
     out = tempfile.mkdtemp(prefix="echem_sorted_layout_")
-    (
-        li.repartitionByRange(8, "l_shipdate")
-        .sortWithinPartitions("l_shipdate")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    write_clustered(li, out, "l_shipdate", n_ranges=8)
     back = spark.read.parquet(out).filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))

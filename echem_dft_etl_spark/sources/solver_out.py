@@ -63,6 +63,13 @@ def make_solver_out_datasource():
             if not self.path:
                 raise ValueError("solverout source requires option 'path'")
             self.suffix = options.get("suffix", ".out")
+            # Arrow is the default transfer path: one RecordBatch per
+            # file crosses the Python->JVM boundary as columnar
+            # buffers instead of per-row pickled tuples — the same
+            # ~10-100x batch-vs-row economics as pandas UDFs vs plain
+            # UDFs. option("mode", "rows") keeps the tuple path for
+            # parity testing.
+            self.use_arrow = options.get("mode", "arrow") != "rows"
             # run_id predicates consumed by pushFilters; applied to the
             # file listing in partitions().
             self._pushed = []
@@ -126,6 +133,21 @@ def make_solver_out_datasource():
             if partition.value is None:
                 return
             run_id, path = partition.value
+            if self.use_arrow:
+                import pyarrow as pa
+
+                with open(path, "r", encoding="utf-8") as fh:
+                    lines = fh.read().split("\n")
+                if lines and lines[-1] == "":  # trailing newline
+                    lines.pop()
+                yield pa.record_batch(
+                    {
+                        "run_id": pa.array([run_id] * len(lines), pa.string()),
+                        "line_no": pa.array(range(len(lines)), pa.int32()),
+                        "value": pa.array(lines, pa.string()),
+                    }
+                )
+                return
             with open(path, "r", encoding="utf-8") as fh:
                 for i, line in enumerate(fh):
                     yield (run_id, i, line.rstrip("\n"))

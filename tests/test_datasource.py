@@ -230,7 +230,8 @@ def test_stream_reader_offsets_partition_the_listing(fixture_path):
     assert off == {"files_done": 25}
     assert len({r[0] for r in seen}) == 25
     # whole corpus, line-exact: equals the batch connector's rows
-    batch_rdr = _reader(fixture_path)
+    # (tuple mode — the arrow default yields RecordBatches)
+    batch_rdr = _reader(fixture_path, mode="rows")
     batch_rows = [
         r for p in batch_rdr.partitions() for r in batch_rdr.read(p)
     ]
@@ -245,3 +246,29 @@ def test_stream_reader_replay_is_deterministic(fixture_path):
     # a replayed range never overlaps its neighbors
     before = list(rdr.readBetweenOffsets({"files_done": 0}, {"files_done": 4}))
     assert {r[0] for r in before}.isdisjoint({r[0] for r in first})
+
+
+def test_arrow_and_row_modes_identical(spark, fixture_path):
+    """The connector's Arrow RecordBatch fast path returns exactly the
+    per-row tuple path's rows (mode is a transfer detail, not a
+    semantic)."""
+    from echem_dft_etl_spark.sources.solver_out import make_solver_out_datasource
+
+    spark.dataSource.register(make_solver_out_datasource())
+
+    def rows(mode):
+        df = (
+            spark.read.format("solverout")
+            .option("path", fixture_path)
+            .option("mode", mode)
+            .load()
+        )
+        return sorted((r.run_id, r.line_no, r.value) for r in df.collect())
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        arrow, tuples = rows("arrow"), rows("rows")
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+    assert arrow == tuples and len(arrow) > 100
