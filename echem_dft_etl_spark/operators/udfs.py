@@ -128,3 +128,31 @@ def fit_per_group_pandas(metrics: DataFrame) -> DataFrame:
     return metrics.groupBy("slab_id").applyInPandas(
         fit, "slab_id bigint, slope double, intercept double, n_obs bigint"
     )
+
+
+def char_stats_arrow(docs):
+    """Arrow-native map (``mapInArrow``) — the fourth and
+    lowest-overhead Python batch surface after scalar pandas_udf,
+    grouped-map, and grouped-agg: RecordBatches cross the boundary
+    with NO pandas materialization, and the kernels
+    (``pyarrow.compute``) are vectorized C++ that releases the GIL.
+    Right altitude for byte/string/codepoint work where pandas object
+    dtype would dominate the cost; the JVM expression form is still
+    preferred when one exists (this exemplar's oracle IS that form)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.record_batch(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                    "n_e": pc.count_substring(text, "e").cast(pa.int64()),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        stats, "doc_id bigint, n_chars bigint, n_e bigint"
+    )

@@ -1812,3 +1812,27 @@ def x10_stream_custom_source(spark, sf_dir):
     # trigger interval is pure idle time between prefetched batches —
     # production cadence is a latency/cost knob, not a semantics one
     return run_processing_time(agg, spark, mode="complete", interval="100 milliseconds")
+
+
+@_register(
+    "x14_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+    survey_ids=("X14", "X13"),
+)
+def x14_map_in_arrow(spark, sf_dir):
+    """Arrow-native map surface (mapInArrow): per-document codepoint
+    and substring counts computed by pyarrow.compute kernels on raw
+    RecordBatches — no pandas conversion on either side of the
+    boundary. Completes the Python batch-API inventory (scalar
+    pandas_udf / grouped-agg / grouped-map / map-iter pandas /
+    map-iter arrow); value-checked against the pure-SQL form, which
+    is what production should use when the expression exists
+    (operators/udfs.py::char_stats_arrow)."""
+    from .operators.udfs import char_stats_arrow
+
+    return char_stats_arrow(_ld(spark, sf_dir, "documents"))

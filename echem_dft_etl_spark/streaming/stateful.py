@@ -99,3 +99,93 @@ def user_activity_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_activity_profile_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user profile through
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API
+    (StatefulProcessor) that supersedes ``applyInPandasWithState``:
+    named typed state slots on an explicit handle (value/list/map),
+    optional TTL and timers, and a processor OBJECT whose lifecycle
+    (init/close) the engine manages per partition. Semantics are kept
+    deliberately identical to :func:`user_activity_profile` so the two
+    APIs are value-checked against the same batch oracle.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store — its state layout supports multiple named column
+    families per key, which the default HDFS-backed provider cannot);
+    the registry query sets the provider conf for the bounded run.
+    Scale: state remains O(1) per user, now spillable to local RocksDB
+    instead of bounded by executor heap — the practical difference at
+    a 100 M-key state size.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", PROFILE_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, first_us, last_us, max_gap_us, version = self._state.get()
+            else:
+                n, first_us, last_us, max_gap_us, version = 0, None, None, 0, 0
+
+            chunks = [_to_us(pdf["ts"]) for pdf in rows if len(pdf)]
+            if chunks:
+                us = pd.concat(chunks).sort_values().reset_index(drop=True)
+                if last_us is not None:
+                    max_gap_us = max(max_gap_us, int(us.iloc[0]) - last_us)
+                if len(us) > 1:
+                    max_gap_us = max(max_gap_us, int(us.diff().max()))
+                n += len(us)
+                first_us = (
+                    int(us.iloc[0])
+                    if first_us is None
+                    else min(first_us, int(us.iloc[0]))
+                )
+                last_us = (
+                    int(us.iloc[-1])
+                    if last_us is None
+                    else max(last_us, int(us.iloc[-1]))
+                )
+                version += 1
+                self._state.update((n, first_us, last_us, max_gap_us, version))
+            if first_us is None:
+                return
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "first_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "max_gap_us": [max_gap_us],
+                    "version": [version],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=PROFILE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+# NOTE: transformWithStateInPandas runs its per-key state protocol over
+# protobuf between the JVM and the Python worker; in environments
+# without the `protobuf` package the query fails at the first
+# micro-batch with `ImportError: google.protobuf`. The operator is
+# therefore exercised by an importorskip-gated test
+# (tests/test_streaming.py::test_transform_with_state_matches_applyinpandas)
+# rather than a registered driver query: where the dependency exists the
+# two state APIs are asserted value-identical, and where it doesn't the
+# applyInPandasWithState row (x10_stream_stateful_profile) remains the
+# driver-checked arbitrary-state evidence.

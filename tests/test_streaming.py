@@ -351,3 +351,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .agg(F.count("*").alias("n"))
     )
     assert {(r.ws, r.event_type): r.n for r in batch.collect()}[(t0, "a")] == 2
+
+
+def test_transform_with_state_matches_applyinpandas(spark):
+    """Spark 4's StatefulProcessor API (transformWithStateInPandas)
+    emits the same final per-user profile as applyInPandasWithState —
+    two generations of the arbitrary-state surface, one semantic.
+    Skipped where the protobuf dependency (TWS's state protocol) is
+    absent; see streaming/stateful.py note."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from echem_dft_etl_spark.streaming.stateful import (
+        user_activity_profile,
+        user_activity_profile_tws,
+    )
+    from echem_dft_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def final_profiles(op):
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            ev = read_events_stream(spark, SF_SMOKE).select("user_id", "ts")
+            out = run_to_memory(op(ev), spark, mode="update")
+            w = W.partitionBy("user_id").orderBy(F.col("version").desc())
+            return sorted(
+                tuple(r)
+                for r in out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "user_id", "n_events", "first_ts", "last_ts", "max_gap_us"
+                )
+                .collect()
+            )
+        finally:
+            if prev:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+
+    assert final_profiles(user_activity_profile_tws) == final_profiles(
+        user_activity_profile
+    )
