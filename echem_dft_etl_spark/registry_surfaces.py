@@ -1836,3 +1836,71 @@ def x14_map_in_arrow(spark, sf_dir):
     from .operators.udfs import char_stats_arrow
 
     return char_stats_arrow(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
+    "s02_csv_quarantine",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               (o_orderkey % 11 = 0) AS bad
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_quarantined,
+           SUM(CASE WHEN NOT bad THEN cents END) AS sum_cents
+    FROM src GROUP BY o_orderstatus
+    """,
+    survey_ids=("S2", "Q1"),
+)
+def s02_csv_quarantine(spark, sf_dir):
+    """Corrupt-tolerant CSV ingestion (the text-source sibling of
+    x08_json_quarantine): one order in 11 is written with a
+    deliberately unparseable money field, and the PERMISSIVE reader
+    must degrade per-ROW — the typed column nulls out, the raw line
+    lands in the declared ``columnNameOfCorruptRecord`` column, and
+    NOTHING throws per task (at 100 TB a 1e-7 corruption rate is
+    thousands of rows; a fail-fast reader cannot load the file at
+    all). The aggregate quarantine-counts corrupt rows per group
+    while valid rows keep exact sums; the oracle replays the
+    corruption rule from the parquet view. Reentrant via the s01
+    pattern."""
+    import shutil
+    import tempfile
+
+    orders = _ld(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("oops")).otherwise(
+            cents.cast("string")
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="echem_csv_quarantine_")
+    orders.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, cents bigint, "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    result = back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("cents"))).alias(
+            "sum_cents"
+        ),
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
