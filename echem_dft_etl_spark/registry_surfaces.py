@@ -1904,3 +1904,33 @@ def s02_csv_quarantine(spark, sf_dir):
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "x14_polymorphic_udtf",
+    oracle="""
+    SELECT s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey
+    FROM supplier
+    """,
+    survey_ids=("X14", "Q3"),
+)
+def x14_polymorphic_udtf(spark, sf_dir):
+    """Polymorphic Python UDTF with a TABLE argument: output schema
+    resolved at PLAN time by analyze() from the input relation's
+    schema (columns prefixed 's_n': name + nationkey, a strict
+    subset), with a select-pruning list so only surviving columns
+    cross into the Python worker. Invoked through the SQL
+    table-function surface —
+    ``SELECT * FROM prefix_cols(TABLE(supplier), ...)`` — and
+    value-checked against the equivalent static projection, proving
+    the dynamic schema path loses nothing. UDTF eval is inherently
+    per-row Python; keep it off fact-table-sized inputs (the Arrow
+    UDTF path measured 6x worse still for 1:1 maps — see
+    make_prefix_cols_udtf).
+    operators/udfs.py::make_prefix_cols_udtf."""
+    from .operators.udfs import make_prefix_cols_udtf
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("prefix_cols", make_prefix_cols_udtf())
+    return spark.sql("SELECT * FROM prefix_cols(TABLE(supplier), 's_n')")

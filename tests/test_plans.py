@@ -276,3 +276,31 @@ def test_r4_operator_plan_shapes(spark):
     # json quarantine: scan + one aggregation exchange, no join at all
     s = plans.plan_summary(_q(spark, "x08_json_quarantine"))
     assert s["shuffle_exchanges"] <= 1 and s["broadcast_joins"] == 0
+
+
+def test_shipping_priority_is_take_ordered(spark):
+    """TPC-H Q3 shape: the top-10 must resolve as TakeOrderedAndProject
+    (per-partition k candidates merged on the driver), never a global
+    sort materialization."""
+    from echem_dft_etl_spark.registry import all_queries
+    from echem_dft_etl_spark.plans.inspect import physical_plan
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["sql_surface_shipping_priority"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_in_subquery_becomes_semi_join(spark):
+    """TPC-H Q18 shape: the aggregated IN-subquery must plan as a
+    (left semi) join against the grouped subquery, not a per-row
+    subquery execution."""
+    from echem_dft_etl_spark.registry import all_queries
+    from echem_dft_etl_spark.plans.inspect import physical_plan
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["sql_surface_large_orders"].fn(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
