@@ -92,3 +92,42 @@ def tumbling_window_agg(
         *(group_extra or []),
         "n_events",
     )
+
+
+def sessionize_dynamic(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: Column | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Sessionization with a PER-ROW gap threshold (the dynamic-gap
+    form Spark's streaming ``session_window`` also supports): a new
+    session starts when the gap from the previous event exceeds the
+    CURRENT row's ``gap_seconds`` — e.g. error events tolerating a
+    shorter inactivity window than purchases. Same single
+    shuffle+sort plan as :func:`sessionize`; the threshold becomes
+    data instead of a constant, which is what real session semantics
+    (per-channel, per-user-tier timeouts) need at scale."""
+    if gap_seconds is None:
+        gap_seconds = F.lit(1800)
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = (gap_seconds.cast("bigint") * F.lit(1_000_000)).cast("bigint")
+    delta_us = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    )
+    boundary = F.when(prev.isNull() | (delta_us > gap_us), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("_boundary", boundary)
+        .withColumn(
+            "session_id", F.sum("_boundary").over(running).cast("bigint")
+        )
+        .drop("_boundary")
+    )

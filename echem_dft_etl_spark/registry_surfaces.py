@@ -1934,3 +1934,105 @@ def x14_polymorphic_udtf(spark, sf_dir):
     register_views(spark, sf_dir)
     spark.udtf.register("prefix_cols", make_prefix_cols_udtf())
     return spark.sql("SELECT * FROM prefix_cols(TABLE(supplier), 's_n')")
+
+
+@_register(
+    "x03_unpivot",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               SUM(CAST(l_quantity AS BIGINT)) AS qty,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                 AS base_cents,
+               SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS disc_pts
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'base_cents', base_cents FROM w
+    UNION ALL
+    SELECT l_returnflag, 'disc_pts', disc_pts FROM w
+    """,
+    survey_ids=("X3", "X2"),
+)
+def x03_unpivot(spark, sf_dir):
+    """Wide→long melt (the inverse of x03_pivot, completing the
+    reshaping pair): a per-flag aggregate with one column per measure
+    is unpivoted into (flag, measure, value) rows via the native
+    ``unpivot`` — a zero-shuffle generator expression (each input row
+    expands to k output rows in place), NOT a union of k re-scans,
+    which is what the oracle's UNION ALL spelling would cost if
+    executed literally at 100 TB. Measures share the BIGINT type, the
+    unpivot contract."""
+    li = _ld(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("base_cents"),
+        F.sum(_cents(F.col("l_discount"))).alias("disc_pts"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["qty", "base_cents", "disc_pts"],
+        "measure",
+        "value",
+    )
+
+
+@_register(
+    "x09_dynamic_gap_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END
+                 AS gap_s,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('microsecond', prev_ts, ts)
+                            > gap_s * 1000000
+                    THEN 1 ELSE 0 END AS boundary
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(boundary) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    survey_ids=("X9", "X4"),
+)
+def x09_dynamic_gap_sessions(spark, sf_dir):
+    """Dynamic-gap sessionization (X9's production form): the
+    inactivity threshold is a PER-ROW expression — error events break
+    a session after 10 minutes, everything else after 30 — so the
+    timeout is data, not a constant. Same single shuffle+sort plan as
+    the fixed-gap form; the oracle replays the identical lag/boundary
+    arithmetic in exact microsecond integers.
+    operators/sessions.py::sessionize_dynamic."""
+    from .operators.sessions import sessionize_dynamic
+
+    ev = _ld(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    gap = F.when(F.col("event_type") == "error", F.lit(600)).otherwise(
+        F.lit(1800)
+    )
+    sess = sessionize_dynamic(
+        ev, "user_id", "ts", gap_seconds=gap, tie_col="event_id"
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
