@@ -390,3 +390,28 @@ def pack_sequences_firstfit(
         .sortWithinPartitions("shard", "doc_id")
         .mapInPandas(gen, PACK_SCHEMA)
     )
+
+
+EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"555-01[0-9][0-9]"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub (LLM-pipeline op): find-and-mask email/phone patterns
+    in one pass — ``regexp_extract_all`` for the per-doc find counts
+    (the audit trail a compliance pipeline must emit) and nested
+    ``regexp_replace`` for the masked text. Pure JVM expressions, zero
+    shuffles at any scale; patterns restricted to the regex dialect
+    intersection (no lookaround) so Java (Spark) and RE2-family
+    (DuckDB) engines agree — the same cross-engine constraint as
+    functions/text.py. Returns per-doc counts + redacted length; the
+    corpus rollup composes on top."""
+    t = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.withColumn("n_emails", emails.cast("bigint")).withColumn(
+        "n_phones", phones.cast("bigint")
+    ).withColumn("redacted", red)

@@ -2036,3 +2036,69 @@ def x09_dynamic_gap_sessions(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@_register(
+    "t13_pii_redact",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-01' || printf('%02d', doc_id % 100)
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')))
+             AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(t, '555-01[0-9][0-9]')))
+             AS BIGINT) AS n_phones,
+           SUM(LENGTH(regexp_replace(
+                   regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '555-01[0-9][0-9]', '<PHONE>', 'g'))) AS redacted_chars
+    FROM aug GROUP BY lang
+    """,
+    survey_ids=("X13", "Q5"),
+)
+def t13_pii_redact(spark, sf_dir):
+    """PII find-and-mask over the corpus (the compliance pass every
+    training-data pipeline runs before release): synthetic emails and
+    phone numbers are planted deterministically (1-in-5 / 1-in-7 docs
+    — planted-data discipline, the natural corpus contains none), then
+    counted with regexp_extract_all and masked with nested
+    regexp_replace in one JVM-side pass. The per-language rollup
+    value-checks both the audit counts and the masked text length;
+    the oracle replays planting, counting and masking (note DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all).
+    operators/textstats.py::pii_redact."""
+    from .operators import textstats
+
+    docs = _ld(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(" contact u%d@example.com", F.col("doc_id")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(" call 555-01%02d", (F.col("doc_id") % 100).cast("int")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    per_doc = textstats.pii_redact(aug)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )

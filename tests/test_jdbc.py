@@ -55,3 +55,37 @@ def test_jdbc_roundtrip_preserves_rows(spark, derby_url):
     back = _read(spark, derby_url, "t_round")
     assert back.count() == 50
     assert {r[0] for r in back.select("id").collect()} == set(range(50))
+
+
+def test_jdbc_partitioned_parallel_read(spark, derby_url):
+    """Source-side JDBC scale path: partitionColumn/lowerBound/
+    upperBound/numPartitions split the read into N range-predicate
+    queries executed as N concurrent tasks — the only way a JDBC scan
+    parallelizes (a plain read is ONE task however large the table).
+    Asserts both the partition count and that the ranged union loses
+    no rows."""
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)], "id bigint, grp bigint"
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "t_part")
+        .option("driver", DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "t_part")
+        .option("driver", DRIVER)
+        .option("partitionColumn", "id")
+        .option("lowerBound", "0")
+        .option("upperBound", "200")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 200
+    assert {r[0] for r in back.select("id").collect()} == set(range(200))
