@@ -1241,13 +1241,19 @@ def sql_surface_large_orders(spark, sf_dir):
     """Large-volume-customer report (TPC-H Q18 shape): an aggregated
     IN-subquery over the SAME fact table the outer query joins.
     Catalyst rewrites the IN into a left-semi join against the grouped
-    subquery, and — the part worth pinning — reuses one shuffle of
-    lineitem for both the HAVING aggregation and the outer join when
-    the exchanges line up. The quantity threshold (sum > 250, ~1% of
-    orders at every tested SF) keeps the semi-join side small enough
-    to broadcast at cluster scale; the final top-20 is again
-    TakeOrderedAndProject with the unique order key as tiebreak.
-    Same text is the DuckDB oracle."""
+    subquery (pinned in tests/test_plans.py), and the final top-20 is
+    TakeOrderedAndProject with the unique order key as tiebreak. What
+    Catalyst does NOT do — measured, not assumed: the three lineitem
+    consumers (outer join, HAVING aggregation, outer SUM) plan three
+    scans with three hash exchanges and zero ReusedExchange, because
+    each prunes different columns. The 100 TB authoring fix is to
+    aggregate once and JOIN the totals (one scan, one exchange,
+    threshold filter pushed onto the tiny aggregated side) — this row
+    deliberately keeps the reference IN-subquery form because the
+    decorrelation rewrite is the surface under test. The quantity
+    threshold (sum > 250, ~1% of orders at every tested SF) keeps the
+    semi-join side broadcastable at cluster scale. Same text is the
+    DuckDB oracle."""
     from .sources import register_views
 
     register_views(spark, sf_dir)

@@ -646,3 +646,28 @@ def test_incremental_dedup_finds_planted_batch_dup(spark):
     ).collect()
     pairs = {(r.batch_id, r.corpus_id): r.jaccard for r in out}
     assert pairs == {(100, 1): 1.0}, pairs
+
+
+def test_pii_redact_is_identity_without_pii(spark):
+    """Docs with zero pattern hits must come back byte-identical —
+    the scrub may never rewrite clean text (a masked-length drift on
+    clean docs would silently corrupt the corpus)."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators.textstats import pii_redact
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = pii_redact(docs)
+    clean = out.filter((F.col("n_emails") == 0) & (F.col("n_phones") == 0))
+    assert clean.count() > 0
+    assert clean.filter(F.col("redacted") != F.col("text")).count() == 0
+    # and planted PII is always rewritten
+    planted = pii_redact(
+        docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" reach me: a1@b2.com"))
+        )
+    )
+    assert planted.filter(F.col("n_emails") == 0).count() == 0
+    assert planted.filter(F.col("redacted").contains("@")).count() == 0
