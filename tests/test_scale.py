@@ -352,3 +352,53 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
         assert rows == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bloom_filter_and_zstd_layout(spark, tmp_path):
+    """Point-lookup layout knobs the engine exposes for high-cardinality
+    keys: parquet bloom filters (row-group skip for equality predicates
+    on keys min/max stats can't prune — uniformly distributed ids span
+    every row group's min/max) and zstd compression. Verified at the
+    FOOTER level through the JVM parquet reader (pyarrow 16 does not
+    surface bloom offsets): every row group's key column must carry a
+    bloom filter offset and the declared codec."""
+    from pathlib import Path
+
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    out = tmp_path / "bloom"
+    (
+        li.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "100000")
+        # dictionary off for the key: parquet-mr drops the bloom filter
+        # for fully dictionary-encoded columns (the dictionary already
+        # answers membership exactly) — and a true high-cardinality key
+        # shouldn't be dictionary-encoded anyway
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .option("compression", "zstd")
+        .parquet(str(out))
+    )
+    files = list(Path(out).glob("*.parquet"))
+    assert files
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(str(files[0])), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+    try:
+        blocks = reader.getFooter().getBlocks()
+        assert blocks.size() >= 1
+        for b in range(blocks.size()):
+            col = blocks.get(b).getColumns().get(0)
+            assert col.getPath().toDotString() == "l_orderkey"
+            assert col.getCodec().toString() == "ZSTD"
+            assert col.getBloomFilterOffset() > 0
+    finally:
+        reader.close()
