@@ -1457,7 +1457,7 @@ def s17_bucketed_join(spark, sf_dir):
     tables are persisted ``bucketBy(orderkey)`` into per-invocation
     external tables, then joined and aggregated WITH BROADCAST
     DISABLED — so the join must run scan-to-scan on the bucketed
-    layout, zero exchanges (the shape tests/test_plans.py pins; at
+    layout, zero exchanges (the shape tests/test_scale.py pins; at
     100 TB this is THE pattern for repeated fact-fact joins: pay the
     shuffle once at write time, never again per query). The aggregate
     is computed from the catalog read-back only; the oracle replays it
