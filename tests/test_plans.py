@@ -304,3 +304,29 @@ def test_large_orders_in_subquery_becomes_semi_join(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_clustered_layout_read_pushes_range_filter(spark, tmp_path):
+    """The s01_sorted_layout_scan claim, pinned: a range predicate on
+    the clustering column reaches the parquet scan of the re-written
+    layout as PushedFilters (with non-overlapping per-file shipdate
+    bands, that is what turns the pushdown into file-level skipping)."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.plans.inspect import pushed_filters
+    from echem_dft_etl_spark.sources import load_table
+    from echem_dft_etl_spark.sources.sinks import write_clustered
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, "l_shipdate", n_ranges=4)
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    pushed = " ".join(pushed_filters(back))
+    assert "l_shipdate" in pushed
+    assert back.count() > 0
