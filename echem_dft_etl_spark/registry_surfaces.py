@@ -2108,3 +2108,58 @@ def t13_pii_redact(spark, sf_dir):
         F.sum("n_phones").alias("n_phones"),
         F.sum(F.length("redacted")).alias("redacted_chars"),
     )
+
+
+@_register(
+    "q21_observed_load",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents,
+           (SELECT COUNT(*) FROM orders) AS observed_rows,
+           (SELECT COUNT(*) - COUNT(o_custkey) FROM orders)
+             AS observed_null_keys
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_ids=("Q21", "Q1"),
+)
+def q21_observed_load(spark, sf_dir):
+    """Observation-based load accounting, value-checked end-to-end:
+    quality metrics (input row count, null-key count) are attached
+    with ``pipeline.with_observation`` and collected BY the job that
+    materializes the per-status aggregate — no second scan — then
+    folded back into the result as columns, so the DRIVER's oracle
+    diff checks the observed numbers themselves against a replay from
+    the raw view. The reference logs its row count with a dedicated
+    task (my_dag.py:30); this is that check riding the load for free.
+    The observed metrics cross the driver as one O(1) dict — the same
+    driver-discipline class as a convergence count."""
+    from .pipeline import with_observation
+
+    orders = _ld(spark, sf_dir, "orders")
+    gated, obs = with_observation(
+        orders,
+        {
+            "observed_rows": F.count(F.lit(1)),
+            "observed_null_keys": F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ),
+        },
+    )
+    agg = gated.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+    )
+    # one job: materializes the aggregate AND fires the observation
+    agg = agg.localCheckpoint(eager=True)
+    got = obs.get
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(got["observed_rows"]),
+                int(got["observed_null_keys"] or 0),
+            )
+        ],
+        "observed_rows bigint, observed_null_keys bigint",
+    )
+    return agg.crossJoin(F.broadcast(metrics))
