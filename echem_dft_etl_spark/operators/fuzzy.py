@@ -1,0 +1,176 @@
+"""Edit-distance (fuzzy) string matching without all-pairs comparison.
+
+Entity resolution over dirty strings — matching typo-bearing queries
+against a catalog vocabulary within a bounded Levenshtein distance —
+is the string-space sibling of the MinHash/SimHash near-dup family
+(SURVEY X11): the naive form is a quadratic cross join, and the
+distributed form must generate a bounded candidate set with PROVABLE
+recall, then verify exactly.
+
+This module implements the PassJoin blocking scheme (Li, Deng, Feng:
+"PassJoin: A Partition-based Method for Similarity Joins", PVLDB 2012
+— public literature, no reference-repo counterpart):
+
+* each catalog string ``s`` is partitioned into ``k+1`` contiguous
+  segments (pigeonhole: any ≤k-edit transcript leaves at least one
+  segment untouched);
+* each query string ``q`` generates, for every candidate catalog
+  length ``L`` within ``±k`` and every segment index, the substrings
+  at start positions within ``±k`` of the segment's home position
+  (edits preceding a segment shift it by at most ``k``);
+* candidates meet on an EQUI-join over ``(segment_text, segment_index,
+  catalog_length)`` — never a theta/cross join — and survivors are
+  verified with the built-in ``levenshtein`` expression.
+
+The position window used here is the simple ``±k`` superset of
+PassJoin's tightened multi-match window: looser windows only ADD
+candidates, so completeness (exact recall at distance ≤ k) holds; the
+verify step removes false candidates. This keeps the whole candidate
+generator in JVM column expressions (sequence/transform/filter
+lambdas — no Python in the hot path).
+
+Scale shape: substring generation is embarrassingly parallel (a
+per-row flatMap, ~(2k+1)·(k+1)·(2k+1) candidate substrings per query
+row); the only joins are equi-joins on short segment keys, which
+Catalyst plans broadcast or shuffled-hash from stats exactly like any
+dimension join. State never includes a pair list longer than the
+verified candidates. At 100 TB the candidate join is the bottleneck
+by design — its volume is tunable via k and segment count, and the
+keys (seg text + index + length) distribute uniformly unless the
+vocabulary itself is skewed, in which case the standard salting
+helper (operators/scale.py) applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["catalog_segments", "query_segment_probes", "fuzzy_match_pairs"]
+
+
+def _seg_len(L: str, i: str, n_seg: int) -> str:
+    """SQL for the length of segment ``i`` (0-based) of a string of
+    length ``L`` under the even partition: the first ``L % n`` segments
+    get one extra character."""
+    return f"(({L}) div {n_seg} + IF(({i}) < ({L}) % {n_seg}, 1, 0))"
+
+
+def _seg_start(L: str, i: str, n_seg: int) -> str:
+    """SQL for the 1-based start of segment ``i`` under the same
+    partition: ``1 + i*(L div n) + min(i, L mod n)``."""
+    return f"(1 + ({i}) * (({L}) div {n_seg}) + least(({i}), ({L}) % {n_seg}))"
+
+
+def catalog_segments(
+    catalog: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """Explode each catalog string into its ``k+1`` PassJoin segments.
+
+    Output: ``(cat_id, cat_len, seg_i, seg_text)`` — one row per
+    segment, ids only (narrow join key side). Strings shorter than
+    ``k+1`` characters are dropped (they cannot be evenly partitioned
+    into non-empty segments; match them by brute force if they matter).
+    """
+    n = k + 1
+    segs = F.expr(
+        f"transform(sequence(0, {k}), i -> struct("
+        f"  i AS seg_i,"
+        f"  substring({text_col}, {_seg_start(f'length({text_col})', 'i', n)},"
+        f"            {_seg_len(f'length({text_col})', 'i', n)}) AS seg_text))"
+    )
+    return (
+        catalog.filter(F.length(text_col) >= n)
+        .select(
+            F.col(id_col).alias("cat_id"),
+            F.length(text_col).alias("cat_len"),
+            F.explode(segs).alias("seg"),
+        )
+        .select("cat_id", "cat_len", F.col("seg.seg_i"), F.col("seg.seg_text"))
+    )
+
+
+def query_segment_probes(
+    queries: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """Generate every substring of each query that could equal a
+    catalog segment of a string within edit distance ``k``.
+
+    For catalog length ``L ∈ [len(q)−k, len(q)+k]`` and segment index
+    ``i ∈ [0, k]``, emits ``q``'s substrings of the segment's length at
+    start positions within ``±k`` of the segment's home start
+    (clamped to valid positions). Output:
+    ``(qid, cat_len, seg_i, seg_text)`` — the same join key shape as
+    :func:`catalog_segments`.
+    """
+    n = k + 1
+    probes = F.expr(
+        f"flatten(flatten("
+        f" transform(sequence(greatest({n}, length({text_col}) - {k}),"
+        f"                    length({text_col}) + {k}),"
+        f"  L -> transform(sequence(0, {k}),"
+        f"   i -> transform("
+        f"     filter(sequence({_seg_start('L', 'i', n)} - {k},"
+        f"                     {_seg_start('L', 'i', n)} + {k}),"
+        f"            p -> p >= 1 AND"
+        f"                 p + {_seg_len('L', 'i', n)} - 1"
+        f"                   <= length({text_col})),"
+        f"     p -> struct(L AS cat_len, i AS seg_i,"
+        f"                 substring({text_col}, p,"
+        f"                           {_seg_len('L', 'i', n)}) AS seg_text))"
+        f"))))"
+    )
+    return (
+        queries.select(
+            F.col(id_col).alias("qid"), F.explode(probes).alias("pr")
+        )
+        .select(
+            "qid",
+            F.col("pr.cat_len").cast("int").alias("cat_len"),
+            F.col("pr.seg_i").cast("int").alias("seg_i"),
+            F.col("pr.seg_text"),
+        )
+        .dropDuplicates(["qid", "cat_len", "seg_i", "seg_text"])
+    )
+
+
+def fuzzy_match_pairs(
+    catalog: DataFrame,
+    queries: DataFrame,
+    cat_id: str,
+    cat_text: str,
+    q_id: str,
+    q_text: str,
+    k: int = 2,
+) -> DataFrame:
+    """All (query, catalog) pairs within Levenshtein distance ``k``.
+
+    Exact result (PassJoin recall proof above + exact verify):
+    ``(qid, cat_id, dist)``. Candidate generation joins ids-only on
+    ``(seg_text, seg_i, cat_len)``; the strings are re-attached by id
+    for the verify, so the candidate shuffle stays narrow.
+    """
+    cat_segs = catalog_segments(catalog, cat_id, cat_text, k)
+    q_probes = query_segment_probes(queries, q_id, q_text, k)
+    cand = (
+        q_probes.join(
+            cat_segs.withColumn("cat_len", F.col("cat_len").cast("int")),
+            on=["cat_len", "seg_i", "seg_text"],
+        )
+        .select("qid", "cat_id")
+        .dropDuplicates(["qid", "cat_id"])
+    )
+    cat_names = catalog.select(
+        F.col(cat_id).alias("cat_id"), F.col(cat_text).alias("_cat_text")
+    )
+    q_names = queries.select(
+        F.col(q_id).alias("qid"), F.col(q_text).alias("_q_text")
+    )
+    return (
+        cand.join(q_names, "qid")
+        .join(cat_names, "cat_id")
+        .withColumn(
+            "dist", F.levenshtein(F.col("_q_text"), F.col("_cat_text"))
+        )
+        .filter(F.col("dist") <= k)
+        .select("qid", "cat_id", F.col("dist").cast("bigint").alias("dist"))
+    )

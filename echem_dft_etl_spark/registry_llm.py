@@ -1259,3 +1259,62 @@ def s12_ann_lsh_multiprobe(spark, sf_dir):
     return similarity.ann_lsh_multiprobe_topk(
         _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
     )
+
+
+# =====================================================================
+# Fuzzy (edit-distance) entity matching — PassJoin blocking (X11)
+# =====================================================================
+
+#: Deterministic one-character-deletion typo: position
+#: (key % (len-2)) + 2 — always interior, never the first character,
+#: so the mutated string stays within edit distance 1 of its origin.
+_TYPO_POS = "(p_partkey % (length(p_name) - 2)) + 2"
+
+
+@_register(
+    "d19_fuzzy_join",
+    oracle=f"""
+    WITH cat AS (
+      SELECT MIN(p_partkey) AS name_id, p_name AS cname
+      FROM part GROUP BY p_name
+    ),
+    q AS (
+      SELECT p_partkey AS qid,
+             substr(p_name, 1, {_TYPO_POS} - 1)
+               || substr(p_name, {_TYPO_POS} + 1) AS qname
+      FROM part
+    )
+    SELECT q.qid, c.name_id AS cat_id,
+           CAST(levenshtein(q.qname, c.cname) AS BIGINT) AS dist
+    FROM q CROSS JOIN cat c
+    WHERE levenshtein(q.qname, c.cname) <= 2
+    """,
+    survey_ids=("X11",),
+)
+def d19_fuzzy_join(spark, sf_dir):
+    """Fuzzy string join (X11 string-space near-dup): typo-bearing
+    query strings (each part name with one deterministically chosen
+    interior character deleted) matched against the distinct-name
+    catalog within Levenshtein distance 2, via PassJoin segment
+    blocking — candidates meet on an equi-join over
+    (segment, index, length), never a cross join, and are verified
+    with the built-in levenshtein. Exact result: the oracle IS the
+    naive quadratic form. operators/fuzzy.py."""
+    from .operators.fuzzy import fuzzy_match_pairs
+
+    part = _ld(spark, sf_dir, "part")
+    catalog = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+        .select("name_id", F.col("p_name").alias("cname"))
+    )
+    queries = part.select(
+        F.col("p_partkey").alias("qid"),
+        F.expr(
+            f"substr(p_name, 1, {_TYPO_POS} - 1)"
+            f" || substr(p_name, {_TYPO_POS} + 1)"
+        ).alias("qname"),
+    )
+    return fuzzy_match_pairs(
+        catalog, queries, "name_id", "cname", "qid", "qname", k=2
+    )

@@ -671,3 +671,46 @@ def test_pii_redact_is_identity_without_pii(spark):
     )
     assert planted.filter(F.col("n_emails") == 0).count() == 0
     assert planted.filter(F.col("redacted").contains("@")).count() == 0
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+alpha = st.text(alphabet="abcde", min_size=3, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(alpha, min_size=1, max_size=12, unique=True),
+    st.lists(alpha, min_size=1, max_size=12, unique=True),
+)
+def test_passjoin_fuzzy_equals_bruteforce(spark, cats, qs):
+    """PassJoin blocking has exact recall at distance <= k: whatever
+    strings come in, the blocked+verified pair set must equal the
+    all-pairs Levenshtein filter (catalog strings shorter than k+1
+    are excluded by contract)."""
+    from echem_dft_etl_spark.operators.fuzzy import fuzzy_match_pairs
+
+    k = 2
+    cat = spark.createDataFrame(list(enumerate(cats)), "cid int, ctext string")
+    qdf = spark.createDataFrame(list(enumerate(qs)), "qid int, qtext string")
+    got = {
+        (r.qid, r.cat_id, r.dist)
+        for r in fuzzy_match_pairs(cat, qdf, "cid", "ctext", "qid", "qtext", k=k).collect()
+    }
+    want = {
+        (qi, ci, _lev(q, c))
+        for qi, q in enumerate(qs)
+        for ci, c in enumerate(cats)
+        if len(c) >= k + 1 and _lev(q, c) <= k
+    }
+    assert got == want
