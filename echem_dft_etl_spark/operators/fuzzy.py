@@ -119,17 +119,18 @@ def query_segment_probes(
         f"                           {_seg_len('L', 'i', n)}) AS seg_text))"
         f"))))"
     )
-    return (
-        queries.select(
-            F.col(id_col).alias("qid"), F.explode(probes).alias("pr")
-        )
-        .select(
-            "qid",
-            F.col("pr.cat_len").cast("int").alias("cat_len"),
-            F.col("pr.seg_i").cast("int").alias("seg_i"),
-            F.col("pr.seg_text"),
-        )
-        .dropDuplicates(["qid", "cat_len", "seg_i", "seg_text"])
+    # Probe duplicates can only occur WITHIN one query row (qid is part
+    # of the key), so dedup them row-locally with array_distinct before
+    # the explode — zero shuffle, vs a full exchange for dropDuplicates
+    # over the exploded stream.
+    return queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(F.array_distinct(probes)).alias("pr"),
+    ).select(
+        "qid",
+        F.col("pr.cat_len").cast("int").alias("cat_len"),
+        F.col("pr.seg_i").cast("int").alias("seg_i"),
+        F.col("pr.seg_text"),
     )
 
 
@@ -149,8 +150,22 @@ def fuzzy_match_pairs(
     ``(seg_text, seg_i, cat_len)``; the strings are re-attached by id
     for the verify, so the candidate shuffle stays narrow.
     """
+    # Probe generation is COMPUTE-bound (~45 nested-lambda substrings
+    # per query row), not I/O-bound: a single-file query table would
+    # otherwise run it in one task. Hash-spread the raw query rows
+    # (narrow: id + string) across the default shuffle width first —
+    # the cheapest shuffle in the plan buys full-cluster parallelism
+    # for the expensive stage.
+    # Pin the partition count: AQE would coalesce a column-only
+    # repartition back toward one partition (the rows are only a few
+    # hundred KB) and re-serialize the expensive stage.
+    n_part = int(
+        queries.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     cat_segs = catalog_segments(catalog, cat_id, cat_text, k)
-    q_probes = query_segment_probes(queries, q_id, q_text, k)
+    q_probes = query_segment_probes(
+        queries.repartition(n_part, F.col(q_id)), q_id, q_text, k
+    )
     cand = (
         q_probes.join(
             cat_segs.withColumn("cat_len", F.col("cat_len").cast("int")),
