@@ -131,3 +131,44 @@ def sessionize_dynamic(
         )
         .drop("_boundary")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Assign a 1-based ``block_id`` per key that merges overlapping or
+    touching ``[start, end]`` intervals (interval-union coverage — the
+    outage-window / speaker-overlap / availability-SLA primitive).
+
+    Distinct from gap sessionization: intervals carry VARIABLE lengths,
+    so the cut test must compare each start against the cumulative MAX
+    of all previous ends — a long early interval can swallow several
+    later short ones, which a lag-based gap rule would wrongly split.
+
+    A row starts a new block iff its start exceeds the running maximum
+    end of every earlier interval of the same key (order: start, then
+    ``tie_col`` for a total, engine-independent order). One
+    shuffle+sort on the key — the same plan shape as sessionize; the
+    two windows share a single (partition, order) sort.
+    """
+    order = [F.col(start_col), F.col(tie_col)]
+    prev_max_end = F.max(F.col(end_col)).over(
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("_boundary", boundary).withColumn(
+        "block_id", F.sum("_boundary").over(running).cast("bigint")
+    ).drop("_boundary")

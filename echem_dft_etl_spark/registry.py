@@ -1550,3 +1550,117 @@ def q18_grouped_collect(spark, sf_dir):
             ",",
         ).alias("linenums"),
     )
+
+
+@_register(
+    "x09_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s,
+               ts + (60 + event_id % 240) * INTERVAL '1 second' AS e
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR s > MAX(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS boundary
+        FROM iv
+    ),
+    blocks AS (
+        SELECT user_id, s, e,
+               CAST(SUM(boundary) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS block_id
+        FROM tagged
+    )
+    SELECT user_id, block_id,
+           COUNT(*) AS n_intervals,
+           MIN(s) AS block_start, MAX(e) AS block_end,
+           CAST(date_diff('second', MIN(s), MAX(e)) AS BIGINT) AS covered_s
+    FROM blocks
+    GROUP BY user_id, block_id
+    """,
+    survey_ids=("X9", "X4"),
+)
+def x09_interval_merge(spark, sf_dir):
+    """Interval-union merge (X9): each event holds a VARIABLE-length
+    interval (60 + event_id % 240 seconds — deterministic), and
+    overlapping/touching intervals per user collapse into coverage
+    blocks via the cumulative-max-end rule. The outage-window /
+    availability primitive; distinct from gap sessionization because a
+    long early interval can swallow later short ones, which a lag rule
+    would wrongly split. operators/sessions.py::merge_intervals."""
+    from .operators.sessions import merge_intervals
+
+    ev = _ld(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, 60 + event_id % 240)")
+        .alias("e"),
+    )
+    blocks = merge_intervals(ev, "user_id", "s", "e", "event_id")
+    return blocks.groupBy("user_id", "block_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.min("s").alias("block_start"),
+        F.max("e").alias("block_end"),
+        (
+            F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s"))
+        ).alias("covered_s"),
+    )
+
+
+@_register(
+    "x04_rolling_range",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               -- floor, not round: Spark's unix_timestamp truncates
+               -- the fractional second
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, epoch_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ids=("X4", "X7"),
+)
+def x04_rolling_range(spark, sf_dir):
+    """Rolling time-RANGE window features (X4): per event, the count
+    and value sum of the same user's events in the trailing hour —
+    a RANGE frame over event-time (all peers at equal timestamps
+    included, so the result is order-independent under ties), vs the
+    ROWS frames in x04_analytic_windows. The per-entity trailing
+    aggregate is the feature-engineering staple (velocity / spend-rate
+    features); one shuffle+sort on the partition key, frame evaluated
+    in a single pass with a sliding aggregate buffer."""
+    ev = _ld(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "epoch_s",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"),
+    )

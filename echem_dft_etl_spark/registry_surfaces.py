@@ -2163,3 +2163,67 @@ def q21_observed_load(spark, sf_dir):
         "observed_rows bigint, observed_null_keys bigint",
     )
     return agg.crossJoin(F.broadcast(metrics))
+
+
+@_register(
+    "s01_compaction",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(48 AS BIGINT) AS n_files_fragmented,
+           TRUE AS compacted
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    survey_ids=("S1",),
+)
+def s01_compaction(spark, sf_dir):
+    """Small-files compaction round-trip (S1 table maintenance): one
+    year of lineitem is deliberately fragmented into 48 tiny parquet
+    files (the streaming-append pathology), compacted with
+    sources/sinks.py::compact_parquet (byte-sized output count,
+    range-clustered on l_shipdate), and the COMPACTED table is read
+    back and aggregated per ship month — every value flows through
+    the fragmented write AND the compaction rewrite, so a green row
+    proves content fidelity of the maintenance pass.
+    ``n_files_fragmented`` counts the actual small files on disk (= 48
+    by construction); ``compacted`` asserts the rewrite produced
+    strictly fewer files. Reentrant: per-invocation mkdtemp, result
+    eagerly checkpointed, dir deleted before returning."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .sources.sinks import compact_parquet
+
+    li = _ld(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    out = Path(tempfile.mkdtemp(prefix="echem_compaction_"))
+    src, dst = f"{out}/fragmented", f"{out}/compacted"
+    li.repartition(48).write.parquet(src)
+    n_in, n_out = compact_parquet(
+        spark, src, dst, target_bytes=8 * 1024 * 1024, cluster_col="l_shipdate"
+    )
+    back = spark.read.parquet(dst)
+    result = (
+        back.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
+        )
+        .withColumn("n_files_fragmented", F.lit(n_in).cast("bigint"))
+        .withColumn("compacted", F.lit(n_out < n_in))
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -254,3 +254,61 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    cluster_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction (S1 table maintenance): rewrite a
+    fragmented parquet directory into files sized toward
+    ``target_bytes``, optionally range-clustered on ``cluster_col``.
+
+    The 100 TB problem this solves: streaming appends, per-task sinks,
+    and one-file-per-record ingestion all accumulate files far smaller
+    than a parquet row group, and scan cost at scale is dominated by
+    file-open/footer overhead — a table with 10M 100 KB files is
+    unreadable regardless of total bytes. Compaction is the standing
+    maintenance job every long-lived table needs (OPTIMIZE in managed
+    table formats).
+
+    Sizing reads the ACTUAL byte total from the filesystem (Hadoop FS
+    API, so the same code sizes HDFS/S3 paths on a cluster) and picks
+    ``ceil(total / target_bytes)`` output partitions — one coalesce
+    shuffle; with ``cluster_col`` the rewrite doubles as re-clustering
+    (repartitionByRange + sortWithinPartitions, same layout contract
+    as :func:`write_clustered`).
+
+    Returns ``(n_files_in, n_files_out)`` counting data files (parquet
+    parts), so callers can assert the reduction.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _data_files(path: str):
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        out = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append((str(st.getPath()), int(st.getLen())))
+        return out
+
+    files_in = _data_files(src_path)
+    total = sum(sz for _, sz in files_in)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src_path)
+    if cluster_col is not None:
+        df = df.repartitionByRange(n_out, cluster_col).sortWithinPartitions(
+            cluster_col
+        )
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dst_path)
+    return len(files_in), len(_data_files(dst_path))

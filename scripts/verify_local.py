@@ -19,6 +19,9 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+#: Optional comma-separated query-name filter (exact names), e.g.
+#:   python scripts/verify_local.py /root/testdata/sf0.01 d19_fuzzy_join
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
 
 def main() -> int:
@@ -37,6 +40,8 @@ def main() -> int:
 
     failures = 0
     for name, spec in sorted(all_queries().items()):
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             df = spec.fn(spark, SF_DIR)

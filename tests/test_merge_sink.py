@@ -94,3 +94,48 @@ def test_crashed_write_is_invisible(spark, tmp_path):
     # uncommitted dir neither advances the counter nor feeds the merge
     t = merge_parquet(_mk(spark, [("b", 2.0)]), str(root), ["MP_id"], "pzc")
     assert _rows(t) == {"a": 1.0, "b": 2.0}
+
+
+def test_compact_parquet_reduces_files_and_preserves_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "tight")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(40).write.parquet(src)
+    n_in, n_out = compact_parquet(
+        spark, src, dst, target_bytes=64 * 1024 * 1024, cluster_col="id"
+    )
+    assert n_in == 40 and n_out < n_in
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_compact_parquet_clusters_output_ranges(spark, tmp_path):
+    """With cluster_col, compacted files cover non-overlapping key
+    bands (the min/max pruning contract of write_clustered)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "tight")
+    spark.range(50_000).select(F.col("id")).repartition(30).write.parquet(src)
+    # force a multi-file compaction so the non-overlap claim is tested
+    compact_parquet(spark, src, dst, target_bytes=100 * 1024, cluster_col="id")
+    spans = []
+    for f in Path(dst).glob("part-*.parquet"):
+        t = pq.read_table(f, columns=["id"])
+        if t.num_rows:
+            ids = t.column("id").to_pylist()
+            spans.append((min(ids), max(ids)))
+    assert len(spans) > 1
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, (spans,)
