@@ -1,0 +1,91 @@
+"""Table-audit primitives: order-independent content fingerprints and
+ANALYZE-style column profiles.
+
+After any 100 TB copy, migration, compaction, or engine swap, the
+first question is "is the data still the same?" — and the only
+affordable answer is an ORDER-INDEPENDENT, partition-mergeable
+checksum computed in one scan per side (re-sorting 100 TB to diff it
+is not a plan). The same applies before training runs: a per-column
+profile (nulls, distincts, bounds) is the cheap gate that catches a
+broken upstream join faster than any downstream metric.
+
+Both operators are single-scan aggregations: partials merge
+associatively across any executor count, nothing here shuffles more
+than one exchange keyed on the (small) group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import det_hash_str
+
+#: Unit separator — cannot appear in the corpus columns we serialize.
+_SEP = "\x1f"
+#: NULL sentinel distinct from any cast value.
+_NULL = "\x00"
+
+
+def canonical_row_hash(cols: list[Column]) -> Column:
+    """48-bit per-row hash of the canonical serialization of ``cols``.
+
+    Callers must pass columns whose STRING CAST is engine-portable
+    (integers, pre-scaled cents, explicitly formatted dates) — float
+    formatting is not portable and must be scaled to integers first.
+    NULLs map to a sentinel no real value contains, so (NULL, "x")
+    and ("x", NULL) hash differently.
+    """
+    parts = [F.coalesce(c.cast("string"), F.lit(_NULL)) for c in cols]
+    return det_hash_str(F.concat_ws(_SEP, *parts))
+
+
+def table_fingerprint(
+    df: DataFrame, group_cols: list[str], hash_cols: list[Column]
+) -> DataFrame:
+    """Order-independent content fingerprint per group.
+
+    Emits ``(group..., n_rows, xor_fp, min_h, max_h)`` where ``xor_fp``
+    is the bitwise XOR of all row hashes — commutative, associative,
+    overflow-free, so it merges across partitions in any order and
+    never outgrows int64 no matter the row count (a SUM of 48-bit
+    hashes would overflow past ~65 K rows). Two replicas differ ⇒
+    their fingerprints differ unless hashes collide pairwise; min/max
+    add cheap extra discrimination. Grouping by a partition-grained
+    key (day, shard) localizes any diff to the partitions worth
+    re-copying.
+    """
+    h = canonical_row_hash(hash_cols).alias("_h")
+    return (
+        df.select(*group_cols, h)
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_fp"),
+            F.min("_h").alias("min_h"),
+            F.max("_h").alias("max_h"),
+        )
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style per-column profile in ONE scan.
+
+    Emits ``(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)``
+    with values serialized to strings. The wide table is melted to
+    (column, value) pairs with ``stack`` — an in-place generator, not
+    k rescans — then profiled with one hash aggregate keyed on the
+    column name (cardinality = len(cols), so the exchange is trivial;
+    the exact distinct is the only memory-relevant state and callers
+    with huge cardinalities should swap approx_count_distinct in).
+    """
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    melted = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, val)")
+    )
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_nulls"),
+        F.count_distinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -1318,3 +1318,199 @@ def d19_fuzzy_join(spark, sf_dir):
     return fuzzy_match_pairs(
         catalog, queries, "name_id", "cname", "qid", "qname", k=2
     )
+
+
+# =====================================================================
+# Composed training-data pipeline (X11+X13): the end-to-end run
+# =====================================================================
+
+#: word-5-gram shingles over ``toks`` (same spelling as d15's oracle).
+_SHINGLES5 = (
+    "list_transform(range(1, len(toks) - 3),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    " || ' ' || toks[i+3] || ' ' || toks[i+4])"
+)
+
+_PIPE_SQL = f"""
+    WITH train AS (SELECT doc_id, source, text FROM documents
+                   WHERE doc_id % 97 <> 0),
+    t0 AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM train),
+    sigl AS (SELECT doc_id, source, text, toks,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    CASE WHEN len(toks) > 0
+                         THEN CAST(coalesce(list_sum(list_transform(toks,
+                                  x -> length(x))), 0) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END AS avg_token_len,
+                    CASE WHEN len(toks) > 1
+                         THEN CAST(1.0 AS DOUBLE)
+                              - CAST(len(list_distinct(list_transform(
+                                    range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])))
+                                  AS DOUBLE)
+                                / CAST(len(toks) - 1 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+                    {_BEST} > 0 AS pass_lang
+             FROM (SELECT doc_id, source, text, toks,
+                          {", ".join(f"{_stop_list_sql(l)} AS hits_{l}"
+                                     for l in _LANGS)}
+                   FROM t0)),
+    q AS (SELECT doc_id, source, text, toks, n_tokens FROM sigl
+          WHERE pass_lang
+            AND n_tokens BETWEEN {textstats.GATE_MIN_TOKENS}
+                             AND {textstats.GATE_MAX_TOKENS}
+            AND avg_token_len BETWEEN {textstats.GATE_MIN_AVG_TOKEN_LEN}
+                                  AND {textstats.GATE_MAX_AVG_TOKEN_LEN}
+            AND dup_2gram_frac <= {textstats.GATE_MAX_DUP_2GRAM_FRAC}),
+    ex AS (SELECT doc_id, source, text, toks, n_tokens
+           FROM (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY {_NORM} ORDER BY doc_id) AS rn
+                 FROM q)
+           WHERE rn = 1),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+           FROM ex WHERE len(toks) >= 3),
+    hh AS (SELECT doc_id, {_HSTR.format(e='shingle')} AS h FROM sh),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b),
+    dupb AS (SELECT DISTINCT i.b AS doc_id
+             FROM inter i
+             JOIN sizes za ON za.doc_id = i.a
+             JOIN sizes zb ON zb.doc_id = i.b
+             WHERE CAST(i.n_inter AS DOUBLE)
+                     / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
+                   >= 0.8),
+    nd AS (SELECT * FROM ex
+           WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
+    evt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE doc_id % 97 = 0),
+    evg AS (SELECT DISTINCT unnest({_SHINGLES5}) AS shingle
+            FROM evt WHERE len(toks) >= 5),
+    ndg AS (SELECT DISTINCT doc_id, unnest({_SHINGLES5}) AS shingle
+            FROM nd WHERE len(toks) >= 5),
+    cont AS (SELECT DISTINCT ndg.doc_id FROM ndg JOIN evg USING (shingle)),
+    clean AS (SELECT * FROM nd
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    flags AS (SELECT tr.doc_id, tr.source,
+                     q.doc_id IS NOT NULL AS in_q,
+                     ex.doc_id IS NOT NULL AS in_ex,
+                     nd.doc_id IS NOT NULL AS in_nd,
+                     clean.doc_id IS NOT NULL AS in_clean,
+                     coalesce(clean.n_tokens, 0) AS tok
+              FROM train tr
+              LEFT JOIN q ON q.doc_id = tr.doc_id
+              LEFT JOIN ex ON ex.doc_id = tr.doc_id
+              LEFT JOIN nd ON nd.doc_id = tr.doc_id
+              LEFT JOIN clean ON clean.doc_id = tr.doc_id)
+    SELECT source,
+           COUNT(*) AS n_in,
+           CAST(SUM(CASE WHEN in_q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN in_ex THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN in_nd THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neardup,
+           CAST(SUM(CASE WHEN in_clean THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(SUM(tok) AS BIGINT) AS clean_tokens
+    FROM flags GROUP BY source
+    """
+
+
+@_register("d20_training_pipeline", oracle=_PIPE_SQL, survey_ids=("X11", "X13"))
+def d20_training_pipeline(spark, sf_dir):
+    """The COMPOSED end-to-end training-data pipeline: train slice →
+    composite quality gate (t13_quality_gate) → normalized exact dedup
+    (d11) → MinHash-LSH near-dup drop (d12, greater-id loses) →
+    5-gram eval decontamination (d15) — with per-source survivor
+    counts at EVERY stage plus final token volume, so one driver row
+    value-checks the whole chain, stage attrition included. Each stage
+    is the registered operator, not a re-implementation; the oracle is
+    the same five stages composed as CTEs. Scale shape inherits from
+    the parts: the only non-equi work is LSH-banded, eval shingles
+    broadcast, everything else is scans/window/anti-joins."""
+    from .operators.textstats import quality_gate
+
+    docs = _ld(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+
+    gated = quality_gate(train).filter(F.col("keep")).select(
+        "doc_id", "n_tokens"
+    )
+    # Stage materialization: each stage output is checkpointed before
+    # it fans out (every stage feeds BOTH the next stage and the final
+    # per-source attrition flags, and the near-dup stage feeds the LSH
+    # chain besides) — without it Catalyst re-executes the whole
+    # upstream chain once per consumer (measured 128 exchanges / 29
+    # window nodes in the naive composed plan). This is the Spark
+    # spelling of what a production pipeline does anyway: persist
+    # inter-stage corpora. At 100 TB these are parquet writes between
+    # jobs; in one session, checkpoint blocks.
+    q = train.join(gated, "doc_id").localCheckpoint(eager=True)
+
+    from .functions.text import norm_text
+
+    w_first = dedup.first_wins_dedup(
+        q.select("doc_id", norm_text(F.col("text")).alias("norm_key")),
+        ["norm_key"],
+        "doc_id",
+    ).select("doc_id")
+    ex = q.join(w_first, "doc_id").localCheckpoint(eager=True)
+
+    pairs = dedup.near_dup_pairs_minhash(
+        ex.select("doc_id", "text"), threshold=0.8
+    )
+    dup_b = pairs.select(F.col("b").alias("doc_id")).distinct()
+    nd = ex.join(dup_b, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    cont = (
+        dedup.decontaminate(nd.select("doc_id", "text"), evals, shingle_n=5)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    clean = nd.join(cont, "doc_id", "left_anti")
+
+    flags = (
+        train.select("doc_id", "source")
+        .join(q.select("doc_id", F.lit(True).alias("in_q")), "doc_id", "left")
+        .join(
+            ex.select("doc_id", F.lit(True).alias("in_ex")), "doc_id", "left"
+        )
+        .join(
+            nd.select("doc_id", F.lit(True).alias("in_nd")), "doc_id", "left"
+        )
+        .join(
+            clean.select(
+                "doc_id",
+                F.lit(True).alias("in_clean"),
+                F.col("n_tokens").alias("tok"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    cnt = lambda c: F.sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        cnt("in_q").alias("n_quality"),
+        cnt("in_ex").alias("n_exact"),
+        cnt("in_nd").alias("n_neardup"),
+        cnt("in_clean").alias("n_clean"),
+        F.sum(F.coalesce(F.col("tok"), F.lit(0))).cast("bigint").alias(
+            "clean_tokens"
+        ),
+    )

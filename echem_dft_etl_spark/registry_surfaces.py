@@ -2227,3 +2227,113 @@ def s01_compaction(spark, sf_dir):
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+#: DuckDB spelling of operators/audit.canonical_row_hash for the
+#: lineitem checksum columns (same md5-prefix hash as
+#: functions/hashing.duckdb_det_hash_str, same chr(31) separator and
+#: chr(0) NULL sentinel).
+_CHECKSUM_H_SQL = """
+    (('0x' || substr(md5(concat_ws(chr(31),
+        CAST(l_orderkey AS VARCHAR),
+        CAST(l_linenumber AS VARCHAR),
+        CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR),
+        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+        coalesce(l_returnflag, chr(0)),
+        strftime(l_shipdate, '%Y-%m-%d'))), 1, 12))::BIGINT)
+"""
+
+
+@_register(
+    "s18_table_checksum",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               {_CHECKSUM_H_SQL} AS hh
+        FROM lineitem
+    )
+    SELECT ship_year, COUNT(*) AS n_rows,
+           bit_xor(hh) AS xor_fp, MIN(hh) AS min_h, MAX(hh) AS max_h
+    FROM h GROUP BY ship_year
+    """,
+    survey_ids=("X6", "Q21"),
+)
+def s18_table_checksum(spark, sf_dir):
+    """Order-independent table content fingerprint (the post-migration
+    / post-compaction validation primitive): per ship year, the XOR of
+    canonical per-row hashes plus count/min/max — commutative and
+    overflow-free, so partials merge across any executor count and the
+    whole check is ONE scan per replica at 100 TB, no re-sort. The
+    oracle recomputes the identical md5-prefix hash in DuckDB, which
+    IS the cross-engine migration diff this operator exists for.
+    operators/audit.py::table_fingerprint."""
+    from .operators.audit import table_fingerprint
+
+    li = _ld(spark, sf_dir, "lineitem")
+    return table_fingerprint(
+        li.withColumn(
+            "ship_year", F.year("l_shipdate").cast("int")
+        ),
+        ["ship_year"],
+        [
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            _cents(F.col("l_extendedprice")),
+            F.col("l_quantity").cast("bigint"),
+            F.col("l_returnflag"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        ],
+    )
+
+
+@_register(
+    "s18_profile_table",
+    oracle="""
+    SELECT 'l_returnflag' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT l_returnflag) AS n_distinct,
+           MIN(CAST(l_returnflag AS VARCHAR)) AS min_val,
+           MAX(CAST(l_returnflag AS VARCHAR)) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*),
+           CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT l_linestatus),
+           MIN(CAST(l_linestatus AS VARCHAR)),
+           MAX(CAST(l_linestatus AS VARCHAR))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', COUNT(*),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT l_orderkey),
+           MIN(CAST(l_orderkey AS VARCHAR)),
+           MAX(CAST(l_orderkey AS VARCHAR))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', COUNT(*),
+           CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           COUNT(DISTINCT l_linenumber),
+           MIN(CAST(l_linenumber AS VARCHAR)),
+           MAX(CAST(l_linenumber AS VARCHAR))
+    FROM lineitem
+    """,
+    survey_ids=("X6", "Q21"),
+)
+def s18_profile_table(spark, sf_dir):
+    """ANALYZE-style column profile (the pre-training data-quality
+    gate): nulls / exact distincts / string-cast bounds for four
+    lineitem columns in ONE scan — the wide rows are melted to
+    (column, value) pairs with the in-place stack generator (no
+    k rescans, unlike the oracle's UNION ALL spelling, which IS the
+    naive k-scan form) and profiled with a single hash aggregate
+    keyed on column name. operators/audit.py::profile_columns."""
+    from .operators.audit import profile_columns
+
+    li = _ld(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
+    )
