@@ -89,3 +89,49 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+def merge_partial_rollup(
+    base: DataFrame, delta: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a
+    previously materialized rollup with the rollup of a delta batch.
+
+    Both inputs carry the DECOMPOSABLE accumulator columns
+    ``(n_rows, sum_cents, min_cents, max_cents)``; the merge is a
+    union + re-aggregation with the combine functions (sum of counts,
+    sum of sums, min of mins, max of maxes) — the algebra that makes
+    refreshing a 100 TB rollup cost O(delta), not O(table): the base
+    side is already one row per group, so the only full-size scan ever
+    taken is the delta's. AVG-style derived metrics come out of the
+    accumulators at read time; non-decomposable aggregates (exact
+    median, exact distinct) have no such merge and must either keep a
+    mergeable sketch accumulator or re-scan.
+    """
+    unioned = base.select(
+        *group_cols, "n_rows", "sum_cents", "min_cents", "max_cents"
+    ).unionByName(
+        delta.select(
+            *group_cols, "n_rows", "sum_cents", "min_cents", "max_cents"
+        )
+    )
+    return unioned.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    )
+
+
+def rollup_accumulators(
+    df: DataFrame, group_cols: list[str], cents: Column
+) -> DataFrame:
+    """The accumulator-producing aggregation both the base
+    materialization and every delta refresh run — one shape, so
+    base and delta are mergeable by construction."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )

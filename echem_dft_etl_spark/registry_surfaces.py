@@ -2337,3 +2337,116 @@ def s18_profile_table(spark, sf_dir):
     return profile_columns(
         li, ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
     )
+
+
+@_register(
+    "s19_incremental_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS min_cents,
+           MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS max_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    survey_ids=("X3", "S3"),
+)
+def s19_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-aggregate refresh (the
+    materialized-view maintenance primitive): ~80% of orders is rolled
+    up into accumulator columns and MATERIALIZED to parquet (the
+    standing aggregate table); the remaining ~20% arrives as a delta
+    batch, is rolled up with the SAME accumulator shape, and the two
+    are merged with the combine algebra (sum-of-counts, sum-of-sums,
+    min-of-mins, max-of-maxes) — so refresh cost is O(delta), never a
+    re-scan of the base table. The oracle recomputes the rollup from
+    ALL rows directly: incremental == full recompute is exactly the
+    invariant that makes incremental refresh trustworthy.
+    operators/audit.py::merge_partial_rollup. Reentrant:
+    per-invocation mkdtemp, eager checkpoint, dir deleted."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .operators.audit import merge_partial_rollup, rollup_accumulators
+
+    orders = _ld(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    keys = ["o_orderstatus", "order_month"]
+    base_rows = orders.filter(F.col("o_orderkey") % 10 < 8)
+    delta_rows = orders.filter(F.col("o_orderkey") % 10 >= 8)
+
+    out = Path(tempfile.mkdtemp(prefix="echem_incr_rollup_"))
+    rollup_accumulators(base_rows, keys, F.col("cents")).write.parquet(
+        f"{out}/base"
+    )
+    base = spark.read.parquet(f"{out}/base")
+    merged = merge_partial_rollup(
+        base, rollup_accumulators(delta_rows, keys, F.col("cents")), keys
+    )
+    result = merged.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@_register(
+    "s01_zorder_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1
+    """,
+    survey_ids=("S1", "Q1"),
+)
+def s01_zorder_scan(spark, sf_dir):
+    """Z-order clustered layout round-trip (S1): orders rewritten
+    Morton-interleaved on (customer, order day) with
+    sources/sinks.py::write_zordered, then re-read through a
+    TWO-dimensional predicate (customer band AND six-month window) —
+    the case range clustering cannot serve, because files tight on one
+    dimension are unbounded on the other. Every output value flows
+    through the z-ordered rewrite; the oracle replays from the raw
+    table. The rectangle-per-file property itself is pinned in
+    tests/test_merge_sink.py::test_zorder_files_are_rectangles.
+    Reentrant: per-invocation mkdtemp, eager checkpoint, dir
+    deleted."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .sources.sinks import write_zordered
+
+    orders = _ld(spark, sf_dir, "orders").withColumn(
+        "o_orderday", F.datediff("o_orderdate", F.lit("1995-01-01"))
+    )
+    out = Path(tempfile.mkdtemp(prefix="echem_zorder_"))
+    write_zordered(orders, f"{out}/orders", "o_custkey", "o_orderday")
+    back = spark.read.parquet(f"{out}/orders")
+    result = (
+        back.filter(
+            F.col("o_custkey").between(100, 400)
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result

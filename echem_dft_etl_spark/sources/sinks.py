@@ -312,3 +312,61 @@ def compact_parquet(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(dst_path)
     return len(files_in), len(_data_files(dst_path))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_ranges: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout over TWO
+    dimensions.
+
+    Range clustering (:func:`write_clustered`) makes ONE column's
+    min/max stats tight per file; queries filtering the other
+    dimension still scan everything. Interleaving the bits of both
+    (min-max scaled to ``bits``-bit rank space) and range-partitioning
+    on the interleaved key keeps every file a small rectangle in
+    (a, b) space, so row-group pruning works for predicates on EITHER
+    dimension — the multi-dimensional layout OPTIMIZE ZORDER BY
+    provides in managed formats, from two exchanges: one tiny
+    bounds aggregate (the only full-scan extra) and the range write
+    itself. The interleave is a closed-form column expression
+    (sequence/aggregate over bit positions) — JVM-side, no UDF.
+    """
+    bounds = df.agg(
+        F.min(col_a).alias("a_min"),
+        F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"),
+        F.max(col_b).alias("b_max"),
+    ).first()
+    a_min, a_max = int(bounds.a_min), int(bounds.a_max)
+    b_min, b_max = int(bounds.b_min), int(bounds.b_max)
+    top = (1 << bits) - 1
+
+    def _scaled(c: str, lo: int, hi: int) -> str:
+        span = max(hi - lo, 1)
+        return (
+            f"CAST(CAST({c} AS BIGINT) - {lo} AS BIGINT) * {top} DIV {span}"
+        )
+
+    # fully parenthesized: SQL shift does NOT bind tighter than &, so
+    # `x & 1 << n` would parse as `x & (1 << n)`
+    z = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc"
+        f"  | (((({_scaled(col_a, a_min, a_max)}) >> i) & 1) << (2 * i + 1))"
+        f"  | (((({_scaled(col_b, b_min, b_max)}) >> i) & 1) << (2 * i)))"
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_ranges, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -139,3 +139,43 @@ def test_compact_parquet_clusters_output_ranges(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, (spans,)
+
+
+def test_zorder_files_are_rectangles(spark, tmp_path):
+    """Z-ordered files must be small rectangles in BOTH dimensions:
+    per-file min/max span a fraction of the global domain for x AND y
+    (range clustering on one column leaves the other unbounded)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.sources.sinks import write_zordered
+
+    n = 1 << 14
+    side = 1 << 7
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("bigint").alias("y")
+    )
+    dst = str(tmp_path / "z")
+    write_zordered(df, dst, "x", "y", n_ranges=16)
+    spans = []
+    for f in Path(dst).glob("part-*.parquet"):
+        t = pq.read_table(f, columns=["x", "y"])
+        if not t.num_rows:
+            continue
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    # 16 contiguous z-ranges over a 128x128 grid: files inside an
+    # aligned quad are ~32-wide rectangles in BOTH dims; the few
+    # ranges straddling a major quad boundary legitimately span wide
+    # (the classic z-curve jump — Delta's OPTIMIZE ZORDER has the
+    # same property). The layout claim is therefore: MOST files are
+    # tight in both dimensions, which is what stats-based row-group
+    # pruning needs — vs range clustering, where EVERY file spans the
+    # full domain of the non-clustered column.
+    assert len(spans) > 4
+    tight = [s for s in spans if s[0] <= side // 2 and s[1] <= side // 2]
+    assert len(tight) >= 3 * len(spans) // 4, spans
+    assert min(sx for sx, _ in spans) <= side // 4, spans
+    assert min(sy for _, sy in spans) <= side // 4, spans
