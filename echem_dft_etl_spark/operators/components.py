@@ -208,3 +208,83 @@ def duplicate_clusters(
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         w.cast("bigint").alias("n_members"),
     )
+
+
+def forest_root_depth(
+    nodes: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Flatten a rooted forest: ``(node, root, depth)`` for every node,
+    where ``parent`` is NULL at roots — the hierarchy/closure query
+    (org charts, bill-of-materials, category trees) that SQL engines
+    serve with ``WITH RECURSIVE`` and Spark has no native form for.
+
+    Algorithm: **pointer doubling** over the parent relation treated as
+    DATA (never as an arithmetic shortcut): state ``(v, anc, d)``
+    starts at each node's parent (roots at themselves, d = 0) and each
+    round substitutes ``anc ← anc's anc``, ``d ← d + anc's d`` via one
+    equi-join of the state with itself — the known-ancestor distance
+    DOUBLES per round, so convergence takes O(log depth) rounds, not
+    O(depth) self-joins (the naive recursive-CTE translation). Rows
+    whose ancestor is already a root are fixed points; the loop stops
+    on an exact zero-changes count.
+
+    Same storage discipline as :func:`connected_components`: per-round
+    eager localCheckpoint (else round k's plan contains 2^k state
+    scans), previous round's blocks released immediately, error paths
+    release the in-flight round. Every round is a hash equi-join on
+    node ids — no broadcast of data-sized frames; skewed fan-in (a hub
+    parent) is ordinary join skew, absorbed by AQE.
+    """
+    spark = nodes.sparkSession
+    prev_ids: list = []
+    state = _tracked_checkpoint(
+        nodes.select(
+            F.col(id_col).alias("v"),
+            F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+            F.when(F.col(parent_col).isNull(), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("d"),
+        ),
+        prev_ids,
+    )
+    converged = False
+    try:
+        for _round in range(max_rounds):
+            m = state.select(
+                F.col("v").alias("mv"),
+                F.col("anc").alias("manc"),
+                F.col("d").alias("md"),
+            )
+            round_ids: list = []
+            nxt = _tracked_checkpoint(
+                state.join(m, state["anc"] == m["mv"]).select(
+                    "v",
+                    F.col("manc").alias("anc"),
+                    (F.col("d") + F.col("md")).alias("d"),
+                    (F.col("md") > 0).alias("_moved"),
+                ),
+                round_ids,
+            )
+            _release_rdds(spark, prev_ids)
+            prev_ids = round_ids
+            changed = nxt.filter(F.col("_moved")).count()
+            state = nxt.drop("_moved")
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"forest_root_depth: no fixpoint in {max_rounds} rounds"
+            )
+    finally:
+        if not converged:
+            _release_rdds(spark, prev_ids)
+    return state.select(
+        F.col("v").alias(id_col),
+        F.col("anc").alias("root"),
+        F.col("d").alias("depth"),
+    )

@@ -1664,3 +1664,38 @@ def x04_rolling_range(spark, sf_dir):
         F.count("*").over(w).alias("n_1h"),
         F.sum("cents").over(w).alias("sum_cents_1h"),
     )
+
+
+@_register(
+    "x05_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, p_partkey AS cur,
+               CAST(0 AS BIGINT) AS depth
+        FROM part
+        UNION ALL
+        SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT node, cur AS root, depth FROM walk WHERE cur < 10
+    """,
+    survey_ids=("X5",),
+)
+def x05_hierarchy_flatten(spark, sf_dir):
+    """Hierarchy flattening (the WITH RECURSIVE gap): every part is a
+    node in a rooted forest (parent = partkey DIV 10 as DATA, keys
+    below 10 are roots), and the query resolves each node's root and
+    depth by pointer doubling — O(log depth) self-joins of the state,
+    vs the O(depth) rounds of a literal recursive-CTE translation. The
+    oracle IS DuckDB's native WITH RECURSIVE over the same parent
+    relation, so the check proves the iterative plan computes exactly
+    the recursive fixpoint.
+    operators/components.py::forest_root_depth."""
+    from .operators.components import forest_root_depth
+
+    nodes = _ld(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.expr(
+            "IF(p_partkey < 10, NULL, p_partkey DIV 10)"
+        ).alias("parent"),
+    )
+    return forest_root_depth(nodes)

@@ -714,3 +714,35 @@ def test_passjoin_fuzzy_equals_bruteforce(spark, cats, qs):
         if len(c) >= k + 1 and _lev(q, c) <= k
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+    )
+)
+def test_forest_root_depth_matches_reference(spark, raw):
+    """Pointer doubling must resolve (root, depth) exactly for any
+    rooted forest. Forests are generated acyclic by construction
+    (parent index strictly below child)."""
+    from echem_dft_etl_spark.operators.components import forest_root_depth
+
+    # node i's parent is raw[i] % i (None for node 0 and self-hits)
+    rows = []
+    for i, r in enumerate(raw):
+        p = None if i == 0 else r % i
+        rows.append((i, p))
+    ref = {}
+    for i, p in rows:
+        d, cur = 0, i
+        while rows[cur][1] is not None:
+            cur = rows[cur][1]
+            d += 1
+        ref[i] = (cur, d)
+    df = spark.createDataFrame(rows, "node int, parent int")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in forest_root_depth(df).collect()
+    }
+    assert got == ref
