@@ -1446,8 +1446,16 @@ def d20_training_pipeline(spark, sf_dir):
     )
     evals = docs.filter(F.col("doc_id") % 97 == 0)
 
-    gated = quality_gate(train).filter(F.col("keep")).select(
-        "doc_id", "n_tokens"
+    # The gate SIGNALS are checkpointed BEFORE the keep-filter: pushing
+    # the filter into the lazy gate plan lets CollapseProject inline
+    # the whole keep-conjunction into the filter condition, and every
+    # conjunct lane re-derives the token array — measured 25s for this
+    # stage at sf0.1 (re-tokenizing ~10x) vs ~2s materialized.
+    gated = (
+        quality_gate(train)
+        .localCheckpoint(eager=True)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_tokens")
     )
     # Stage materialization: each stage output is checkpointed before
     # it fans out (every stage feeds BOTH the next stage and the final
