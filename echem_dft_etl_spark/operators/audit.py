@@ -82,10 +82,20 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     melted = df.select(
         F.expr(f"stack({len(cols)}, {pairs}) AS (col_name, val)")
     )
-    return melted.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_nulls"),
-        F.count_distinct("val").alias("n_distinct"),
+    # Two-phase: collapse to distinct (column, value) pairs FIRST —
+    # the pre-aggregation is map-side partial, so the exchange carries
+    # one row per distinct value instead of one per cell (a direct
+    # count_distinct would expand every cell into the shuffle). The
+    # second aggregate then reads n_distinct as a plain count.
+    per_val = melted.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_val.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.col("val")).alias("n_distinct"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
