@@ -2450,3 +2450,74 @@ def s01_zorder_scan(spark, sf_dir):
     )
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "s03_time_travel",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS v1_cents,
+           CAST(SUM(cents + CASE WHEN s_suppkey % 2 = 0
+                                 THEN 1000 ELSE 0 END) AS BIGINT)
+             AS v2_cents,
+           CAST(SUM(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed
+    FROM (SELECT s_suppkey, s_nationkey,
+                 CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents
+          FROM supplier)
+    GROUP BY 1
+    """,
+    survey_ids=("S3",),
+)
+def s03_time_travel(spark, sf_dir):
+    """Snapshot time travel over the managed MERGE table (S3): two
+    merges build versions 1 and 2 (the second updates every even
+    supplier's balance by +1000 cents), then BOTH retained snapshots
+    are read back by version and diffed per nation — v1/v2 sums and
+    the changed-key count all flow through the snapshot store, so a
+    green row proves commit isolation (v1 unchanged by the second
+    merge) and version addressing, the two guarantees time travel
+    means. sources/sinks.py::read_snapshot; retention = the merge's
+    keep_snapshots vacuum. Reentrant: per-invocation mkdtemp, eager
+    checkpoint, dir deleted."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .sources.sinks import merge_parquet, read_snapshot
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        _cents(F.col("s_acctbal")).alias("cents"),
+    )
+    out = Path(tempfile.mkdtemp(prefix="echem_time_travel_"))
+    root = f"{out}/table"
+    merge_parquet(sup, root, ["s_suppkey"], "s_suppkey")
+    batch2 = sup.filter(F.col("s_suppkey") % 2 == 0).withColumn(
+        "cents", F.col("cents") + 1000
+    )
+    merge_parquet(batch2, root, ["s_suppkey"], "s_suppkey")
+
+    v1 = read_snapshot(spark, root, 1).select(
+        "s_suppkey", "s_nationkey", F.col("cents").alias("c1")
+    )
+    v2 = read_snapshot(spark, root, 2).select(
+        "s_suppkey", F.col("cents").alias("c2")
+    )
+    result = (
+        v1.join(v2, "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c1").cast("bigint").alias("v1_cents"),
+            F.sum("c2").cast("bigint").alias("v2_cents"),
+            F.sum(F.when(F.col("c1") != F.col("c2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_changed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result

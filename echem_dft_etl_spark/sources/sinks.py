@@ -370,3 +370,29 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_snapshot(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read of a :func:`merge_parquet` table: the COMMITTED
+    snapshot at ``version`` (latest when None). Retention is what
+    bounds travel: merge keeps ``keep_snapshots`` committed versions
+    (vacuuming older ones on each merge), so any retained version is
+    readable by the same atomic ``_SUCCESS`` rule writers commit
+    under — in-flight or crashed writes are invisible here exactly as
+    they are to latest-readers. Raises ``KeyError`` for a version that
+    was never committed or has been vacuumed.
+    """
+    snaps = _committed_snapshots(spark, table_root)
+    if not snaps:
+        raise KeyError(f"no committed snapshots under {table_root}")
+    if version is None:
+        return spark.read.parquet(snaps[-1][1])
+    by_version = dict(snaps)
+    if version not in by_version:
+        raise KeyError(
+            f"snapshot {version} not available (retained: "
+            f"{sorted(by_version)})"
+        )
+    return spark.read.parquet(by_version[version])

@@ -179,3 +179,23 @@ def test_zorder_files_are_rectangles(spark, tmp_path):
     assert len(tight) >= 3 * len(spans) // 4, spans
     assert min(sx for sx, _ in spans) <= side // 4, spans
     assert min(sy for _, sy in spans) <= side // 4, spans
+
+
+def test_read_snapshot_versions_and_retention(spark, tmp_path):
+    import pytest as _pytest
+
+    from echem_dft_etl_spark.sources.sinks import merge_parquet, read_snapshot
+
+    root = str(tmp_path / "tbl")
+    merge_parquet(_mk(spark, [("a", 1.0)]), root, ["MP_id"], "pzc")
+    merge_parquet(_mk(spark, [("a", 2.0)]), root, ["MP_id"], "pzc")
+    assert _rows(read_snapshot(spark, root, 1)) == {"a": 1.0}
+    assert _rows(read_snapshot(spark, root, 2)) == {"a": 2.0}
+    assert _rows(read_snapshot(spark, root)) == {"a": 2.0}
+    # third merge vacuums v1 (keep_snapshots=2): travel window moves
+    merge_parquet(_mk(spark, [("a", 3.0)]), root, ["MP_id"], "pzc")
+    with _pytest.raises(KeyError):
+        read_snapshot(spark, root, 1)
+    assert _rows(read_snapshot(spark, root, 2)) == {"a": 2.0}
+    with _pytest.raises(KeyError):
+        read_snapshot(spark, str(tmp_path / "nope"))
