@@ -2521,3 +2521,49 @@ def s03_time_travel(spark, sf_dir):
     )
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "x10_stream_outer_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (SELECT c.event_id AS left_id, p.event_id AS right_id,
+                 c.user_id, c.ts AS left_ts, p.ts AS right_ts
+          FROM c LEFT JOIN p
+            ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT * FROM j
+    WHERE left_ts <= (SELECT MAX(ts) FROM events) - INTERVAL 91 MINUTE
+    """,
+    survey_ids=("X10", "X5"),
+)
+def x10_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join (X10): clicks with no
+    purchase in the following 30 minutes emit a null-padded row — but
+    only once the watermark proves no match can still arrive (state
+    eviction), which is why outer stream joins REQUIRE the watermark +
+    time bound: "no match" is undecidable on an unbounded stream
+    without them. Replay-checked against the batch left join on the
+    CLOSED region (left_ts ≤ max(ts) − watermark − within − 1 min
+    margin), the same discipline as the session-window replays —
+    boundary rows whose window hasn't provably closed are withheld by
+    the engine and excluded from the oracle identically.
+    streaming/windows.py::stream_interval_join(how='left_outer')."""
+    from .sources import load_table
+    from .streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        stream_interval_join(ev, how="left_outer"), spark, mode="append"
+    )
+    maxts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return out.filter(
+        F.col("left_ts") <= F.lit(maxts) - F.expr("interval 91 minutes")
+    )

@@ -246,6 +246,7 @@ def stream_interval_join(
     right_type: str = "purchase",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner interval join: each ``left_type`` event
     matched to the same user's ``right_type`` events in the following
@@ -264,6 +265,18 @@ def stream_interval_join(
     watermark (only state eviction and outer-join nulls do), so a
     bounded availableNow replay emits exactly the batch interval-join
     rows — which is the registered DuckDB oracle.
+
+    ``how="left_outer"`` adds the null-padded rows for clicks with no
+    purchase in the window — emitted only once the watermark proves no
+    match can still arrive (state eviction time), which is WHY the
+    outer form requires both the watermark and the time-range bound:
+    without them "no match" is undecidable on an unbounded stream.
+    On a bounded replay the final watermark settles at
+    ``max(event time) − watermark``, so outer rows whose join window
+    has not provably closed are withheld; replay checks against batch
+    must restrict both sides to ``left_ts ≤ max(ts) − watermark −
+    within`` (minus a safety margin for boundary semantics) — the same
+    closed-region discipline the session-window replays use.
     """
     lt = (
         events.filter(F.col("event_type") == left_type)
@@ -289,4 +302,5 @@ def stream_interval_join(
             f"user_id = r_user_id AND right_ts >= left_ts "
             f"AND right_ts <= left_ts + interval {within}"
         ),
+        how,
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")

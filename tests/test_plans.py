@@ -160,6 +160,7 @@ def test_engine_wide_plan_hygiene(spark):
         "x10_stream_stateful_profile",
         "x10_stream_static_join",
         "x10_stream_stream_join",
+        "x10_stream_outer_join",
         "pipeline_reference_e2e",
     }
     # static-plan budgets above the default: the df-cut window in d14
