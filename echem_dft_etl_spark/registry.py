@@ -1699,3 +1699,206 @@ def x05_hierarchy_flatten(spark, sf_dir):
         ).alias("parent"),
     )
     return forest_root_depth(nodes)
+
+
+@_register(
+    "x07_cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    coh AS (
+        SELECT user_id, week,
+               MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM act
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM coh GROUP BY cohort_week, week_offset
+    """,
+    survey_ids=("X7", "X4"),
+)
+def x07_cohort_retention(spark, sf_dir):
+    """Cohort retention (X7+X4): users are cohorted by the ISO week of
+    their first event, and each (cohort_week, week_offset) cell counts
+    how many of them were active that many weeks later — the standard
+    product-analytics retention triangle. Week offsets are exact: both
+    engines truncate to the ISO Monday, so the day difference is always
+    a multiple of 7 and the integer division is lossless. Plan shape:
+    the weekly-activity ``distinct`` collapses the event stream to at
+    most |users|x|weeks| rows BEFORE the window pass, the first-week
+    window is a single user_id-partitioned sort over that collapsed
+    frame (no self-join back to raw events), and the final cell
+    aggregate is map-side partial. At 100 TB the distinct is the only
+    full-data shuffle; everything after operates on the reduced
+    activity matrix."""
+    ev = (
+        _ld(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    coh = ev.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return coh.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_active"))
+
+
+@_register(
+    "x09_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+    survey_ids=("X9", "X5"),
+)
+def x09_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (X9): how many users progressed
+    view -> click -> purchase IN TIME ORDER — each stage anchored at
+    the first qualifying event strictly after the previous stage's
+    anchor (first view, first click after that view, first purchase
+    after that click). Order sensitivity is the point: a purchase
+    before the first post-view click does not count, which plain
+    per-type existence checks get wrong. Every stage is a
+    user_id-keyed aggregate joined to the previous stage's anchors on
+    the same key, so the whole chain co-partitions on user_id — one
+    logical shuffle reused down the funnel, no window over raw events,
+    and the final assembly is three single-row counts (broadcast-
+    trivially crossed). Timestamps are microsecond-distinct in the
+    corpus, so the strict > comparisons are tie-free in both
+    engines."""
+    ev = _ld(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view"))
+        .crossJoin(
+            c.agg(F.count("*").cast("bigint").alias("n_view_click"))
+        )
+        .crossJoin(
+            p.agg(F.count("*").cast("bigint").alias("n_full_funnel"))
+        )
+    )
+
+
+#: Dialect-portable GROUPING SETS text (runs verbatim in both engines):
+#: the explicit-sets form X3's rollup/cube rows don't reach — an
+#: arbitrary, non-hierarchical collection of grouping columns, with
+#: GROUPING() bits disambiguating data NULLs from subtotal NULLs.
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+             + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             AS sum_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    """
+
+
+@_register(
+    "x03_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    survey_ids=("X3",),
+)
+def x03_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (X3): an arbitrary set collection —
+    (flag, status), (status), and the grand total — which is neither a
+    rollup (not hierarchical) nor a cube (not the full power set),
+    plus the GROUPING() indicator that tells subtotal NULLs apart from
+    data NULLs (the detail every BI consumer of subtotal rows depends
+    on). Spark expands grouping sets with a single Expand node feeding
+    ONE hash aggregate — one shuffle for all three sets, with partial
+    aggregation still applying — not one pass per set. Identical SQL
+    text runs in both engines."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@_register(
+    "x02_union_by_name",
+    oracle="""
+    SELECT * FROM (
+        SELECT source, COUNT(*) AS n_items,
+               SUM(n_chars) AS sum_chars,
+               'by_source' AS side
+        FROM documents GROUP BY source)
+    UNION ALL BY NAME
+    SELECT * FROM (
+        SELECT lang AS source, COUNT(*) AS n_items,
+               'by_lang' AS side
+        FROM documents GROUP BY lang)
+    """,
+    survey_ids=("X2",),
+)
+def x02_union_by_name(spark, sf_dir):
+    """Name-resolved union with missing-column tolerance (X2):
+    ``unionByName(allowMissingColumns=True)`` aligns two frames whose
+    schemas DIVERGED — the second side lacks ``sum_chars`` and its
+    columns sit in a different physical order — matching by NAME and
+    null-filling the gap, where positional UNION would silently pair
+    the wrong columns or refuse. This is the multi-vintage ingestion
+    primitive: at 100 TB a long-lived corpus always has slices written
+    before and after a schema change, and the by-name union (like
+    s01_schema_evolution's mergeSchema read) is how they combine
+    without a rewrite. DuckDB's ``UNION ALL BY NAME`` is the oracle's
+    exact counterpart."""
+    docs = _ld(spark, sf_dir, "documents")
+    by_source = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("side", F.lit("by_source"))
+    )
+    by_lang = (
+        docs.groupBy(F.col("lang").alias("source"))
+        .agg(F.count("*").alias("n_items"))
+        .withColumn("side", F.lit("by_lang"))
+    )
+    return by_source.unionByName(by_lang, allowMissingColumns=True)

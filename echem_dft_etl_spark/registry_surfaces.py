@@ -2536,7 +2536,8 @@ def s03_time_travel(spark, sf_dir):
             ON p.user_id = c.user_id
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
     SELECT * FROM j
-    WHERE left_ts <= (SELECT MAX(ts) FROM events) - INTERVAL 91 MINUTE
+    WHERE left_ts <= (SELECT least(MAX(c2.ts), MAX(p2.ts))
+                      FROM c AS c2, p AS p2) - INTERVAL 91 MINUTE
     """,
     survey_ids=("X10", "X5"),
 )
@@ -2547,10 +2548,16 @@ def x10_stream_outer_join(spark, sf_dir):
     eviction), which is why outer stream joins REQUIRE the watermark +
     time bound: "no match" is undecidable on an unbounded stream
     without them. Replay-checked against the batch left join on the
-    CLOSED region (left_ts ≤ max(ts) − watermark − within − 1 min
+    CLOSED region (left_ts ≤ watermark floor − within − 1 min
     margin), the same discipline as the session-window replays —
     boundary rows whose window hasn't provably closed are withheld by
-    the engine and excluded from the oracle identically.
+    the engine and excluded from the oracle identically. The watermark
+    floor is ``least(max(click ts), max(purchase ts)) − watermark``,
+    NOT the overall max(ts): the query carries one watermark node per
+    input stream and the GLOBAL watermark is the MINIMUM across them,
+    so e.g. the last click of the replay can never have its no-match
+    row emitted — its own stream's watermark cannot pass it (observed
+    at sf0.001, where max(click ts) trails max(ts) by ~4 h).
     streaming/windows.py::stream_interval_join(how='left_outer')."""
     from .sources import load_table
     from .streaming.windows import (
@@ -2563,7 +2570,74 @@ def x10_stream_outer_join(spark, sf_dir):
     out = run_to_memory(
         stream_interval_join(ev, how="left_outer"), spark, mode="append"
     )
-    maxts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    maxts = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .first()[0]
+    )
     return out.filter(
         F.col("left_ts") <= F.lit(maxts) - F.expr("interval 91 minutes")
     )
+
+
+@_register(
+    "s02_orc_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+             AS price_cents,
+           SUM(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END)
+             AS n_null_name,
+           SUM(p_size) AS total_size
+    FROM (SELECT p_brand, p_retailprice, p_size,
+                 CASE WHEN p_partkey % 5 = 0 THEN NULL
+                      ELSE p_name END AS p_name
+          FROM part)
+    GROUP BY p_brand
+    """,
+    survey_ids=("S2", "S1"),
+)
+def s02_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip source/sink (S1+S2's columnar sibling to the
+    parquet sinks): the part table — keys, money, a NULL-ed string column — is
+    written as ORC and read back with an explicit schema, and the
+    returned aggregate is computed from the READ-BACK frame only while
+    the oracle replays the derivation from the parquet view. ORC is
+    Spark's other first-class columnar store (vectorized reader,
+    predicate pushdown, column pruning all apply exactly as for
+    parquet), and interop with Hive-era estates is why a 100 TB
+    migration meets it; this row pins that the engine's value fidelity
+    is format-independent. Reentrant via the s01 pattern (mkdtemp →
+    write → read → eager checkpoint → delete)."""
+    import shutil
+    import tempfile
+
+    part = _ld(spark, sf_dir, "part")
+    src = part.select(
+        "p_brand",
+        _cents(F.col("p_retailprice")).alias("price_cents"),
+        "p_size",
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+    )
+    out = tempfile.mkdtemp(prefix="echem_orc_roundtrip_")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.schema(src.schema).orc(out)
+    result = back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("price_cents").alias("price_cents"),
+        F.sum(F.when(F.col("p_name").isNull(), 1).otherwise(0)).alias(
+            "n_null_name"
+        ),
+        F.sum("p_size").alias("total_size"),
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
