@@ -1902,3 +1902,111 @@ def x02_union_by_name(spark, sf_dir):
         .withColumn("side", F.lit("by_lang"))
     )
     return by_source.unionByName(by_lang, allowMissingColumns=True)
+
+
+@_register(
+    "s03_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               LAG(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        FROM ordered
+        WHERE prev_prio IS NULL OR o_orderpriority <> prev_prio
+    )
+    SELECT o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           o_orderpriority AS prio,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+    survey_ids=("S3", "X4"),
+)
+def s03_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension Type-2 history build (S3's warehouse
+    counterpart to MERGE upsert): each customer's order stream is read
+    as successive observations of a tracked attribute (the order
+    priority), consecutive no-change observations collapse, and each
+    surviving change becomes a version row with a [valid_from,
+    valid_to) validity range and a current flag — the standard
+    dimension-history shape every warehouse load job produces, built
+    here with LAG change detection + LEAD range closing instead of a
+    row-at-a-time merge loop. Both windows share one partitioning
+    (o_custkey), so the whole history build is a single shuffle and
+    two partition-local sorted passes; version order is tie-free
+    because (o_orderdate, o_orderkey) is unique per customer."""
+    o = _ld(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lag("o_orderpriority").over(w).alias("prev_prio"),
+        )
+        .filter(
+            F.col("prev_prio").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_prio"))
+        )
+        .drop("prev_prio")
+    )
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+@_register(
+    "x01_global_rownum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+    survey_ids=("X1", "X4"),
+)
+def x01_global_rownum(spark, sf_dir):
+    """Globally contiguous row numbering WITHOUT a global-order window
+    (X1): ``ROW_NUMBER() OVER (ORDER BY key)`` with no PARTITION BY
+    collapses to a single task in Spark — the canonical 100 TB
+    scale-killer this query exists to avoid. Two-phase instead:
+    (1) range-repartition on the key (sampled range exchange, the same
+    machinery as a distributed sort) and number rows WITHIN each
+    partition via a partition-local window; (2) compute per-partition
+    row counts (a ~num-partitions-row aggregate), convert them to
+    cumulative start offsets with a window over that TINY frame, and
+    broadcast-join the offsets back. Every full-data pass stays
+    parallel; only the offset table — one row per partition — is ever
+    globally ordered. The oracle is the single-task form, so parity
+    proves the decomposition is exact."""
+    o = _ld(spark, sf_dir, "orders").select("o_orderkey")
+    part = o.repartitionByRange(32, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("o_orderkey")
+    local = part.withColumn("local_rn", F.row_number().over(wp))
+    counts = part.groupBy("pid").agg(F.count("*").alias("n"))
+    wo = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey",
+        (F.col("local_rn") + F.col("offset")).cast("bigint").alias("rn"),
+    )

@@ -2641,3 +2641,87 @@ def s02_orc_roundtrip(spark, sf_dir):
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "s02_xml_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT c_nationkey,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg,
+               c_name || '<&">' AS tricky
+        FROM customer
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           SUM(bal_cents) AS sum_cents,
+           SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS n_null_seg,
+           SUM(LENGTH(tricky)) AS tricky_chars
+    FROM src GROUP BY c_nationkey
+    """,
+    survey_ids=("S2", "X8"),
+)
+def s02_xml_roundtrip(spark, sf_dir):
+    """XML round-trip source (S2's document-markup family, native in
+    Spark 4): the customer table — keys, money, NULLs, and a string
+    column embedding the XML metacharacters ``< & "`` — is written as
+    element-per-row XML and read back with an EXPLICIT schema, and the
+    returned aggregate is computed from the read-back frame only while
+    the oracle replays the derivation from the parquet view. What the
+    row pins: entity escaping round-trips the hostile string
+    byte-exactly, absent elements come back as SQL NULLs (not empty
+    strings), and bigint fidelity survives text encoding — the
+    source-contract details XML feeds (B2B interchange, legacy
+    estates) hinge on. Reentrant via the s01 pattern (mkdtemp → write
+    → read → eager checkpoint → delete)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    cust = _ld(spark, sf_dir, "customer")
+    src = cust.select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.concat(F.col("c_name"), F.lit('<&">')).alias("tricky"),
+    )
+    out = tempfile.mkdtemp(prefix="echem_xml_roundtrip_")
+    src.write.mode("overwrite").format("xml").option("rowTag", "row").save(
+        out
+    )
+    schema = StructType(
+        [
+            StructField("c_nationkey", IntegerType()),
+            StructField("bal_cents", LongType()),
+            StructField("seg", StringType()),
+            StructField("tricky", StringType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(schema)
+        .load(out)
+    )
+    result = back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("bal_cents").alias("sum_cents"),
+        F.sum(F.when(F.col("seg").isNull(), 1).otherwise(0)).alias(
+            "n_null_seg"
+        ),
+        F.sum(F.length("tricky")).alias("tricky_chars"),
+    )
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -341,3 +341,49 @@ def test_clustered_layout_read_pushes_range_filter(spark, tmp_path):
     pushed = " ".join(pushed_filters(back))
     assert "l_shipdate" in pushed
     assert back.count() > 0
+
+
+def test_r4b_operator_plan_shapes(spark):
+    """Plan pins for the second-half round-4 additions: the grouping
+    sets expand into ONE aggregation pipeline, the funnel chain keeps
+    every stage on the user_id key, the SCD2 build is a single
+    shuffle with both windows sharing it, and the two-phase global
+    row numbering never global-sorts the full data through one task."""
+    # grouping sets: one Expand node, one shuffle agg for all 3 sets
+    df = _q(spark, "x03_grouping_sets")
+    p = plans.physical_plan(df)
+    assert p.count("Expand") >= 1
+    s = plans.plan_summary(df)
+    assert s["shuffle_exchanges"] == 1, s
+    # cohort retention: the window runs over the collapsed activity
+    # matrix, not raw events — no join back to the source
+    s = plans.plan_summary(_q(spark, "x07_cohort_retention"))
+    assert s["windows"] == 1 and s["sort_merge_joins"] == 0, s
+    # SCD2: LAG filter + version/LEAD windows share one o_custkey
+    # exchange — a single shuffle end-to-end
+    df = _q(spark, "s03_scd2_history")
+    s = plans.plan_summary(df)
+    assert s["shuffle_exchanges"] == 1, s
+    # global rownum: only partition-local windows (both PARTITION BY:
+    # pid for the data pass, the offset table's window is over the
+    # ~32-row counts frame), offsets joined by broadcast
+    df = _q(spark, "x01_global_rownum")
+    p = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in p
+    # exactly two Window nodes: the data-pass row_number MUST be
+    # partitioned by pid (partition-local, parallel); the only
+    # unpartitioned window is the offset cumsum over the ~32-row
+    # per-partition counts frame — never the full data
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert len(specs) == 2, specs
+    # data pass: "pid#N, o_orderkey#M ASC..." — pid is the PARTITION
+    # expression, the order key follows it
+    data_specs = [sp for sp in specs if "o_orderkey" in sp]
+    assert len(data_specs) == 1 and _re.match(r"pid#\d+,", data_specs[0].lstrip()), specs
+    # offsets pass: pid is the SORT key ("pid#N ASC"), no partitioning
+    off_specs = [sp for sp in specs if "o_orderkey" not in sp]
+    assert len(off_specs) == 1 and _re.match(r"pid#\d+ ASC", off_specs[0].lstrip()), specs
+    # the range repartition reaches the plan (sampled range exchange)
+    assert "rangepartitioning" in p.lower(), p[:500]
