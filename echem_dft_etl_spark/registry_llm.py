@@ -1522,3 +1522,104 @@ def d20_training_pipeline(spark, sf_dir):
             "clean_tokens"
         ),
     )
+
+
+@_register(
+    "d21_chunk_dedup",
+    oracle="""
+    WITH pos AS (
+        SELECT source, text,
+               unnest(range(1, length(text) + 1, 64)) AS s
+        FROM documents
+    ),
+    chunks AS (
+        SELECT source, md5(substr(text, s, 64)) AS chash FROM pos
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chash) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT chash) AS BIGINT)
+             AS n_dedupable
+    FROM chunks GROUP BY source
+    """,
+    survey_ids=("X11",),
+)
+def d21_chunk_dedup(spark, sf_dir):
+    """Content-chunk storage dedup accounting (X11's byte-level
+    cousin): every document is cut into fixed 64-char chunks, each
+    chunk is content-addressed by md5, and per source the query
+    reports how many chunk slots a dedup store would collapse — the
+    capacity-planning number behind chunked dedup storage (and the
+    fixed-width baseline a content-defined-chunking variant would be
+    measured against). md5 keeps the address cross-engine-identical.
+    Plan shape: the chunk explode is a 1:N generate off the scan (no
+    shuffle), and the per-source distinct-count is the standard
+    two-phase expand — the only full shuffle moves (source, hash)
+    pairs, 16 bytes each, not text."""
+    docs = _ld(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("text"), F.lit(64)
+                ),
+                lambda s: F.md5(F.substring(F.col("text"), s, F.lit(64))),
+            )
+        ).alias("chash"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct(F.col("chash")).alias("n_unique"),
+        (F.count("*") - F.count_distinct(F.col("chash")))
+        .cast("bigint")
+        .alias("n_dedupable"),
+    )
+
+
+@_register(
+    "s15_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS n_keys
+            FROM events)
+    SELECT per_key.user_id, per_key.n,
+           CAST(ROUND(per_key.n * 1000000.0 / tot.total, 0) AS BIGINT)
+             AS share_ppm,
+           CAST(ROUND(per_key.n * 1.0 * tot.n_keys / tot.total, 2) * 100
+                AS BIGINT) AS skew_x100
+    FROM per_key, tot
+    WHERE per_key.n * 1.0 * tot.n_keys / tot.total >= 1.5
+    """,
+    survey_ids=("X5", "X6"),
+)
+def s15_skew_report(spark, sf_dir):
+    """Join-key skew report (the diagnostic BEFORE s15_salted_join's
+    cure): per join key, its row count, traffic share in ppm, and its
+    skew factor — count relative to the mean key (x100 as an exact
+    integer) — emitting only keys at >= 1.5x the mean, i.e. exactly
+    the keys a salting or AQE-skew-split decision is made about. At
+    100 TB this query IS the planning step that sizes the salt
+    factor: the per-key aggregate is map-side partial, the two global
+    scalars (total rows, key count) broadcast back as a single-row
+    frame, and nothing ever materializes the unskewed key majority.
+    Exact integer outputs (ppm, x100) keep the ratio cross-engine
+    bit-identical."""
+    ev = _ld(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = ev.agg(
+        F.count("*").alias("total"),
+        F.count_distinct(F.col("user_id")).alias("n_keys"),
+    )
+    joined = per_key.crossJoin(F.broadcast(tot))
+    skew = F.col("n") * F.lit(1.0) * F.col("n_keys") / F.col("total")
+    return joined.filter(skew >= 1.5).select(
+        "user_id",
+        "n",
+        F.round(F.col("n") * 1000000.0 / F.col("total"), 0)
+        .cast("bigint")
+        .alias("share_ppm"),
+        (F.round(skew, 2) * 100).cast("bigint").alias("skew_x100"),
+    )
