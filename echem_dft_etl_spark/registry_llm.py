@@ -1623,3 +1623,84 @@ def s15_skew_report(spark, sf_dir):
         .alias("share_ppm"),
         (F.round(skew, 2) * 100).cast("bigint").alias("skew_x100"),
     )
+
+
+@_register(
+    "d22_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {duckdb_det_hash_i64('doc_id', seed=22)} AS h
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source) AS src_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS cum_tokens
+        FROM t
+    )
+    SELECT source,
+           CAST(src_tokens * 3 // 10 AS BIGINT) AS token_budget,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM w
+    WHERE cum_tokens <= src_tokens * 3 // 10
+    GROUP BY source, src_tokens
+    """,
+    survey_ids=("X11", "X13"),
+)
+def d22_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture construction (the pretraining-mix step
+    AFTER cleaning): each source contributes documents up to a token
+    budget — here 30% of its own token mass, integer-floored so the
+    threshold is exact in both engines — selected as a deterministic
+    hash-ordered prefix (Knuth multiplicative hash, seed 22, unique by
+    construction), i.e. an unbiased fixed-budget sample whose
+    membership is reproducible run-to-run and engine-to-engine. This
+    is how production mixes hit per-domain token targets ("1.5 epochs
+    of web, 0.3 of code") without a driver-side shuffle-and-truncate.
+    Plan shape: tokenize once, then BOTH windows (per-source total,
+    running prefix sum) share one source-keyed exchange; the keep
+    filter is a partition-local comparison, so the only full-data
+    shuffle is the window partitioning. Per-source token totals ride
+    the same pass — no second scan."""
+    from .functions.hashing import det_hash_i64
+    from .functions.text import tokens
+
+    docs = _ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        det_hash_i64(F.col("doc_id"), seed=22).alias("h"),
+    )
+    from pyspark.sql.window import Window
+
+    w_src = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_src).alias("src_tokens"),
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+    )
+    budget = F.expr("src_tokens * 3 DIV 10")  # exact integer floor
+    return (
+        staged.filter(F.col("cum_tokens") <= budget)
+        .groupBy("source", "src_tokens")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            budget.alias("token_budget"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )
