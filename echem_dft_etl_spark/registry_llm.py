@@ -1704,3 +1704,103 @@ def d22_token_budget_mix(spark, sf_dir):
             "tokens_kept",
         )
     )
+
+
+@_register(
+    "d24_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    ss AS (SELECT DISTINCT source, unnest({_SHINGLES}) AS shingle
+           FROM t WHERE len(toks) >= 3),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*) AS n_shared
+              FROM ss a JOIN ss b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2),
+    sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source)
+    SELECT p.source_a, p.source_b, p.n_shared,
+           za.n AS n_a, zb.n AS n_b,
+           CAST(p.n_shared AS DOUBLE)
+             / CAST(za.n + zb.n - p.n_shared AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes za ON za.source = p.source_a
+    JOIN sizes zb ON zb.source = p.source_b
+    """,
+    survey_ids=("X11", "X13"),
+)
+def d24_source_overlap(spark, sf_dir):
+    """Cross-source overlap matrix (the curation question BEFORE
+    dedup: how much does source A duplicate source B?): per source
+    pair, the count of shared distinct word-3-gram shingles and the
+    exact Jaccard between the two shingle sets. The Spark plan never
+    self-joins the shingle index: shingles group once, each group
+    collects its DISTINCT source set (bounded by |sources| — a handful
+    — not by document count), and pairs explode WITHIN the row via a
+    nested transform+flatten, so per-shingle fan-out is |sources|²/2
+    at worst regardless of how many documents share the shingle —
+    the hot-shingle skew that would straggle a posting-list self-join
+    (the oracle's formulation) is structurally impossible. Jaccard is
+    one double division of exact integers, bit-identical in both
+    engines."""
+    from .functions.text import tokens, word_ngrams
+
+    docs = _ld(spark, sf_dir, "documents")
+    toked = docs.select("source", tokens(F.col("text")).alias("toks"))
+    ss = (
+        toked.filter(F.size("toks") >= 3)
+        .select(
+            "source",
+            F.explode(word_ngrams(F.col("toks"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    # one row per shingle, sources sorted so a<b pairs generate in-row
+    per_shingle = ss.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    pair_rows = per_shingle.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("srcs"),
+                            i + 2,
+                            F.greatest(F.size("srcs") - i - 1, F.lit(0)),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("source_a"), b.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    pairs = pair_rows.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_shared")
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
