@@ -1804,3 +1804,77 @@ def d24_source_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@_register(
+    "t13_difficulty_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cut AS (
+        SELECT quantile_cont(n_tokens,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        FROM t
+    )
+    SELECT CAST(1 + len(list_filter(cut.cs,
+                 c -> CAST(t.n_tokens AS DOUBLE) > c)) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(t.n_tokens) AS min_tokens,
+           MAX(t.n_tokens) AS max_tokens
+    FROM t, cut
+    GROUP BY bucket
+    """,
+    survey_ids=("X13", "X6"),
+)
+def t13_difficulty_buckets(spark, sf_dir):
+    """Curriculum difficulty bucketing (X13+X6): documents decile-
+    bucketed by token count via EXACT interpolated percentile cutoffs
+    — the scale-safe replacement for ``NTILE(10) OVER (ORDER BY ...)``,
+    which like any unpartitioned window collapses to a single task
+    (the same trap x01_global_rownum dismantles for row numbering).
+    Here the global ordering reduces to ONE aggregate producing a
+    9-element cutoff array that broadcasts back; bucket assignment is
+    a per-row array comparison, embarrassingly parallel. Both engines
+    interpolate percentiles identically (linear on sorted values, the
+    x06 convention), so the cutoffs — and therefore every bucket
+    boundary — are bit-identical. At 100 TB the exact percentile's
+    full-materialization accumulator swaps for approx_percentile via
+    ``operators/scale.py::grouped_percentiles_with_guard``; the bucket
+    CONTRACT (compare against a broadcast cutoff array) is unchanged.
+    NTILE-vs-cutoff fine print: NTILE forces exactly-equal bucket
+    sizes by splitting ties arbitrarily; percentile bucketing keeps
+    tied scores in one bucket — reproducible, and the right semantics
+    for curriculum schedules."""
+    from .functions.text import tokens
+
+    t = _ld(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    cuts = t.agg(
+        F.percentile(
+            F.col("n_tokens"),
+            F.array([F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("cs")
+    )
+    bucket = (
+        F.lit(1)
+        + F.size(
+            F.filter(
+                F.col("cs"),
+                lambda c: F.col("n_tokens").cast("double") > c,
+            )
+        )
+    ).cast("bigint")
+    return (
+        t.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

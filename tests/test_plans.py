@@ -387,3 +387,38 @@ def test_r4b_operator_plan_shapes(spark):
     assert len(off_specs) == 1 and _re.match(r"pid#\d+ ASC", off_specs[0].lstrip()), specs
     # the range repartition reaches the plan (sampled range exchange)
     assert "rangepartitioning" in p.lower(), p[:500]
+
+
+def test_r4c_operator_plan_shapes(spark):
+    """Plan pins for the late round-4 operators: the token-budget mix
+    tokenizes once with both windows on one source exchange, the
+    source-overlap matrix never self-joins the shingle index, and the
+    difficulty buckets broadcast a single cutoff array instead of a
+    global-order window."""
+    # d22: per-source total + running prefix share ONE Window node
+    # after one exchange (same partition key)
+    df = _q(spark, "d22_token_budget_mix")
+    s = plans.plan_summary(df)
+    assert s["windows"] <= 2 and s["sort_merge_joins"] == 0, s
+    p = plans.physical_plan(df)
+    # exactly one hashpartitioning on source feeds the window stage
+    assert p.count("hashpartitioning(source") == 1, p.count(
+        "hashpartitioning(source"
+    )
+    # d24: no sort-merge self-join of the shingle index; sizes join by
+    # broadcast; pair explosion is in-row (Generate node present)
+    df = _q(spark, "d24_source_overlap")
+    p = plans.physical_plan(df)
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Generate explode" in p or "Generate" in p
+    assert p.count("BroadcastHashJoin") == 2, p.count("BroadcastHashJoin")
+    # t13 buckets: no Window at all — the global ordering reduced to
+    # one aggregate + a broadcast cutoff array
+    df = _q(spark, "t13_difficulty_buckets")
+    s = plans.plan_summary(df)
+    assert s["windows"] == 0, s
+    # the keyless 1-row cutoff cross join plans as a broadcast
+    # nested-loop — broadcast side is the single cutoff row, which is
+    # the one shape where BNLJ is harmless
+    p = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p
