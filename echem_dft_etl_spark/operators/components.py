@@ -288,3 +288,101 @@ def forest_root_depth(
         F.col("anc").alias("root"),
         F.col("d").alias("depth"),
     )
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    node_mass: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Floating-point PageRank is not reproducible across engines (or even
+    across partitionings: the incoming-contribution sum is a float
+    reduction whose order differs), so this variant keeps all mass in
+    integers: every node starts with ``node_mass``; each iteration a
+    node keeps the base grant ``node_mass * (1-d)`` and receives from
+    each in-neighbor ``u`` the share ``mass(u) * d DIV outdeg(u)`` —
+    damping ``d = damp_num/damp_den`` applied as integer
+    multiply-then-floor-divide, so every intermediate is a bigint and
+    the k-step fixpoint is bit-identical in any engine (integer sums
+    are order-independent; floor division is deterministic). The
+    floor's dropped remainder (< outdeg ulps per node per round) is
+    the documented difference from real-valued PageRank — irrelevant
+    for ranking at mass 10^12.
+
+    ``edges`` is directed (src, dst); callers symmetrize for
+    undirected graphs. Every node must appear as a src (no sinks) —
+    symmetric graphs satisfy this by construction.
+
+    Scale shape: per iteration one equi-join of the mass frame with
+    the (static, checkpointed) out-degree-annotated edge list and one
+    dst-keyed aggregation — hash-partitioned all the way, AQE splits
+    hub nodes; per-round ``localCheckpoint`` truncates lineage and the
+    previous round's blocks are released as soon as the next is
+    materialized (the same storage discipline as
+    :func:`connected_components`). Overflow bound: total circulating
+    mass is N * node_mass, so bigint holds for N < 9e6 at the default
+    mass (scale node_mass down for larger graphs)."""
+    spark = edges.sparkSession
+    base = node_mass * (damp_den - damp_num) // damp_den
+
+    owned: list = []
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # static per-round probe side: (src, dst, outdeg), checkpointed once
+    ed = _tracked_checkpoint(edges.join(deg, "src"), owned)
+    nodes = _tracked_checkpoint(
+        edges.select(F.col("src").alias("v")).distinct(), owned
+    )
+
+    mass = nodes.select("v", F.lit(node_mass).cast("bigint").alias("mass"))
+    prev_ids: list = []
+    ok = False
+    try:
+        for _ in range(iterations):
+            shares = ed.join(
+                mass, ed["src"] == mass["v"]
+            ).select(
+                F.col("dst").alias("v"),
+                # integer multiply-then-DIV, never double division:
+                # damp_num * mass stays < 2^63 for total graph mass
+                # < 5e17, and DIV keeps every bit exact where a double
+                # round-trip loses precision past 2^53
+                F.expr(
+                    f"mass * {damp_num} DIV ({damp_den} * outdeg)"
+                ).alias("share"),
+            )
+            incoming = shares.groupBy("v").agg(
+                F.sum("share").alias("inc")
+            )
+            round_ids: list = []
+            mass = _tracked_checkpoint(
+                nodes.join(incoming, "v", "left").select(
+                    "v",
+                    (
+                        F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
+                    ).cast("bigint").alias("mass"),
+                ),
+                round_ids,
+            )
+            try:
+                mass.count()  # eager: prior round's blocks now dead
+            except Exception:
+                # in-flight round pinned but not yet promoted — release
+                # it here or it leaks for the session (the CC error-path
+                # lesson)
+                _release_rdds(spark, round_ids)
+                raise
+            _release_rdds(spark, prev_ids)
+            prev_ids = round_ids
+        ok = True
+        return mass
+    finally:
+        # statics (edge list, node set) are never part of the returned
+        # frame — always released; the FINAL round's blocks back the
+        # returned frame and stay, except on failure
+        _release_rdds(spark, owned)
+        if not ok:
+            _release_rdds(spark, prev_ids)

@@ -1878,3 +1878,81 @@ def t13_difficulty_buckets(spark, sf_dir):
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration integer PageRank as chained CTEs.
+
+    Recursive CTEs cannot aggregate in the recursive term (standard
+    SQL and DuckDB both forbid it), so the k iterations unroll into k
+    generated CTE stages — same pattern as the generated MinHash
+    aggregates. Constants mirror operators/components.py::
+    integer_pagerank (mass 10^12, damping 17/20)."""
+    m = 10**12
+    base = m * 3 // 20
+    parts = [
+        f"""
+    edges AS (
+        SELECT DISTINCT l_partkey AS src,
+               1000000000 + l_suppkey AS dst
+        FROM lineitem
+        UNION
+        SELECT DISTINCT 1000000000 + l_suppkey, l_partkey FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e
+           JOIN deg d ON d.src = e.src),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    pr0 AS (SELECT v, CAST({m} AS BIGINT) AS mass FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+    pr{k} AS (
+        SELECT n.v,
+               CAST({base} + COALESCE(s.inc, 0) AS BIGINT) AS mass
+        FROM nodes n
+        LEFT JOIN (
+            SELECT ed.dst AS v,
+                   SUM(p.mass * 17 // (20 * ed.outdeg)) AS inc
+            FROM ed JOIN pr{k - 1} p ON p.v = ed.src
+            GROUP BY ed.dst
+        ) s ON s.v = n.v
+    )""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT v, mass FROM pr{iterations}
+    """
+    )
+
+
+@_register(
+    "x05_pagerank",
+    oracle=_pagerank_sql(5),
+    survey_ids=("X5", "X11"),
+)
+def x05_pagerank(spark, sf_dir):
+    """Fixed-iteration integer-exact PageRank (X5's iterative-join
+    family beyond connected components): 5 rounds of random-surfer
+    mass diffusion over the symmetrized part↔supplier bipartite graph
+    (distinct lineitem pairs; supplier ids offset into their own
+    range). All arithmetic is bigint multiply-then-DIV (damping 17/20,
+    mass 10^12), so the k-step fixpoint is bit-identical in any
+    engine — integer sums are order-independent where float PageRank
+    diverges in the last bits per partitioning. Per round: one
+    equi-join of the mass frame against the static degree-annotated
+    edge list + one dst-keyed sum, hash-partitioned with AQE hub
+    splitting; per-round localCheckpoint with tracked release
+    (components.py storage discipline). The oracle unrolls the same
+    five iterations as generated CTEs.
+    operators/components.py::integer_pagerank."""
+    from .operators.components import integer_pagerank
+
+    li = _ld(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return integer_pagerank(edges, iterations=5)
