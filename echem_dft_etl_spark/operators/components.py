@@ -386,3 +386,54 @@ def integer_pagerank(
         _release_rdds(spark, owned)
         if not ok:
             _release_rdds(spark, prev_ids)
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node exact triangle participation counts.
+
+    ``pairs`` is an UNDIRECTED edge list in canonical form (a < b,
+    distinct). The naive wedge join (neighbors-of-neighbors) explodes
+    on hub nodes — a degree-d node contributes d²/2 wedges, and at
+    corpus scale one celebrity vertex is a single-task straggler. The
+    classic fix (node-iterator++ / Schank-Wagner): ORIENT each edge
+    from its lower-(degree, id) endpoint to the higher one — a DAG in
+    which every out-degree is O(sqrt(m)) — and enumerate wedges only
+    between OUT-neighbors, so each triangle materializes exactly once
+    (at its lowest-rank vertex) and per-node wedge fan-out is bounded
+    by out-degree², not degree². The closing check is an equi-join of
+    the wedge's (x, y) endpoints against the canonical edge list
+    (x < y holds by construction, so no OR-join). Found triangles
+    explode to their three corners for the per-node counts; every step
+    is hash-partitioned equi-join / aggregate — no windows, no
+    broadcast of anything graph-sized.
+    """
+    sym = pairs.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        pairs.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = pairs.join(da, "a").join(db, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+
+    e1 = oriented.select("src", F.col("dst").alias("x"))
+    e2 = oriented.select("src", F.col("dst").alias("y"))
+    wedges = e1.join(e2, "src").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    )
+
+    corners = tri.select(
+        F.explode(F.array("src", "x", "y")).alias("v")
+    )
+    return corners.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
