@@ -2007,3 +2007,102 @@ def x05_triangle_counts(spark, sf_dir):
         .distinct()
     )
     return triangle_counts(pairs)
+
+
+#: Query-side entity ids sit in their own range so the ER graph's two
+#: populations never collide (catalog ids are part keys).
+_ER_OFFSET = 1000000000
+
+
+@_register(
+    "d25_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE cat AS (
+      SELECT MIN(p_partkey) AS name_id, p_name AS cname
+      FROM part GROUP BY p_name
+    ),
+    q AS (
+      SELECT p_partkey + {_ER_OFFSET} AS qid,
+             substr(p_name, 1, {_TYPO_POS} - 1)
+               || substr(p_name, {_TYPO_POS} + 1) AS qname
+      FROM part
+    ),
+    matches AS (
+      SELECT q.qid AS a, c.name_id AS b
+      FROM q CROSS JOIN cat c
+      WHERE levenshtein(q.qname, c.cname) <= 2
+    ),
+    verts AS (SELECT name_id AS v FROM cat
+              UNION SELECT qid FROM q),
+    sym AS (SELECT a AS src, b AS dst FROM matches
+            UNION ALL SELECT b, a FROM matches),
+    reach AS (SELECT v, v AS lbl FROM verts
+              UNION
+              SELECT s.dst AS v, r.lbl
+              FROM reach r JOIN sym s ON s.src = r.v),
+    lab AS (SELECT v, MIN(lbl) AS entity_id FROM reach GROUP BY v)
+    SELECT entity_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN v < {_ER_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical_names,
+           CAST(SUM(CASE WHEN v >= {_ER_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_variants,
+           MIN(v) AS survivor_id
+    FROM lab GROUP BY entity_id
+    """,
+    survey_ids=("X11", "X5"),
+)
+def d25_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution (the MDM pipeline, composed from
+    registered operators): (1) BLOCKING + MATCHING — typo-bearing name
+    variants matched against the canonical-name catalog within
+    Levenshtein distance 2 via PassJoin segment blocking (d19's
+    operator: equi-join candidates, exact-recall pigeonhole, verify);
+    (2) CLUSTERING — connected components over the match graph (d12's
+    operator), because matches are pairwise evidence and an entity is
+    the transitive closure (variant X matching names A and B merges A
+    and B); (3) SURVIVORSHIP — deterministic min-id representative
+    with per-entity member/variant accounting. Every stage is the
+    production shape: candidate generation never cross-joins,
+    clustering is O(log d) pointer-jumping rounds, survivorship is one
+    aggregate. The oracle replays matching as the naive quadratic form
+    and the closure as a recursive CTE — both stages independently
+    proven, here proven composed."""
+    from .operators.components import connected_components
+    from .operators.fuzzy import fuzzy_match_pairs
+
+    part = _ld(spark, sf_dir, "part")
+    catalog = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+        .select("name_id", F.col("p_name").alias("cname"))
+    )
+    queries = part.select(
+        (F.col("p_partkey") + _ER_OFFSET).alias("qid"),
+        F.expr(
+            f"substr(p_name, 1, {_TYPO_POS} - 1)"
+            f" || substr(p_name, {_TYPO_POS} + 1)"
+        ).alias("qname"),
+    )
+    matches = fuzzy_match_pairs(
+        catalog, queries, "name_id", "cname", "qid", "qname", k=2
+    ).select(F.col("qid").alias("a"), F.col("cat_id").alias("b"))
+
+    verts = (
+        catalog.select(F.col("name_id").alias("v"))
+        .unionByName(queries.select(F.col("qid").alias("v")))
+        .distinct()
+    )
+    labels = connected_components(
+        verts, matches, id_col="v", src_col="a", dst_col="b"
+    )
+    return labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("v") < _ER_OFFSET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical_names"),
+        F.sum(F.when(F.col("v") >= _ER_OFFSET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_variants"),
+        F.min("v").alias("survivor_id"),
+    )
