@@ -2010,3 +2010,104 @@ def x01_global_rownum(spark, sf_dir):
         "o_orderkey",
         (F.col("local_rn") + F.col("offset")).cast("bigint").alias("rn"),
     )
+
+
+@_register(
+    "x02_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_linenumber <= 2),
+         b AS (SELECT l_partkey FROM lineitem WHERE l_linenumber >= 2)
+    SELECT 'except_all' AS bucket, l_partkey,
+           COUNT(*) AS n
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all', l_partkey, COUNT(*)
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    GROUP BY 2
+    """,
+    survey_ids=("X2",),
+)
+def x02_set_ops_all(spark, sf_dir):
+    """Multiset set operations (X2's ALL variants): ``exceptAll`` /
+    ``intersectAll`` keep MULTIPLICITY — a part key appearing 5 times
+    on one side and 3 on the other survives EXCEPT ALL twice and
+    INTERSECT ALL three times — where the distinct forms
+    (x02_set_ops) collapse to membership. That difference is load-
+    bearing for reconciliation workloads (did every row land exactly
+    once?), which is multiset subtraction, not set subtraction. Spark
+    plans both as an aggregate computing per-key counts on each side
+    and replicating rows min/difference times — one shuffle each, no
+    join; the grouped count output keeps the driver-hashed frame
+    compact while still pinning every multiplicity."""
+    li = _ld(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_partkey")
+    b = li.filter(F.col("l_linenumber") >= 2).select("l_partkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("bucket"), "l_partkey", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("bucket"), "l_partkey", "n")
+    )
+    return ex.unionByName(it)
+
+
+@_register(
+    "s18_fd_violations",
+    oracle="""
+    WITH batch2 AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 97 = 0 THEN 'Brand#XX'
+                    ELSE p_brand END AS p_brand
+        FROM part
+    ),
+    uni AS (
+        SELECT p_partkey, p_brand FROM part
+        UNION ALL
+        SELECT p_partkey, p_brand FROM batch2
+    )
+    SELECT p_partkey,
+           COUNT(DISTINCT p_brand) AS n_brands,
+           MIN(p_brand) AS brand_a,
+           MAX(p_brand) AS brand_b
+    FROM uni
+    GROUP BY p_partkey
+    HAVING COUNT(DISTINCT p_brand) > 1
+    """,
+    survey_ids=("X6", "S3"),
+)
+def s18_fd_violations(spark, sf_dir):
+    """Cross-batch functional-dependency audit (the s18 family's
+    consistency check): the claimed invariant partkey → brand is
+    validated across two ingest vintages — the original batch and a
+    second batch carrying a PLANTED deterministic corruption (every
+    97th key re-branded), planted identically in the oracle so the
+    driver row exercises a non-empty violation path instead of 0 = 0.
+    Exactly the check a multi-batch 100 TB ingest runs before
+    publishing: group on the determinant key, count distinct
+    dependent values, emit only violators with both witnesses. One
+    shuffle (two-phase distinct under the hood); the violation set is
+    tiny by construction, so the output never approaches data size."""
+    part = _ld(spark, sf_dir, "part")
+    batch2 = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 97 == 0, F.lit("Brand#XX"))
+        .otherwise(F.col("p_brand"))
+        .alias("p_brand"),
+    )
+    uni = part.select("p_partkey", "p_brand").unionByName(batch2)
+    return (
+        uni.groupBy("p_partkey")
+        .agg(
+            F.count_distinct(F.col("p_brand")).alias("n_brands"),
+            F.min("p_brand").alias("brand_a"),
+            F.max("p_brand").alias("brand_b"),
+        )
+        .filter(F.col("n_brands") > 1)
+    )

@@ -177,10 +177,17 @@ def test_engine_wide_plan_hygiene(spark):
     # composition printed 128 exchanges), and the remaining ~13 are the
     # decontaminate chain + four attrition joins + final agg — inherent
     # to a multi-stage pipeline, not a de-optimization
+    # x05_triangle_counts: the canonical pair list (self-join +
+    # distinct, 3 exchanges) feeds four consumers (sym x2, ranked, the
+    # closing join) and the degree frame feeds two aliased joins, so
+    # the static plan prints ~23 exchanges; the identical pair
+    # subtrees collapse to one stage at runtime (ReusedExchange), the
+    # same static-vs-runtime multiplicity as d14/d16
     exchange_budget = {
         "d14_ngram_jaccard": 12,
         "d16_semdedup": 18,
         "d20_training_pipeline": 16,
+        "x05_triangle_counts": 24,
     }
     window_budget = {"d14_ngram_jaccard": 4}
     offenders = []
