@@ -2111,3 +2111,121 @@ def s18_fd_violations(spark, sf_dir):
         )
         .filter(F.col("n_brands") > 1)
     )
+
+
+@_register(
+    "x04_missing_ranges",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey AS k,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+        FROM orders
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - k - 1 AS n_missing
+    FROM s WHERE nxt > k + 1
+    """,
+    survey_ids=("X4", "X1"),
+)
+def x04_missing_ranges(spark, sf_dir):
+    """Missing-key-range detection (the ingest completeness check: did
+    any id block fail to land?) WITHOUT the global-order window the
+    SQL form implies — ``LEAD() OVER (ORDER BY k)`` unpartitioned is a
+    single task, the same trap x01_global_rownum avoids. Decomposed:
+    range-repartition on the key, take each row's partition-LOCAL lead,
+    then close the partition seams by joining each partition's LAST row
+    to the NEXT partition's minimum key (a num-partitions-row boundary
+    frame, broadcast back). Range partitioning guarantees every key in
+    partition i precedes every key in partition i+1, so local-lead +
+    seam handoff is exactly the global lead — which the oracle's
+    single-window form proves. TPC-H order keys are sparse by design,
+    so the gap list is naturally non-empty."""
+    o = _ld(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    part = o.repartitionByRange(32, "k").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("k")
+    local = part.withColumn("nxt_local", F.lead("k").over(wp))
+    # seam frame: partition p's successor key = min key of the NEXT
+    # NON-EMPTY partition (a lead over the <=32-row bounds frame, not
+    # pid+1 arithmetic — the range partitioner may leave a partition
+    # empty, and naive pid-1 mapping would then drop a real gap that
+    # spans the empty partition)
+    bounds = part.groupBy("pid").agg(F.min("k").alias("first_k"))
+    seam = bounds.select(
+        "pid",
+        F.lead("first_k").over(Window.orderBy("pid")).alias("seam_nxt"),
+    )
+    closed = local.join(F.broadcast(seam), "pid", "left").select(
+        "k", F.coalesce(F.col("nxt_local"), F.col("seam_nxt")).alias("nxt")
+    )
+    return closed.filter(F.col("nxt") > F.col("k") + 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).alias("n_missing"),
+    )
+
+
+@_register(
+    "x07_calendar_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS dmin,
+               CAST(MAX(o_orderdate) AS DATE) AS dmax
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(dmin, dmax,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                 AS day_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.day_cents, 0) AS day_cents,
+           d.day IS NULL AS is_empty_day
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    survey_ids=("X7", "X5"),
+)
+def x07_calendar_spine(spark, sf_dir):
+    """Calendar-spine densification (X7): every day between the first
+    and last order date appears in the output, zero-filled when no
+    order landed — the time-series completeness shape every reporting
+    layer needs, because a groupBy alone silently OMITS empty periods
+    and downstream charts/models read absence as nonexistence rather
+    than zero. The spine generates from ONE scalar row
+    (min/max bounds → sequence → explode; never a driver-side loop),
+    the daily aggregate is one map-side-partial shuffle, and the
+    left join broadcasts the spine (bounded by the calendar, not the
+    data — a century is 36,525 rows)."""
+    o = _ld(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("day_cents"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily.withColumnRenamed("day", "dday"), F.col("day") == F.col("dday"), "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("day_cents"), F.lit(0)).alias("day_cents"),
+            F.col("dday").isNull().alias("is_empty_day"),
+        )
+    )
