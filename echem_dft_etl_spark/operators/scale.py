@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import det_hash_i64
 
@@ -197,4 +198,47 @@ def grouped_percentiles_with_guard(
     return agg.select(
         *group_cols,
         *[F.col("_qarr")[i].cast("double").alias(n) for i, n in enumerate(names)],
+    )
+
+
+def missing_key_ranges(
+    df: DataFrame, key: str, num_partitions: int = 32
+) -> DataFrame:
+    """Gaps in a unique integer key sequence, without a global window.
+
+    ``LEAD(key) OVER (ORDER BY key)`` — the textbook gaps-and-islands
+    spelling — plans as ONE task in Spark (unpartitioned window). This
+    decomposition stays parallel: range-repartition on the key,
+    partition-local lead, then close the seams by handing each
+    partition the minimum key of the next NON-EMPTY partition. The
+    seam frame is one row per non-empty partition (broadcast back);
+    the lead over it is global-ordered but operates on at most
+    ``num_partitions`` rows. Empty partitions — which the range
+    partitioner does produce on small or skew-sampled inputs — are
+    the subtle case: naive ``pid+1`` arithmetic would hand the last
+    row of partition p a NULL successor when p+1 is empty, silently
+    swallowing any gap spanning the empty partition; the lead over
+    the bounds frame skips empties by construction
+    (tests/test_scale.py::test_missing_ranges_empty_partitions).
+
+    Returns (gap_start, gap_end, n_missing) for every maximal run of
+    absent keys strictly inside [min(key), max(key)].
+    """
+    part = df.select(F.col(key).alias("k")).repartitionByRange(
+        num_partitions, "k"
+    ).withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("k")
+    local = part.withColumn("nxt_local", F.lead("k").over(wp))
+    bounds = part.groupBy("pid").agg(F.min("k").alias("first_k"))
+    seam = bounds.select(
+        "pid",
+        F.lead("first_k").over(Window.orderBy("pid")).alias("seam_nxt"),
+    )
+    closed = local.join(F.broadcast(seam), "pid", "left").select(
+        "k", F.coalesce(F.col("nxt_local"), F.col("seam_nxt")).alias("nxt")
+    )
+    return closed.filter(F.col("nxt") > F.col("k") + 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).alias("n_missing"),
     )

@@ -2139,31 +2139,13 @@ def x04_missing_ranges(spark, sf_dir):
     partition i precedes every key in partition i+1, so local-lead +
     seam handoff is exactly the global lead — which the oracle's
     single-window form proves. TPC-H order keys are sparse by design,
-    so the gap list is naturally non-empty."""
-    o = _ld(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    part = o.repartitionByRange(32, "k").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    wp = Window.partitionBy("pid").orderBy("k")
-    local = part.withColumn("nxt_local", F.lead("k").over(wp))
-    # seam frame: partition p's successor key = min key of the NEXT
-    # NON-EMPTY partition (a lead over the <=32-row bounds frame, not
-    # pid+1 arithmetic — the range partitioner may leave a partition
-    # empty, and naive pid-1 mapping would then drop a real gap that
-    # spans the empty partition)
-    bounds = part.groupBy("pid").agg(F.min("k").alias("first_k"))
-    seam = bounds.select(
-        "pid",
-        F.lead("first_k").over(Window.orderBy("pid")).alias("seam_nxt"),
-    )
-    closed = local.join(F.broadcast(seam), "pid", "left").select(
-        "k", F.coalesce(F.col("nxt_local"), F.col("seam_nxt")).alias("nxt")
-    )
-    return closed.filter(F.col("nxt") > F.col("k") + 1).select(
-        (F.col("k") + 1).alias("gap_start"),
-        (F.col("nxt") - 1).alias("gap_end"),
-        (F.col("nxt") - F.col("k") - 1).alias("n_missing"),
-    )
+    so the gap list is naturally non-empty.
+    operators/scale.py::missing_key_ranges (empty-partition seam case
+    unit-tested in tests/test_scale.py)."""
+    from .operators.scale import missing_key_ranges
+
+    o = _ld(spark, sf_dir, "orders")
+    return missing_key_ranges(o, "o_orderkey", num_partitions=32)
 
 
 @_register(

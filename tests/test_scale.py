@@ -402,3 +402,20 @@ def test_bloom_filter_and_zstd_layout(spark, tmp_path):
             assert col.getBloomFilterOffset() > 0
     finally:
         reader.close()
+
+
+def test_missing_ranges_empty_partitions(spark):
+    """The seam handoff must survive EMPTY range partitions: 64
+    requested partitions over 8 keys guarantees most are empty, and a
+    gap spanning an empty partition's key range must still surface.
+    Naive pid+1 seam arithmetic returns NULL successors here and
+    silently drops gaps."""
+    from echem_dft_etl_spark.operators.scale import missing_key_ranges
+
+    keys = [1, 2, 3, 10, 11, 50, 51, 100]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in missing_key_ranges(df, "k", num_partitions=64).collect()
+    }
+    assert got == {(4, 9, 6), (12, 49, 38), (52, 99, 48)}, got
