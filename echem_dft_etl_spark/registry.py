@@ -2211,3 +2211,54 @@ def x07_calendar_spine(spark, sf_dir):
             F.col("dday").isNull().alias("is_empty_day"),
         )
     )
+
+
+@_register(
+    "x04_rolling_wau",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    sp AS (
+        SELECT user_id, day + t.i AS target_day
+        FROM act CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(i)
+    )
+    SELECT target_day AS day,
+           COUNT(DISTINCT user_id) AS wau
+    FROM sp GROUP BY target_day
+    """,
+    survey_ids=("X4", "X6"),
+)
+def x04_rolling_wau(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (rolling WAU):
+    COUNT(DISTINCT) over a sliding time frame is not expressible as a
+    window in Spark (distinct aggregates are barred from window
+    frames) and the naive day-range self-join re-scans the activity
+    frame seven times. The scale-safe shape: collapse to the distinct
+    (user, day) activity matrix once, then each activity row CASTS
+    SEVEN VOTES — one per target day it keeps the user active for —
+    via a constant 7-element explode, and a single distinct-count per
+    target day finishes it. Fan-out is the window length (a constant),
+    not the data; the only full shuffles are the activity distinct and
+    the final two-phase distinct-count. Edge days with partial windows
+    are reported identically in both engines (no silent trimming).
+    Days past the last event accumulate trailing votes too — the
+    'users still inside the 7-day window' tail a live dashboard
+    shows."""
+    ev = _ld(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    votes = act.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("i")).alias("day")
+    )
+    return votes.groupBy("day").agg(
+        F.count_distinct(F.col("user_id")).alias("wau")
+    )
