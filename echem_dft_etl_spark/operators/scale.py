@@ -242,3 +242,46 @@ def missing_key_ranges(
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).alias("n_missing"),
     )
+
+
+def rolling_distinct_hll(
+    df: DataFrame,
+    entity_col: str,
+    day_col,
+    window_days: int = 7,
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate trailing-window distinct entities per day via
+    MERGEABLE daily HLL sketches — the 100 TB path where the exact
+    constant-fan-out form (x04_rolling_wau) stops being free.
+
+    The exact form replicates every activity row ``window_days``
+    times; at month- or quarter-length windows that multiplier lands
+    on the full activity matrix. Sketches invert the cost shape:
+    ONE pass builds a fixed-size (2^lgk registers) HLL per day, and
+    any window is a UNION of per-day sketches — the union is over
+    #days-in-window sketch blobs, not data rows, so window length
+    changes only a tiny second-stage aggregate. This is the standard
+    pre-aggregated-sketch architecture (Dataflow/Druid-style rollups):
+    daily sketches persist once, every dashboard window reuses them.
+
+    Two-stage plan: (1) groupBy(day) hll_sketch_agg — map-side
+    partial, one shuffle of sketch blobs; (2) each day's sketch votes
+    into its trailing window days (constant explode of the SKETCH
+    row, not the data) and hll_union_agg + estimate finishes. Same
+    vote trick as the exact form, but cast by ~365 sketch rows/year
+    instead of billions of activity rows.
+    """
+    daily = df.groupBy(day_col.alias("day")).agg(
+        F.hll_sketch_agg(F.col(entity_col), F.lit(lgk)).alias("sk")
+    )
+    votes = daily.select(
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i"),
+        "sk",
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("day"), "sk")
+    return votes.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "approx_distinct"
+        )
+    )

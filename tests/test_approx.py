@@ -32,3 +32,33 @@ def test_percentile_approx_brackets_exact(spark):
         ).first()
     )
     assert lo <= row.approx <= hi, row
+
+
+def test_rolling_distinct_hll_tracks_exact(spark):
+    """The mergeable-sketch rolling distinct (daily HLL -> window
+    union) must track the exact constant-fan-out form within HLL
+    error (lgk=12 => ~1.6% stderr; assert 5%), day by day."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators.scale import rolling_distinct_hll
+    from echem_dft_etl_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+    from echem_dft_etl_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    approx = {
+        r.day: r.approx_distinct
+        for r in rolling_distinct_hll(
+            ev,
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            window_days=7,
+        ).collect()
+    }
+    exact = {
+        r.day: r.wau
+        for r in all_queries()["x04_rolling_wau"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
