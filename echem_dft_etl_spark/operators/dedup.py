@@ -632,3 +632,73 @@ def near_dups_against_corpus(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("batch_id", "corpus_id", "n_inter", "nb", "nc", "jaccard")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """DIRECTED near-superset pairs by exact shingle containment
+    ``C(a→b) = |a ∩ b| / |a|``.
+
+    The case Jaccard structurally misses: a short document embedded
+    verbatim in a much longer one (quote expansion, boilerplate
+    wrapping, version-extended docs) has high containment but LOW
+    Jaccard — |a∩b|/|a∪b| is dragged down by the size mismatch — so a
+    Jaccard-thresholded dedup keeps both copies. Containment is the
+    established fix (Broder's original resemblance/containment pair),
+    and it is ASYMMETRIC: the output row (a, b) asserts "a is mostly
+    inside b", and both directions can hold at once only for
+    near-equal sets.
+
+    Same bounded join shape as :func:`ngram_jaccard_pairs` (shared
+    df-capped inverted index, intersection counted directly off the
+    posting-list self-join, per-shingle fan-out ≤ max_df²/2); the only
+    difference is the normalizer, so candidates are enumerated as
+    unordered pairs once and each direction is tested independently.
+    """
+    shingled = doc_shingles(docs, shingle_n)
+    if max_df is not None:
+        w_df = Window.partitionBy("shingle")
+        shingled = (
+            shingled.withColumn("_df", F.count("*").over(w_df))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sized = inter.join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")),
+        "a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")),
+        "b",
+    )
+    fwd = sized.select(
+        "a",
+        "b",
+        "n_inter",
+        F.col("na").alias("n_contained"),
+        (F.col("n_inter").cast("double") / F.col("na").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = sized.select(
+        F.col("b").alias("a"),
+        F.col("a").alias("b"),
+        "n_inter",
+        F.col("nb").alias("n_contained"),
+        (F.col("n_inter").cast("double") / F.col("nb").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -2106,3 +2106,74 @@ def d25_entity_resolution(spark, sf_dir):
         .alias("n_variants"),
         F.min("v").alias("survivor_id"),
     )
+
+
+#: Containment planting: every 101st document contributes a derived
+#: "quote" doc — its first 30 normalized tokens — whose shingle set is
+#: a subset of the original's, so containment(quote → original) = 1.
+_CONT_OFFSET = 2000000
+
+
+@_register(
+    "d26_containment_pairs",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_CONT_OFFSET},
+               array_to_string(list_slice({_TOKS}, 1, 30), ' ')
+        FROM documents WHERE doc_id % 101 = 0
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+    sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+            FROM t WHERE len(toks) >= 3),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING COUNT(*) <= {dedup.DEFAULT_MAX_DF}),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+              FROM sh sa JOIN sh sb
+                ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+              GROUP BY 1, 2),
+    sized AS (SELECT i.a, i.b, i.n_inter,
+                     za.n_sh AS na, zb.n_sh AS nb
+              FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b),
+    directed AS (
+        SELECT a, b, n_inter, na AS n_contained,
+               CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+        FROM sized
+        UNION ALL
+        SELECT b, a, n_inter, nb,
+               CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE)
+        FROM sized
+    )
+    SELECT * FROM directed WHERE containment >= 0.8
+    """,
+    survey_ids=("X11",),
+)
+def d26_containment_pairs(spark, sf_dir):
+    """Directed near-superset detection by exact shingle containment
+    (X11's asymmetric axis): C(a→b) = |a∩b|/|a| flags short documents
+    embedded in longer ones — quote expansion, boilerplate wrapping —
+    which Jaccard structurally misses because the size mismatch drags
+    |a∩b|/|a∪b| under any useful threshold. The corpus is augmented
+    with deterministic planted quotes (every 101st document's first 30
+    tokens, planted identically in the oracle) so the driver row
+    proves a non-empty containment path; the join shape is d14's
+    df-capped inverted index with the normalizer swapped, both
+    directions tested from one unordered-pair enumeration.
+    operators/dedup.py::containment_pairs."""
+    from .functions.text import tokens
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + _CONT_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tokens(F.col("text")), 1, 30)
+        ).alias("text"),
+    )
+    aug = docs.unionByName(quotes)
+    return dedup.containment_pairs(aug, threshold=0.8)
