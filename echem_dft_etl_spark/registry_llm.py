@@ -2177,3 +2177,85 @@ def d26_containment_pairs(spark, sf_dir):
     )
     aug = docs.unionByName(quotes)
     return dedup.containment_pairs(aug, threshold=0.8)
+
+
+@_register(
+    "s12_negative_pairs",
+    oracle=f"""
+    WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+    base AS (SELECT vec_id, t.m FROM embeddings
+             CROSS JOIN unnest([1, 2, 3, 4]) AS t(m)),
+    raw AS (SELECT vec_id, m, n,
+                   ({duckdb_det_hash_i64('vec_id * 7 + m', seed=12)}) % n
+                     AS j0
+            FROM base CROSS JOIN cnt),
+    neg AS (SELECT vec_id, m,
+                   CASE WHEN j0 = vec_id THEN (j0 + 1) % n
+                        ELSE j0 END AS neg_id
+            FROM raw),
+    sc AS (SELECT g.vec_id, g.m, g.neg_id,
+                  {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+           FROM neg g
+           JOIN embeddings a ON a.vec_id = g.vec_id
+           JOIN embeddings b ON b.vec_id = g.neg_id)
+    SELECT vec_id, m, neg_id, cosine FROM sc
+    """,
+    survey_ids=("X12",),
+)
+def s12_negative_pairs(spark, sf_dir):
+    """Deterministic in-batch negative sampling (the contrastive-
+    training dataset op): each vector draws 4 pseudo-random negatives
+    by hashing its own id (Knuth convention, collision-free mixing of
+    (vec_id, draw index) since draws < 7) into the DENSE id space mod
+    n, bumping self-draws by one — so the negative set is uniform-ish,
+    reproducible run-to-run and engine-to-engine, and built with TWO
+    equi-joins (anchor side, negative side) on the id key instead of
+    any random shuffle, cross join, or orderBy(rand()). Per pair the
+    exact cosine is attached (same float-op order both engines — the
+    established X12 convention) so downstream hard-negative mining can
+    threshold on it. At 100 TB: k·n generated rows, both joins
+    hash-partitioned on ids, nothing quadratic; the count scalar is
+    the only broadcast."""
+    from .functions.hashing import det_hash_i64
+    from .functions.vector import cosine_sim
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    cnt = emb.agg(F.count("*").alias("n"))
+    base = emb.select("vec_id").crossJoin(F.broadcast(cnt)).select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("m"),
+        "n",
+    )
+    raw = base.select(
+        "vec_id",
+        "m",
+        "n",
+        F.pmod(
+            det_hash_i64(F.col("vec_id") * 7 + F.col("m"), seed=12),
+            F.col("n"),
+        ).alias("j0"),
+    )
+    neg = raw.select(
+        "vec_id",
+        "m",
+        F.when(
+            F.col("j0") == F.col("vec_id"),
+            F.pmod(F.col("j0") + 1, F.col("n")),
+        )
+        .otherwise(F.col("j0"))
+        .alias("neg_id"),
+    )
+    a = emb.select("vec_id", F.col("embedding").alias("a_emb"))
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("embedding").alias("b_emb")
+    )
+    return (
+        neg.join(a, "vec_id")
+        .join(b, "neg_id")
+        .select(
+            "vec_id",
+            "m",
+            "neg_id",
+            cosine_sim(F.col("a_emb"), F.col("b_emb")).alias("cosine"),
+        )
+    )
