@@ -2259,3 +2259,68 @@ def s12_negative_pairs(spark, sf_dir):
             cosine_sim(F.col("a_emb"), F.col("b_emb")).alias("cosine"),
         )
     )
+
+
+@_register(
+    "t13_rare_bigram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+    freq AS (SELECT bigram, COUNT(*) AS corpus_n FROM bg GROUP BY bigram),
+    scored AS (SELECT bg.doc_id,
+                      COUNT(*) AS n_bigrams,
+                      CAST(SUM(CASE WHEN f.corpus_n <= 2 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_rare,
+                      CAST(SUM(f.corpus_n) AS BIGINT) AS familiarity
+               FROM bg JOIN freq f USING (bigram)
+               GROUP BY bg.doc_id)
+    SELECT doc_id, n_bigrams, n_rare, familiarity,
+           CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac
+    FROM scored
+    """,
+    survey_ids=("X13",),
+)
+def t13_rare_bigram_score(spark, sf_dir):
+    """Corpus-statistics surprise scoring (X13's two-pass quality
+    signal): every document's bigrams are scored against the CORPUS
+    bigram frequency table — rare-bigram fraction (how much of the
+    document is combinations the corpus has barely seen) and total
+    familiarity mass. This is the integer-exact stand-in for n-gram
+    LM perplexity: log-probabilities are engine-divergent (libm) and
+    order-sensitive, while rare-counts and frequency sums are exact,
+    yet rank documents by the same surprise signal quality filters
+    use. The shape is the one t13's single-pass stats can't do:
+    GLOBAL statistics joined back to the rows that produced them —
+    two shuffles (frequency groupBy, doc re-aggregation) with the
+    bigram stream never materialized wider than (doc_id, bigram)."""
+    from .functions.text import tokens, word_ngrams
+
+    docs = _ld(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram"),
+        )
+    )
+    freq = bg.groupBy("bigram").agg(F.count("*").alias("corpus_n"))
+    scored = bg.join(freq, "bigram").groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("corpus_n") <= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+        F.sum("corpus_n").cast("bigint").alias("familiarity"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        "familiarity",
+        (
+            F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double")
+        ).alias("rare_frac"),
+    )

@@ -2725,3 +2725,72 @@ def s02_xml_roundtrip(spark, sf_dir):
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "s01_dynamic_overwrite",
+    oracle="""
+    SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN s_nationkey = 3
+                    THEN CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) + 1000
+                    ELSE CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)
+               END) AS bal_cents
+    FROM supplier GROUP BY 1
+    """,
+    survey_ids=("S1", "S3"),
+)
+def s01_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (S1's idempotent-backfill
+    semantics): a partitioned table is written in full, then ONE
+    partition is restated by an overwrite-mode write that — under
+    ``partitionOverwriteMode=dynamic`` — replaces ONLY the partitions
+    present in the incoming frame, leaving every other partition's
+    files untouched. This is the nightly-backfill contract at 100 TB:
+    re-running a day's job must replace that day, not truncate the
+    table (the STATIC default deletes ALL partitions first — the
+    classic data-loss footgun this row pins the guard against). The
+    read-back aggregate proves both halves: partition 3 carries the
+    restated values (+1000 cents), all others the originals. The conf
+    is set around the write and restored (the driver's session is not
+    ours to mutate). Reentrant via the s01 pattern."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        _cents(F.col("s_acctbal")).alias("bal_cents"),
+    )
+    out = Path(tempfile.mkdtemp(prefix="echem_dyn_overwrite_"))
+    root = f"{out}/suppliers"
+    sup.write.partitionBy("s_nationkey").parquet(root)
+
+    restated = sup.filter(F.col("s_nationkey") == 3).withColumn(
+        "bal_cents", F.col("bal_cents") + 1000
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        restated.write.mode("overwrite").partitionBy(
+            "s_nationkey"
+        ).parquet(root)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    back = spark.read.parquet(root)
+    result = (
+        back.groupBy(F.col("s_nationkey").cast("int").alias("s_nationkey"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
