@@ -183,13 +183,19 @@ def test_engine_wide_plan_hygiene(spark):
     # the static plan prints ~23 exchanges; the identical pair
     # subtrees collapse to one stage at runtime (ReusedExchange), the
     # same static-vs-runtime multiplicity as d14/d16
+    # d26_containment_pairs is d14's join shape emitted in BOTH
+    # directions via a union, so every d14 static multiplicity doubles
+    # (8 window prints = 2 directions x 4 index consumers, ~22
+    # exchanges); the branches share one lineage and collapse to the
+    # same runtime stages via ReusedExchange, exactly as for d14
     exchange_budget = {
         "d14_ngram_jaccard": 12,
         "d16_semdedup": 18,
         "d20_training_pipeline": 16,
         "x05_triangle_counts": 24,
+        "d26_containment_pairs": 24,
     }
-    window_budget = {"d14_ngram_jaccard": 4}
+    window_budget = {"d14_ngram_jaccard": 4, "d26_containment_pairs": 8}
     offenders = []
     for name, spec in sorted(all_queries().items()):
         if name in not_plan_inspectable:
