@@ -23,7 +23,11 @@ round-over-round regression calls. Non-headline queries are timed k=2
 and reported as the MIN (noise floor): single shots proved unusable —
 the shared-JVM context spiked individual queries 3-7x (d20 measured
 50.9 s in-suite vs 13.9 s re-run) — and min-of-2 bounds that without
-tripling the suite budget.
+tripling the suite budget. Repetitions are INTERLEAVED round-robin
+across the whole set (r5; back-to-back k-runs let one JVM context
+spike poison every sample of a single query — r4's d15 spread 3.5x
+within one suite), and headline queries whose samples still spread
+>2x get adaptive top-up rounds (SPARK_GRAFT_BENCH_K_EXTRA, default 2).
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect bottleneck). One warm-up run of a tiny query first so JVM
@@ -184,14 +188,42 @@ def main() -> None:
     # pause. min-of-2 is the noise-floor estimator; headline queries
     # keep median-of-3 for round-over-round comparability.
     k_rest = int(os.environ.get("SPARK_GRAFT_BENCH_K_REST", "2"))
-    runs: dict[str, list[float]] = {}
+    # Repetitions are INTERLEAVED (round-robin the whole set k times),
+    # not run back-to-back per query: back-to-back attributes whatever
+    # the JVM is digesting at that moment — a GC of the previous
+    # query's garbage, a concurrent-mark phase — to all k samples of
+    # ONE query (r4's d15 spread 25.5/18.4/7.3 s within a single
+    # suite). Round-robin spaces a query's samples minutes apart so a
+    # context spike lands on at most one of them and the median sheds
+    # it.
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    passes = max(k, k_rest)
+    for p in range(passes):
+        for name in names:
+            kq = k if name in HEADLINE else k_rest
+            if p < kq:
+                runs[name].append(timed_run(name))
+    # Adaptive top-up: a headline query whose samples still spread >2x
+    # gets up to SPARK_GRAFT_BENCH_K_EXTRA more interleaved rounds, so
+    # its median rests on a sample set the noise didn't dominate.
+    extra = int(os.environ.get("SPARK_GRAFT_BENCH_K_EXTRA", "2"))
+    for _ in range(extra):
+        noisy = [
+            n
+            for n in names
+            if n in HEADLINE
+            and min(runs[n]) > 0
+            and max(runs[n]) / min(runs[n]) > 2.0
+        ]
+        if not noisy:
+            break
+        for name in noisy:
+            runs[name].append(timed_run(name))
     timings: dict[str, float] = {}
     for name in names:
         if name in HEADLINE:
-            runs[name] = [timed_run(name) for _ in range(k)]
             timings[name] = sorted(runs[name])[len(runs[name]) // 2]
         else:
-            runs[name] = [timed_run(name) for _ in range(k_rest)]
             timings[name] = min(runs[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

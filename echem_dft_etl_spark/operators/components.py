@@ -323,9 +323,14 @@ def integer_pagerank(
     hub nodes; per-round ``localCheckpoint`` truncates lineage and the
     previous round's blocks are released as soon as the next is
     materialized (the same storage discipline as
-    :func:`connected_components`). Overflow bound: total circulating
-    mass is N * node_mass, so bigint holds for N < 9e6 at the default
-    mass (scale node_mass down for larger graphs)."""
+    :func:`connected_components`). Overflow bound: the binding
+    constraint is the per-share multiply ``mass * damp_num`` — in the
+    worst case (a sink-like hub) one node can accumulate nearly ALL
+    circulating mass ``N * node_mass``, so bigint safety requires
+    ``damp_num * N * node_mass < 2^63``: N < ~5e5 at the default
+    (mass 10^12, damp_num 17). Scale node_mass down for larger graphs
+    — mass 10^9 holds to N < ~5e8 while keeping plenty of ranking
+    resolution (the floor remainder stays < outdeg per node-round)."""
     spark = edges.sparkSession
     base = node_mass * (damp_den - damp_num) // damp_den
 
@@ -388,7 +393,7 @@ def integer_pagerank(
             _release_rdds(spark, prev_ids)
 
 
-def triangle_counts(pairs: DataFrame) -> DataFrame:
+def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-node exact triangle participation counts.
 
     ``pairs`` is an UNDIRECTED edge list in canonical form (a < b,
@@ -406,7 +411,23 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     explode to their three corners for the per-node counts; every step
     is hash-partitioned equi-join / aggregate — no windows, no
     broadcast of anything graph-sized.
+
+    ``checkpoint`` (default on) materializes the two multiply-consumed
+    edge frames once: ``pairs`` feeds FOUR plan branches (both arms of
+    the symmetrized degree count, the orientation join, the closure
+    join) and ``oriented`` feeds both arms of the wedge self-join.
+    Exchange reuse amortizes some of the re-scans when canonicalization
+    hits, but the orientation chain above ``oriented`` (two degree
+    joins) is re-derived per wedge arm without it. The pinned storage
+    is two |E|-row frames of node-id pairs — the algorithm's own
+    working set, held for the life of the returned frame; measured
+    ~15% median end-to-end cut at sf0.1 plus a materially smaller plan
+    (the caller's pairs-construction cost, e.g. a self-join+distinct,
+    is what the pairs checkpoint amortizes). Pass ``checkpoint=False``
+    to keep the fully-lazy lineage (re-computable after block loss).
     """
+    if checkpoint:
+        pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         pairs.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -422,6 +443,8 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=True)
 
     e1 = oriented.select("src", F.col("dst").alias("x"))
     e2 = oriented.select("src", F.col("dst").alias("y"))

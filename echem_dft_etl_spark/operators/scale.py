@@ -201,6 +201,41 @@ def grouped_percentiles_with_guard(
     )
 
 
+def _monotone_pid(df: DataFrame, key_col: str, num_partitions: int):
+    """A pid column that is MONOTONE in the key and a pure function of
+    it: bucket index against quantile cut points collected once into a
+    literal.
+
+    The load-bearing property for two-branch decompositions (local
+    window + bounds/offsets aggregate over the same pid frame): every
+    plan branch must observe IDENTICAL pid assignments. Deriving pid
+    from ``spark_partition_id()`` after ``repartitionByRange`` only
+    holds if Spark reuses the sampled range exchange across branches
+    (``spark.sql.exchange.reuse`` + canonicalization hit) — with reuse
+    disabled or missed, each branch re-samples its own range bounds
+    and the seam/offset join silently miscomputes. A literal cut
+    array has no runtime state to diverge: the one-row quantile probe
+    crosses to the driver once (authoring-time action, same class as
+    grouped_percentiles_with_guard's group-size probe) and the bucket
+    expression is bit-identical in every branch, every retry, every
+    recompute. The cuts need not be balanced for CORRECTNESS — any
+    monotone bucketing is exact; quantiles just keep buckets even so
+    the per-pid windows stay parallel.
+    """
+    probes = max(num_partitions - 1, 1)
+    qs = F.array(
+        *[F.lit((i + 1) / num_partitions) for i in range(probes)]
+    )
+    row = df.select(
+        F.percentile_approx(F.col(key_col), qs, F.lit(10_000)).alias("cuts")
+    ).first()
+    cuts = sorted(set(row["cuts"] or [])) if row is not None else []
+    pid = F.lit(0)
+    for c in cuts:
+        pid = pid + (F.col(key_col) > F.lit(c)).cast("int")
+    return pid
+
+
 def missing_key_ranges(
     df: DataFrame, key: str, num_partitions: int = 32
 ) -> DataFrame:
@@ -208,25 +243,26 @@ def missing_key_ranges(
 
     ``LEAD(key) OVER (ORDER BY key)`` — the textbook gaps-and-islands
     spelling — plans as ONE task in Spark (unpartitioned window). This
-    decomposition stays parallel: range-repartition on the key,
-    partition-local lead, then close the seams by handing each
-    partition the minimum key of the next NON-EMPTY partition. The
-    seam frame is one row per non-empty partition (broadcast back);
+    decomposition stays parallel: bucket keys by a MONOTONE literal
+    pid (:func:`_monotone_pid` — a pure expression, so the window
+    branch and the bounds branch can never disagree on assignments),
+    partition-local lead within each pid, then close the seams by
+    handing each bucket the minimum key of the next NON-EMPTY bucket.
+    The seam frame is one row per non-empty bucket (broadcast back);
     the lead over it is global-ordered but operates on at most
-    ``num_partitions`` rows. Empty partitions — which the range
-    partitioner does produce on small or skew-sampled inputs — are
-    the subtle case: naive ``pid+1`` arithmetic would hand the last
-    row of partition p a NULL successor when p+1 is empty, silently
-    swallowing any gap spanning the empty partition; the lead over
-    the bounds frame skips empties by construction
+    ``num_partitions`` rows. Empty buckets — duplicate quantile cuts
+    or sparse key ranges produce them — are the subtle case: naive
+    ``pid+1`` arithmetic would hand the last row of bucket p a NULL
+    successor when p+1 is empty, silently swallowing any gap spanning
+    it; the lead over the bounds frame skips empties by construction
     (tests/test_scale.py::test_missing_ranges_empty_partitions).
 
     Returns (gap_start, gap_end, n_missing) for every maximal run of
     absent keys strictly inside [min(key), max(key)].
     """
-    part = df.select(F.col(key).alias("k")).repartitionByRange(
-        num_partitions, "k"
-    ).withColumn("pid", F.spark_partition_id())
+    part = df.select(F.col(key).alias("k")).withColumn(
+        "pid", _monotone_pid(df.select(F.col(key).alias("k")), "k", num_partitions)
+    )
     wp = Window.partitionBy("pid").orderBy("k")
     local = part.withColumn("nxt_local", F.lead("k").over(wp))
     bounds = part.groupBy("pid").agg(F.min("k").alias("first_k"))

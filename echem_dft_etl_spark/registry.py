@@ -1984,19 +1984,23 @@ def x01_global_rownum(spark, sf_dir):
     (X1): ``ROW_NUMBER() OVER (ORDER BY key)`` with no PARTITION BY
     collapses to a single task in Spark — the canonical 100 TB
     scale-killer this query exists to avoid. Two-phase instead:
-    (1) range-repartition on the key (sampled range exchange, the same
-    machinery as a distributed sort) and number rows WITHIN each
-    partition via a partition-local window; (2) compute per-partition
-    row counts (a ~num-partitions-row aggregate), convert them to
-    cumulative start offsets with a window over that TINY frame, and
-    broadcast-join the offsets back. Every full-data pass stays
-    parallel; only the offset table — one row per partition — is ever
-    globally ordered. The oracle is the single-task form, so parity
-    proves the decomposition is exact."""
+    (1) bucket keys by a MONOTONE literal pid (quantile cuts collected
+    once — a pure expression of the key, so the window branch and the
+    counts branch can NEVER observe different assignments; a
+    spark_partition_id() after repartitionByRange only agrees across
+    branches while exchange reuse happens to fire) and number rows
+    WITHIN each bucket via a partition-local window; (2) compute
+    per-bucket row counts (a ~num-partitions-row aggregate), convert
+    them to cumulative start offsets with a window over that TINY
+    frame, and broadcast-join the offsets back. Every full-data pass
+    stays parallel; only the offset table — one row per bucket — is
+    ever globally ordered. The oracle is the single-task form, so
+    parity proves the decomposition is exact.
+    operators/scale.py::_monotone_pid."""
+    from .operators.scale import _monotone_pid
+
     o = _ld(spark, sf_dir, "orders").select("o_orderkey")
-    part = o.repartitionByRange(32, "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    part = o.withColumn("pid", _monotone_pid(o, "o_orderkey", 32))
     wp = Window.partitionBy("pid").orderBy("o_orderkey")
     local = part.withColumn("local_rn", F.row_number().over(wp))
     counts = part.groupBy("pid").agg(F.count("*").alias("n"))
@@ -2120,6 +2124,7 @@ def s18_fd_violations(spark, sf_dir):
         SELECT o_orderkey AS k,
                LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
         FROM orders
+        WHERE o_orderkey % 100 NOT BETWEEN 7 AND 9
     )
     SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
            nxt - k - 1 AS n_missing
@@ -2132,19 +2137,24 @@ def x04_missing_ranges(spark, sf_dir):
     any id block fail to land?) WITHOUT the global-order window the
     SQL form implies — ``LEAD() OVER (ORDER BY k)`` unpartitioned is a
     single task, the same trap x01_global_rownum avoids. Decomposed:
-    range-repartition on the key, take each row's partition-LOCAL lead,
-    then close the partition seams by joining each partition's LAST row
-    to the NEXT partition's minimum key (a num-partitions-row boundary
-    frame, broadcast back). Range partitioning guarantees every key in
-    partition i precedes every key in partition i+1, so local-lead +
-    seam handoff is exactly the global lead — which the oracle's
-    single-window form proves. TPC-H order keys are sparse by design,
-    so the gap list is naturally non-empty.
+    bucket keys by a monotone literal pid, take each row's bucket-LOCAL
+    lead, then close the bucket seams by joining each bucket's LAST row
+    to the NEXT bucket's minimum key (a num-partitions-row boundary
+    frame, broadcast back). Monotone bucketing guarantees every key in
+    bucket i precedes every key in bucket i+1, so local-lead + seam
+    handoff is exactly the global lead — which the oracle's
+    single-window form proves. Gaps are PLANTED deterministically
+    (keys ≡ 7..9 mod 100 withheld in both engines — the synthetic
+    corpus ships dense orderkeys, so without planting the gap list is
+    empty and parity proves 0=0), giving ~3-wide gaps every 100 keys
+    at every SF.
     operators/scale.py::missing_key_ranges (empty-partition seam case
     unit-tested in tests/test_scale.py)."""
     from .operators.scale import missing_key_ranges
 
-    o = _ld(spark, sf_dir, "orders")
+    o = _ld(spark, sf_dir, "orders").filter(
+        ~(F.col("o_orderkey") % 100).between(7, 9)
+    )
     return missing_key_ranges(o, "o_orderkey", num_partitions=32)
 
 
@@ -2185,8 +2195,12 @@ def x07_calendar_spine(spark, sf_dir):
     than zero. The spine generates from ONE scalar row
     (min/max bounds → sequence → explode; never a driver-side loop),
     the daily aggregate is one map-side-partial shuffle, and the
-    left join broadcasts the spine (bounded by the calendar, not the
-    data — a century is 36,525 rows)."""
+    left join broadcasts the DAILY AGGREGATE — the build side of a
+    left-outer broadcast join must be the non-preserved (right) side;
+    a hint on the preserved spine would be silently ignored (or force
+    a nested-loop plan). Both sides are calendar-bounded (a century is
+    36,525 rows), so the broadcast is always legal and the join runs
+    with zero shuffle."""
     o = _ld(spark, sf_dir, "orders")
     bounds = o.agg(
         F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
@@ -2202,8 +2216,12 @@ def x07_calendar_spine(spark, sf_dir):
         F.sum(_cents(F.col("o_totalprice"))).alias("day_cents"),
     )
     return (
-        F.broadcast(spine)
-        .join(daily.withColumnRenamed("day", "dday"), F.col("day") == F.col("dday"), "left")
+        spine
+        .join(
+            F.broadcast(daily.withColumnRenamed("day", "dday")),
+            F.col("day") == F.col("dday"),
+            "left",
+        )
         .select(
             "day",
             F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),

@@ -1555,8 +1555,14 @@ def d21_chunk_dedup(spark, sf_dir):
     Plan shape: the chunk explode is a 1:N generate off the scan (no
     shuffle), and the per-source distinct-count is the standard
     two-phase expand — the only full shuffle moves (source, hash)
-    pairs, 16 bytes each, not text."""
-    docs = _ld(spark, sf_dir, "documents")
+    pairs, 16 bytes each, not text.
+
+    Empty documents are filtered out BEFORE the sequence: Spark's
+    ``sequence(1, 0, 64)`` throws "Illegal sequence boundaries" while
+    the oracle's ``range(1, 1, 64)`` is just empty — without the guard
+    an empty doc crashes the Spark side asymmetrically. The filter
+    matches the oracle semantics exactly (zero chunks contributed)."""
+    docs = _ld(spark, sf_dir, "documents").filter(F.length("text") > 0)
     chunks = docs.select(
         "source",
         F.explode(
@@ -1580,15 +1586,20 @@ def d21_chunk_dedup(spark, sf_dir):
 @_register(
     "s15_skew_report",
     oracle="""
-    WITH per_key AS (
-        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 20 < 3 THEN user_id % 3
+                    ELSE user_id END AS join_key
+        FROM events
     ),
-    tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS n_keys
-            FROM events)
-    SELECT per_key.user_id, per_key.n,
+    per_key AS (
+        SELECT join_key, COUNT(*) AS n FROM keyed GROUP BY join_key
+    ),
+    tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT join_key) AS n_keys
+            FROM keyed)
+    SELECT per_key.join_key, per_key.n,
            CAST(ROUND(per_key.n * 1000000.0 / tot.total, 0) AS BIGINT)
              AS share_ppm,
-           CAST(ROUND(per_key.n * 1.0 * tot.n_keys / tot.total, 2) * 100
+           CAST(ROUND(per_key.n * 100.0 * tot.n_keys / tot.total, 0)
                 AS BIGINT) AS skew_x100
     FROM per_key, tot
     WHERE per_key.n * 1.0 * tot.n_keys / tot.total >= 1.5
@@ -1600,28 +1611,44 @@ def s15_skew_report(spark, sf_dir):
     cure): per join key, its row count, traffic share in ppm, and its
     skew factor — count relative to the mean key (x100 as an exact
     integer) — emitting only keys at >= 1.5x the mean, i.e. exactly
-    the keys a salting or AQE-skew-split decision is made about. At
-    100 TB this query IS the planning step that sizes the salt
-    factor: the per-key aggregate is map-side partial, the two global
-    scalars (total rows, key count) broadcast back as a single-row
-    frame, and nothing ever materializes the unskewed key majority.
-    Exact integer outputs (ppm, x100) keep the ratio cross-engine
-    bit-identical."""
-    ev = _ld(spark, sf_dir, "events")
-    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    the keys a salting or AQE-skew-split decision is made about.
+
+    Hot keys are PLANTED deterministically (the s18 planted-corruption
+    discipline): 15% of users (user_id % 20 < 3) collapse onto three
+    join keys, so at every SF the report emits exactly those three
+    keys at skew ≈ 4-5x while the unmerged majority sits near 0.85x —
+    the violation path is exercised, not vacuously empty. At 100 TB
+    this query IS the planning step that sizes the salt factor: the
+    per-key aggregate is map-side partial, the two global scalars
+    (total rows, key count) broadcast back as a single-row frame, and
+    nothing ever materializes the unskewed key majority.
+
+    skew_x100 is ROUNDED TO AN INTEGRAL DOUBLE before the bigint cast
+    (round-half-away in both engines for positive doubles): casting a
+    non-integral double would diverge — Spark's cast truncates while
+    DuckDB's rounds, so round(2.2969,2)*100 = 229.999... yields 229 vs
+    230. Rounding at scale 0 first makes the cast exact in both."""
+    ev = _ld(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 20 < 3, F.col("user_id") % 3)
+        .otherwise(F.col("user_id"))
+        .alias("join_key")
+    )
+    per_key = ev.groupBy("join_key").agg(F.count("*").alias("n"))
     tot = ev.agg(
         F.count("*").alias("total"),
-        F.count_distinct(F.col("user_id")).alias("n_keys"),
+        F.count_distinct(F.col("join_key")).alias("n_keys"),
     )
     joined = per_key.crossJoin(F.broadcast(tot))
     skew = F.col("n") * F.lit(1.0) * F.col("n_keys") / F.col("total")
     return joined.filter(skew >= 1.5).select(
-        "user_id",
+        "join_key",
         "n",
         F.round(F.col("n") * 1000000.0 / F.col("total"), 0)
         .cast("bigint")
         .alias("share_ppm"),
-        (F.round(skew, 2) * 100).cast("bigint").alias("skew_x100"),
+        F.round(F.col("n") * 100.0 * F.col("n_keys") / F.col("total"), 0)
+        .cast("bigint")
+        .alias("skew_x100"),
     )
 
 

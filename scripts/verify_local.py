@@ -6,6 +6,14 @@ Usage: python scripts/verify_local.py [sf_dir]   (default /root/testdata/sf0.01)
 Runs every registry query on Spark and its oracle on DuckDB over the same
 parquet, compares row count + column names + exact values, prints one
 line per query.
+
+On a FULL run (no query filter) it also writes ``PARITY_r{N}.json`` at
+the repo root — one entry per registered query with pass/fail, row
+counts, and oracle coverage — so the registry's behind-driver-window
+queries carry committed, auditable evidence each round without anyone
+re-executing the suite. N is inferred as (max existing CORRECTNESS
+round) + 1, i.e. the round currently being built; override with
+``PARITY_OUT=/path.json``.
 """
 
 from __future__ import annotations
@@ -24,7 +32,25 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
 
+def _parity_out_path() -> Path:
+    import os
+    import re
+
+    override = os.environ.get("PARITY_OUT")
+    if override:
+        return Path(override)
+    rounds = [
+        int(m.group(1))
+        for f in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", f.name))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return REPO / f"PARITY_r{n:02d}.json"
+
+
 def main() -> int:
+    import json
+
     import duckdb
 
     from echem_dft_etl_spark.registry import all_queries
@@ -39,6 +65,7 @@ def main() -> int:
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     failures = 0
+    parity: dict[str, dict] = {}
     for name, spec in sorted(all_queries().items()):
         if ONLY is not None and name not in ONLY:
             continue
@@ -48,6 +75,12 @@ def main() -> int:
             s_cols = [c.lower() for c in df.columns]
             s_rows = [tuple(r) for r in df.collect()]
             if spec.oracle is None:
+                parity[name] = {
+                    "status": "rows-only",
+                    "spark_rows": len(s_rows),
+                    "oracle_rows": None,
+                    "sec": round(time.time() - t0, 2),
+                }
                 print(f"  {name}: rows-only, {len(s_rows)} rows "
                       f"[{time.time()-t0:.1f}s]")
                 continue
@@ -65,6 +98,13 @@ def main() -> int:
                 bad = [(a, b) for a, b in zip(sn, dn) if a != b]
                 if bad:
                     problems.append(f"{len(bad)} value mismatches, first: {bad[0]}")
+            parity[name] = {
+                "status": "fail" if problems else "pass",
+                "spark_rows": len(sn),
+                "oracle_rows": len(dn),
+                "sec": round(time.time() - t0, 2),
+                **({"problems": problems} if problems else {}),
+            }
             if problems:
                 failures += 1
                 print(f"  {name}: FAIL {problems} [{time.time()-t0:.1f}s]")
@@ -72,7 +112,28 @@ def main() -> int:
                 print(f"  {name}: OK {len(sn)} rows [{time.time()-t0:.1f}s]")
         except Exception as exc:  # noqa: BLE001
             failures += 1
+            parity[name] = {
+                "status": "error",
+                "error": f"{type(exc).__name__}: {exc}"[:500],
+                "sec": round(time.time() - t0, 2),
+            }
             print(f"  {name}: ERROR {type(exc).__name__}: {exc}")
+    if ONLY is None:
+        out = _parity_out_path()
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(parity),
+            "n_pass": sum(1 for v in parity.values() if v["status"] == "pass"),
+            "n_rows_only": sum(
+                1 for v in parity.values() if v["status"] == "rows-only"
+            ),
+            "n_fail": sum(
+                1 for v in parity.values() if v["status"] in ("fail", "error")
+            ),
+            "queries": parity,
+        }
+        out.write_text(json.dumps(summary, indent=1) + "\n")
+        print(f"parity artifact: {out}")
     print(f"{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
     return 1 if failures else 0
 

@@ -398,8 +398,15 @@ def test_r4b_operator_plan_shapes(spark):
     # offsets pass: pid is the SORT key ("pid#N ASC"), no partitioning
     off_specs = [sp for sp in specs if "o_orderkey" not in sp]
     assert len(off_specs) == 1 and _re.match(r"pid#\d+ ASC", off_specs[0].lstrip()), specs
-    # the range repartition reaches the plan (sampled range exchange)
-    assert "rangepartitioning" in p.lower(), p[:500]
+    # r5: pid is a LITERAL monotone bucket expression (quantile cuts
+    # baked into the plan as constants), NOT spark_partition_id() over
+    # a sampled range exchange — so the window branch and the counts
+    # branch cannot observe divergent assignments if exchange reuse
+    # misses (the r4 ADVICE seam-correctness hazard). The plan must
+    # contain the comparison cascade and no runtime-pid dependency.
+    assert "spark_partition_id" not in p.lower(), p[:500]
+    assert "rangepartitioning" not in p.lower(), p[:500]
+    assert p.lower().count("o_orderkey") >= 2  # cut comparisons inline
 
 
 def test_r4c_operator_plan_shapes(spark):

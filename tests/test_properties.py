@@ -180,6 +180,44 @@ def test_minhash_signatures_match_python_reference(spark, texts):
     assert got == expected
 
 
+def test_minhash_from_arrays_equals_exploded(spark):
+    """The projection-only arrays form must be lane-for-lane identical
+    to the exploded groupBy form — it feeds the same LSH geometry.
+    Regression: F.transform dispatches on lambda ARITY, so a two-arg
+    lambda used to capture the lane index received (element,
+    array-position) instead and every lane collapsed to the same
+    min(perm(h_i, i)) value; lanes must be genuinely distinct."""
+    from echem_dft_etl_spark.operators.dedup import (
+        doc_shingle_arrays,
+        doc_shingles,
+        minhash_signatures,
+        minhash_signatures_from_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id bigint, text string",
+    )
+    n_perms = 8
+    exploded = {
+        r.doc_id: tuple(r[f"mh_{j}"] for j in range(n_perms))
+        for r in minhash_signatures(doc_shingles(docs, 3), n_perms).collect()
+    }
+    arrays = {
+        r.doc_id: tuple(r[f"mh_{j}"] for j in range(n_perms))
+        for r in minhash_signatures_from_arrays(
+            doc_shingle_arrays(docs, 3), n_perms
+        ).collect()
+    }
+    assert arrays == exploded
+    for sig in arrays.values():
+        assert len(set(sig)) > 1, f"lanes collapsed: {sig}"
+
+
 def test_det_hash_i64_large_keys(spark, duck):
     """The split-multiply hash must (a) equal key*KNUTH mod 2^32 for
     every key including those where the naive product overflows int64,

@@ -419,3 +419,29 @@ def test_missing_ranges_empty_partitions(spark):
         for r in missing_key_ranges(df, "k", num_partitions=64).collect()
     }
     assert got == {(4, 9, 6), (12, 49, 38), (52, 99, 48)}, got
+
+
+def test_semdedup_cell_population_bounded(spark):
+    """The SemDeDup in-cell quadratic is safe ONLY while cell
+    populations stay bounded — k is the declared scale knob (k grows
+    with the corpus so cells stay comparison-sized; SCALE.md). This
+    guard pins the contract at the registered geometry: with the
+    registry's k over the correctness-scale corpus, the LARGEST cell
+    must hold within a small constant of the ideal n/k split, so the
+    worst cell's pair count (max_cell²/2) stays within that constant²
+    of the design target rather than drifting quadratically toward
+    all-pairs. If a testdata regeneration or a k change breaks this,
+    the fix is raising k (the production response), not loosening the
+    bound."""
+    from echem_dft_etl_spark.operators.kmeans import assignments
+    from echem_dft_etl_spark.registry_llm import _KM_K
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    cells = assignments(emb, _KM_K, rounds=1).groupBy("cell").count()
+    max_cell = cells.agg(F.max("count")).first()[0]
+    n_cells = cells.count()
+    assert n_cells == _KM_K, f"empty cells collapse the split: {n_cells}"
+    # 4x the ideal split: loose enough for real cluster imbalance,
+    # tight enough that the in-cell grid stays ~(4n/k)^2/2 not n^2/2.
+    assert max_cell <= 4 * n / _KM_K, (max_cell, n, _KM_K)

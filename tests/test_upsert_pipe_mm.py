@@ -152,3 +152,56 @@ def test_resize_handles_corrupt_and_padded_bmp(spark):
     row_px = list(range(1, 19))
     want = sum(row_px[c * 3 + k] for c in (0, 2, 4) for k in range(3)) * 2
     assert r.pixel_checksum == want, (r.pixel_checksum, want)
+
+
+def test_png_roundtrip_and_unfilter():
+    """The PNG decoder must run the real inverse pipeline (inflate →
+    unfilter), not echo the encoder: a Sub- and an Up-filtered stream
+    hand-built here must reconstruct the same pixels as the encoder's
+    filter-0 output, and corrupt/unsupported payloads must degrade to
+    the unknown row, never raise."""
+    import struct
+    import zlib
+
+    from echem_dft_etl_spark.operators import multimodal
+
+    w, h = 4, 4
+    src = bytes(range(48))  # w*h*3 = 48 distinct pixel bytes
+    d0 = multimodal.decode_png(multimodal.png_bytes(w, h, src))
+    assert (d0["format"], d0["width"], d0["height"]) == ("image/png", w, h)
+    assert d0["n_pixel_bytes"] == 48 and d0["feature_sum"] == sum(src[:48])
+
+    def png_with_filters(ftype: int) -> bytes:
+        stride = w * 3
+        rows, prev = [], bytearray(stride)
+        for r in range(h):
+            row = src[r * stride : (r + 1) * stride]
+            if ftype == 1:  # Sub-encode: subtract left RGB neighbor
+                enc = bytearray(row)
+                for i in range(stride - 1, 2, -1):
+                    enc[i] = (enc[i] - enc[i - 3]) & 0xFF
+            elif ftype == 2:  # Up-encode: subtract the row above
+                enc = bytearray((row[i] - prev[i]) & 0xFF for i in range(stride))
+            else:
+                enc = bytearray(row)
+            rows.append(bytes([ftype]) + bytes(enc))
+            prev = bytearray(row)
+        raw = b"".join(rows)
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    for ftype in (1, 2):
+        d = multimodal.decode_png(png_with_filters(ftype))
+        assert d["feature_sum"] == sum(src[:48]), (ftype, d)
+        assert d["n_pixel_bytes"] == 48
+
+    assert multimodal.decode_image(b"garbage")["format"] == "unknown"
+    assert multimodal.decode_image(
+        multimodal.bmp_bytes(4, 4, src)
+    )["format"] == "image/bmp"
