@@ -1830,8 +1830,8 @@ _GROUPING_SETS_SQL = """
            CAST(GROUPING(l_returnflag) AS BIGINT) * 2
              + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
            COUNT(*) AS n_rows,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
-             AS sum_cents
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                             (l_linestatus), ())
@@ -1864,7 +1864,7 @@ def x03_grouping_sets(spark, sf_dir):
     oracle="""
     SELECT * FROM (
         SELECT source, COUNT(*) AS n_items,
-               SUM(n_chars) AS sum_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                'by_source' AS side
         FROM documents GROUP BY source)
     UNION ALL BY NAME
@@ -2174,8 +2174,8 @@ def x04_missing_ranges(spark, sf_dir):
     daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-                 AS day_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS day_cents
         FROM orders GROUP BY 1
     )
     SELECT s.day,

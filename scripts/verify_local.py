@@ -56,7 +56,11 @@ def main() -> int:
     from echem_dft_etl_spark.registry import all_queries
     from echem_dft_etl_spark.session import get_session
     from echem_dft_etl_spark.sources import TABLES
-    from tests.test_oracle_parity import _normalize_rows
+    from tests.test_oracle_parity import (
+        _arrow_family,
+        _normalize_rows,
+        _spark_family,
+    )
 
     spark = get_session(app_name="verify-local")
     spark.sparkContext.setLogLevel("WARN")
@@ -90,6 +94,23 @@ def main() -> int:
             sc, sn = _normalize_rows(s_cols, s_rows)
             dc, dn = _normalize_rows(d_cols, d_rows)
             problems = []
+            # Driver-hash-visible type families (the arrow path widens
+            # DuckDB HUGEINT to decimal/float — the r3-r5 s01 red).
+            s_fams = {
+                f.name.lower(): _spark_family(f.dataType)
+                for f in df.schema.fields
+            }
+            d_fams = {
+                f.name.lower(): _arrow_family(f.type)
+                for f in duck.sql(spec.oracle).arrow().schema
+            }
+            fam_diffs = {
+                c: (s_fams.get(c), d_fams.get(c))
+                for c in set(s_fams) | set(d_fams)
+                if s_fams.get(c) != d_fams.get(c)
+            }
+            if fam_diffs:
+                problems.append(f"type-family mismatch {fam_diffs}")
             if sc != dc:
                 problems.append(f"cols {sc} vs {dc}")
             if len(sn) != len(dn):
