@@ -94,6 +94,39 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     )
 
 
+def heavy_hitters(docs: DataFrame, min_ppm: int = 500) -> DataFrame:
+    """(token, n, ppm): every token whose corpus frequency is at least
+    ``min_ppm`` parts-per-million of all token occurrences — the exact
+    heavy-hitters set (the "frequent items" primitive of corpus
+    analytics: stopword discovery, boilerplate markers, vocabulary
+    pruning cutoffs).
+
+    Scale shape: one explode + ONE hash aggregate with map-side
+    partial counts (distinct tokens ≪ token stream), the grand total
+    rides a broadcast one-row frame, and the ppm arithmetic is integer
+    end-to-end (``n·1e6 DIV total``), so the surviving set is
+    bit-identical on any engine and any partitioning. For streams or
+    when even the distinct-token aggregate is too wide, the mergeable
+    Count-Min sketch (``F.count_min_sketch``) bounds state at
+    O(1/eps·log 1/δ) per partition and guarantees
+    ``exact ≤ estimate ≤ exact + eps·total`` — that twin is pinned in
+    tests/test_approx.py (the sketch estimate is Spark-internal
+    hashing, so it cannot be a cross-engine oracle row).
+    """
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 1_000_000 >= F.col("total") * min_ppm)
+        .select(
+            "token",
+            "n",
+            F.expr("n * 1000000 DIV total").cast("bigint").alias("ppm"),
+        )
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID (LLM-pipeline op): stopword-hit ratios per
     candidate language; highest ratio wins, ties resolved in fixed

@@ -69,6 +69,30 @@ def t13_token_stats(spark, sf_dir):
 
 
 @_register(
+    "t13_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+    tt AS (SELECT COUNT(*) AS total FROM t)
+    SELECT token, n,
+           CAST(n * 1000000 // total AS BIGINT) AS ppm
+    FROM c, tt
+    WHERE n * 1000000 >= total * 500
+    """,
+    survey_ids=("X13", "X6"),
+)
+def t13_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters: tokens at >= 500 ppm of all token
+    occurrences (frequent-items primitive — stopword discovery,
+    boilerplate markers, vocab pruning). One explode + one map-side-
+    combined aggregate + a broadcast one-row total; integer ppm so the
+    surviving set is engine-exact. The mergeable Count-Min sketch twin
+    (bounded state, eps-bounded overestimates) is pinned in
+    tests/test_approx.py. operators/textstats.py::heavy_hitters."""
+    return textstats.heavy_hitters(_ld(spark, sf_dir, "documents"), 500)
+
+
+@_register(
     "t13_top_tokens",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -607,6 +607,64 @@ def x10_stream_stateful_profile(spark, sf_dir):
 
 
 @_register(
+    "x10_stream_foreach_merge",
+    oracle="""
+    WITH r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    ),
+    l AS (SELECT * FROM r WHERE rn = 1)
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents_latest,
+           CAST(SUM(n_events) AS BIGINT) AS events_covered
+    FROM l GROUP BY event_type
+    """,
+    survey_ids=("X10", "S3"),
+)
+def x10_stream_foreach_merge(spark, sf_dir):
+    """Stream → continuously-MERGEd serving table (X10 × S3, the
+    ``foreachBatch`` production pattern): a stateful update-mode
+    latest-per-user aggregation feeds per-batch MERGE commits into the
+    snapshot table; the returned aggregate is computed from the FINAL
+    TABLE STATE read back from the last committed snapshot — so a
+    green row proves the whole chain (stream state, per-batch merge,
+    atomic snapshot commit) end-to-end, not just the stream math. The
+    oracle replays latest-per-user from the raw events. Deterministic
+    under any micro-batch split because the stream state is
+    order-insensitive (max_by) and monotone per key — batch-wins merge
+    then converges to the same final table regardless of batching.
+    Reentrant via the s01 pattern (mkdtemp → stream-merge → read →
+    literal collect → delete).
+    streaming/windows.py::stream_merge_latest."""
+    import shutil
+    import tempfile
+
+    from .streaming.windows import stream_merge_latest
+
+    root = tempfile.mkdtemp(prefix="echem_stream_merge_")
+    try:
+        table = stream_merge_latest(spark, sf_dir, f"{root}/state")
+        result = _literal_result(
+            spark,
+            table.groupBy("event_type").agg(
+                F.count("*").alias("n_users"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents_latest"),
+                F.sum("n_events").cast("bigint").alias("events_covered"),
+            ),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@_register(
     "s15_salted_join",
     oracle="""
     SELECT o_orderpriority,

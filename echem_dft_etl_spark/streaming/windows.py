@@ -148,22 +148,37 @@ def run_to_memory(
     a failure class a real cluster absorbs with task retries. The
     bounded replay is deterministic and side-effect-free (fresh memory
     sink per attempt), so a retry cannot change results.
+
+    Stateful stream operators (aggregations, stream-stream joins,
+    dedup) instantiate ONE STATE STORE per shuffle partition and pay a
+    per-partition commit every micro-batch; the batch-oriented session
+    width (32) makes bounded fixture replays spend most of their time
+    in near-empty store commits. The runner narrows the width for the
+    query's lifetime (the width is baked in at stream START and, for a
+    checkpointed production query, pinned by the checkpoint — sized
+    once to key cardinality there) and restores it after.
     """
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_width = spark.conf.get(conf_key)
     last_exc: Exception | None = None
-    for _attempt in range(2):
-        name = f"sink_{uuid.uuid4().hex[:12]}"
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-            return spark.table(name)
-        except Exception as exc:  # StreamingQueryException and kin
-            last_exc = exc
+    try:
+        spark.conf.set(conf_key, str(min(int(saved_width), 8)))
+        for _attempt in range(2):
+            name = f"sink_{uuid.uuid4().hex[:12]}"
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return spark.table(name)
+            except Exception as exc:  # StreamingQueryException and kin
+                last_exc = exc
+    finally:
+        spark.conf.set(conf_key, saved_width)
     raise last_exc
 
 
@@ -195,6 +210,25 @@ def run_processing_time(
     One retry on transient failure, same rationale as
     :func:`run_to_memory` (local masters run task.maxFailures=1).
     """
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_width = spark.conf.get(conf_key)
+    try:
+        # Same state-store-width rationale as run_to_memory.
+        spark.conf.set(conf_key, str(min(int(saved_width), 8)))
+        return _run_processing_time_inner(
+            stream_df, spark, mode, interval, drain_timeout
+        )
+    finally:
+        spark.conf.set(conf_key, saved_width)
+
+
+def _run_processing_time_inner(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    interval: str,
+    drain_timeout: float,
+) -> DataFrame:
     import time
 
     last_exc: Exception | None = None
@@ -304,3 +338,100 @@ def stream_interval_join(
         ),
         how,
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+
+
+def stream_merge_latest(
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    events: DataFrame | None = None,
+) -> DataFrame:
+    """STREAM → MANAGED TABLE via ``foreachBatch`` + MERGE: the
+    production pattern for keeping a serving table continuously
+    upserted from a stream (X10 × S3 composed).
+
+    A stateful update-mode aggregation maintains latest-event-per-user
+    (``max_by`` over the (ts, event_id) order — order-insensitive, so
+    the per-user state is micro-batch-split INVARIANT); every batch,
+    ``foreachBatch`` MERGEs exactly the users whose state changed into
+    the snapshot table (``sinks.merge_parquet`` — copy-on-write +
+    atomic ``_SUCCESS`` commit). Batch-wins merge semantics are
+    CORRECT here precisely because the stream state is monotone: each
+    emitted row supersedes every earlier emission for that user, so
+    the final table equals latest-per-user over the whole stream
+    regardless of how the source was split into batches — the
+    determinism a naive per-batch argmax + blind upsert does NOT have.
+
+    Returns the final table state read back from the last committed
+    snapshot. Bounded replay via ``availableNow``; one retry like
+    :func:`run_to_memory` (fresh state dir per attempt, merge snapshot
+    versioning makes the second attempt's commits supersede torn
+    first-attempt output). In production the same code runs unbounded
+    with a watermark-bounded state TTL and per-file merge pruning in a
+    real table format (the merge_parquet docstring's Delta swap
+    point).
+    """
+    from ..sources import sinks
+
+    # ``events`` override: tests pass a multi-file maxFilesPerTrigger=1
+    # stream to force several micro-batches and pin the batch-split
+    # invariance this docstring claims.
+    if events is None:
+        events = read_events_stream(spark, sf_dir)
+    latest = (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+            "n_events",
+        )
+    )
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        sinks.merge_parquet(
+            bdf, table_root, ["user_id"], "user_id", keep_snapshots=1
+        )
+
+    # A streaming aggregation instantiates one STATE STORE per shuffle
+    # partition, and every micro-batch pays a commit (delta file +
+    # fsync) per instance — at the session's batch-oriented width (32)
+    # that is 32 commits per batch for a per-user state that fits in a
+    # handful of partitions. Same width discipline as the
+    # connected_components loop: narrow for the bounded fixture,
+    # restore on exit; a production deployment sizes this to its key
+    # cardinality ONCE at first start (the width is then pinned in the
+    # checkpoint for the query's lifetime).
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_width = spark.conf.get(conf_key)
+    last_exc: Exception | None = None
+    try:
+        spark.conf.set(conf_key, str(min(int(saved_width), 8)))
+        for _attempt in range(2):
+            q = (
+                latest.writeStream.outputMode("update")
+                .foreachBatch(write_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                last_exc = None
+                break
+            except Exception as exc:  # StreamingQueryException and kin
+                last_exc = exc
+    finally:
+        spark.conf.set(conf_key, saved_width)
+    if last_exc is not None:
+        raise last_exc
+    snaps = sinks._committed_snapshots(spark, table_root)
+    return spark.read.parquet(snaps[-1][1])

@@ -62,3 +62,36 @@ def test_rolling_distinct_hll_tracks_exact(spark):
     assert set(approx) == set(exact)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
+
+
+def test_count_min_sketch_bounds_heavy_hitters(spark):
+    """The mergeable Count-Min twin of t13_heavy_hitters: a CMS built
+    over the token stream must satisfy the classic guarantee
+    ``exact <= estimate <= exact + eps*total`` for every exact heavy
+    hitter. The sketch is Spark's own mergeable CountMinSketch (the
+    state-bounded path when even the distinct-token aggregate is too
+    wide — streams, per-window vocab); probing goes through the JVM
+    deserializer, so this pins the real sketch bytes, not a Python
+    re-implementation."""
+    from echem_dft_etl_spark.functions.text import tokens
+    from echem_dft_etl_spark.operators.textstats import heavy_hitters
+    from echem_dft_etl_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    eps, conf = 0.001, 0.99
+    row = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(eps), F.lit(conf), F.lit(42)
+        ).alias("sk"),
+        F.count("*").alias("total"),
+    ).first()
+    jvm = spark._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row.sk))
+    )
+    exact = {r.token: r.n for r in heavy_hitters(docs, 500).collect()}
+    assert exact, "fixture corpus must have >=1 token at 500 ppm"
+    for token, n in exact.items():
+        est = sk.estimateCount(token)
+        assert n <= est <= n + eps * row.total, (token, n, est)

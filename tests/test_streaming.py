@@ -410,3 +410,47 @@ def test_transform_with_state_matches_applyinpandas(spark):
     assert final_profiles(user_activity_profile_tws) == final_profiles(
         user_activity_profile
     )
+
+
+def test_stream_merge_latest_batch_split_invariant(spark, tmp_path):
+    """stream_merge_latest's core claim: the final MERGEd table equals
+    latest-event-per-user over the whole stream REGARDLESS of
+    micro-batch splits. Drive it with a 3-file maxFilesPerTrigger=1
+    source (3+ genuine batches, each committing a merge snapshot) and
+    compare against the batch argmax."""
+    from echem_dft_etl_spark.sources import load_table
+    from echem_dft_etl_spark.streaming.windows import stream_merge_latest
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src_dir = str(tmp_path / "src")
+    for i in range(3):  # split by residue — users span all three files
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    table = stream_merge_latest(
+        spark, SF_SMOKE, str(tmp_path / "table"), events=stream
+    )
+    got = {
+        r.user_id: (r.event_id, r.n_events) for r in table.collect()
+    }
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r.user_id: (r.event_id, r.n_events)
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(W.partitionBy("user_id")))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
