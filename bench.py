@@ -47,6 +47,9 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: 1/5/15-min /proc/loadavg sampled at suite start (set in main()).
+LOAD_AT_START: list[float] = []
+
 #: Not timed: the reference e2e composes stages benched individually
 #: and spends its time in temp-dir sink setup + subprocess solvers.
 EXCLUDE: frozenset[str] = frozenset({"pipeline_reference_e2e"})
@@ -118,6 +121,13 @@ def bench_names(specs) -> tuple[str, ...]:
 def main() -> None:
     from echem_dft_etl_spark.registry import all_queries
     from echem_dft_etl_spark.session import get_session
+
+    global LOAD_AT_START
+    try:
+        with open("/proc/loadavg") as fh:
+            LOAD_AT_START = [float(x) for x in fh.read().split()[:3]]
+    except Exception:
+        LOAD_AT_START = []
 
     # No console progress bar: its \r-spam shares the driver's ~2000-char
     # output tail with the one JSON line this script must deliver.
@@ -236,6 +246,18 @@ def main() -> None:
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", str(REPO / "BENCH_DETAIL.json")
     )
+    # Host-load fingerprint: round 6 found a background parity run
+    # inflating individual queries 3-8x (d25 6 s -> 43 s) and the whole
+    # suite 2x; recording 1/5/15-min loadavg at suite start and end
+    # lets a reader tell contamination from regression without
+    # re-running anything.
+    def _loadavg() -> list[float]:
+        try:
+            with open("/proc/loadavg") as fh:
+                return [float(x) for x in fh.read().split()[:3]]
+        except Exception:
+            return []
+
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -247,6 +269,8 @@ def main() -> None:
                 "k_rest": k_rest,
                 "rest_stat": "min",
                 "headline_seconds": round(sum(headline.values()), 3),
+                "loadavg_start": LOAD_AT_START,
+                "loadavg_end": _loadavg(),
                 "queries": timings,
                 "runs": runs,
             },

@@ -468,6 +468,59 @@ def x10_stream_tumbling(spark, sf_dir):
 
 
 @_register(
+    "x10_stream_trending",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type)
+                    AS rk
+        FROM c
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    survey_ids=("X10", "X1"),
+)
+def x10_stream_trending(spark, sf_dir):
+    """Per-window trending top-k (the continuous 'trending topics'
+    shape): the streaming tumbling aggregation maintains per-(window,
+    type) counts under a watermark; the RANKING runs as a thin batch
+    window function over the replayed result — exactly how production
+    deployments split it (the stream keeps mergeable per-window
+    state; top-k is a cheap per-window sort on the serving side,
+    because a distributed rank inside the stream would need
+    complete-window state anyway). Ties break lexically so the row
+    set is engine-exact; oracle replays both layers from the raw
+    events."""
+    from pyspark.sql.window import Window as W
+
+    from .streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(
+        read_events_stream(spark, sf_dir), "1 hour", "2 hours"
+    )
+    counts = run_to_memory(stream, spark, mode="complete")
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
+@_register(
     "x10_stream_sliding",
     oracle="""
     WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS w1 FROM events),

@@ -784,3 +784,44 @@ def test_forest_root_depth_matches_reference(spark, raw):
         for r in forest_root_depth(df).collect()
     }
     assert got == ref
+
+
+def test_doc_shingles_local_equivalence_and_plan_shape(spark):
+    """doc_shingles_local must emit exactly the rows of
+    doc_shingles (global-distinct exploded form restricted per doc)
+    AND of doc_shingle_arrays+explode — and its optimized plan must
+    keep the tokenizer SINGLE: the InferFiltersFromGenerate trap this
+    function exists to dodge (r5's 40x d15/d18/d20 regression)
+    manifests as the tokenize expression substituted ~12x into a
+    pushed-down Filter, so one plan-text occurrence of the tokenizer's
+    regexp is the regression guard."""
+    from echem_dft_etl_spark.operators.dedup import (
+        doc_shingle_arrays,
+        doc_shingles,
+        doc_shingles_local,
+    )
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    local = {(r.doc_id, r.shingle) for r in doc_shingles_local(docs, 3).collect()}
+    exploded = {(r.doc_id, r.shingle) for r in doc_shingles(docs, 3).collect()}
+    via_arrays = {
+        (r.doc_id, r.shingle)
+        for r in doc_shingle_arrays(docs, 3)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .collect()
+    }
+    assert local == exploded == via_arrays
+    assert local, "fixture must produce shingles"
+
+    plan = (
+        doc_shingles_local(docs, 3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace") == 1, (
+        f"tokenizer duplicated {plan.count('regexp_replace')}x in the "
+        "optimized plan - the InferFiltersFromGenerate trap is back"
+    )
