@@ -493,3 +493,101 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
     return corners.groupBy("v").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Multi-source BFS hop distances, bounded at ``max_hops``.
+
+    ``edges`` is an UNDIRECTED canonical edge list (a < b, distinct);
+    ``seeds`` a single-column frame of source node ids (hops 0 whether
+    or not they touch the graph — mirrors the recursive-CTE oracle).
+    Returns ``(v, hops)`` with the MINIMUM hop count per reached node,
+    capped at ``max_hops``.
+
+    This is the third iterative-join family member next to
+    :func:`connected_components` (label fixpoint) and
+    :func:`integer_pagerank` (mass diffusion): level-synchronous
+    frontier expansion, the canonical distributed BFS. Per round one
+    equi-join of the CURRENT FRONTIER (not the whole visited set)
+    against the static symmetrized edge list, one distinct on the
+    discovered layer, and one anti-join against the visited set — all
+    hash-partitioned equi-joins; nothing graph-sized crosses the
+    driver. First discovery IS the minimum distance (level-synchronous
+    invariant), so no per-node min-aggregation loop is needed.
+
+    Storage discipline matches the sibling loops: the static edge list
+    is checkpointed once and released on exit; each layer is
+    checkpointed (its ``count()`` doubles as the eager materialization
+    AND the empty-frontier early-exit probe — convergence needs a
+    driver-visible boolean, same class as CC's delta count), and layer
+    blocks BACK the returned frame, so they are released only on
+    failure. Loop exchanges are sized to the edge list, not the
+    session default (idle-stage overhead dominates small-graph rounds
+    otherwise), and the width is restored on exit.
+
+    At 100 TB the frontier join is the textbook BSP BFS (Pregel's
+    shape on vanilla DataFrames); hub fan-out is AQE-split, and the
+    per-round state is one layer — O(reached nodes) total across the
+    run, never O(edges).
+    """
+    spark = edges.sparkSession
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_width = spark.conf.get(conf_key)
+    statics: list = []
+    layer_ids: list = []
+    ok = False
+    try:
+        sym = _tracked_checkpoint(sym, statics)
+        n_edges = sym.count()
+        loop_width = min(int(saved_width), max(8, 1 + n_edges // 1_000_000))
+        spark.conf.set(conf_key, str(loop_width))
+
+        frontier = _tracked_checkpoint(
+            seeds.select(
+                F.col(seeds.columns[0]).cast("bigint").alias("v"),
+                F.lit(0).cast("bigint").alias("hops"),
+            ).distinct(),
+            layer_ids,
+        )
+        frontier.count()
+        layers = [frontier]
+        visited = frontier.select("v")
+        for i in range(1, max_hops + 1):
+            round_ids: list = []
+            nxt = _tracked_checkpoint(
+                frontier.select("v")
+                .join(sym, F.col("v") == F.col("src"))
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(visited, "v", "left_anti")
+                .select("v", F.lit(i).cast("bigint").alias("hops")),
+                round_ids,
+            )
+            try:
+                n_new = nxt.count()  # eager + convergence probe in one
+            except Exception:
+                _release_rdds(spark, round_ids)
+                raise
+            if n_new == 0:
+                _release_rdds(spark, round_ids)
+                break
+            layer_ids.extend(round_ids)
+            layers.append(nxt)
+            visited = visited.unionAll(nxt.select("v"))
+            frontier = nxt
+        out = layers[0]
+        for lay in layers[1:]:
+            out = out.unionAll(lay)
+        ok = True
+        return out
+    finally:
+        spark.conf.set(conf_key, saved_width)
+        _release_rdds(spark, statics)
+        if not ok:
+            _release_rdds(spark, layer_ids)

@@ -576,6 +576,48 @@ def q11_split_assign(spark, sf_dir):
 
 
 @_register(
+    "q11_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars AS weight
+    FROM (SELECT doc_id, n_chars,
+                 ln(({duckdb_det_hash_i64('doc_id', 41)} + 1)
+                    / 4294967296.0) / n_chars AS k
+          FROM documents WHERE n_chars > 0)
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    survey_ids=("Q11",),
+)
+def q11_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement (Q11's
+    corpus-mixing big sibling): Efraimidis-Spirakis A-ES exponential
+    keys — each doc draws key ln(u)/w with u a deterministic uniform
+    from the multiplicative key hash and w = n_chars, and the global
+    top-100 keys ARE a weight-proportional sample without replacement.
+    The one-pass top-k shape (orderBy + limit plans as
+    TakeOrderedAndProject: per-partition heap, driver merges k rows
+    per partition) is the 100 TB path — no global sort, no window.
+    Only integer columns are emitted; the float key stays internal, so
+    cross-engine ln() agreement only has to ORDER identically
+    (adjacent order-statistic gaps at this cardinality are ~1e-8
+    relative; libm disagreement is ≤1 ulp ~ 1e-16 — nine orders of
+    margin, and the fixed test corpus freezes the draw). Replaces the
+    reference's unweighted ``random.sample`` (my_dag.py:55-57) with
+    the mixture-weighting production variant."""
+    d = _ld(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (det_hash_i64(F.col("doc_id"), 41) + 1) / F.lit(4294967296.0)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            (F.log(u) / F.col("n_chars")).alias("k"),
+        )
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .select("doc_id", "weight")
+    )
+
+
+@_register(
     "q11_threshold_sample",
     oracle=f"""
     WITH c AS (SELECT o_orderpriority, COUNT(*) AS n

@@ -2060,6 +2060,76 @@ def x05_triangle_counts(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+@_register(
+    "x05_bfs_distances",
+    oracle="""
+    WITH RECURSIVE
+    chain AS (
+        SELECT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+               GREATEST(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l2.l_orderkey = l1.l_orderkey
+         AND l2.l_linenumber = l1.l_linenumber + 1
+        WHERE l1.l_partkey <> l2.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM chain
+            UNION ALL SELECT b, a FROM chain),
+    walk AS (
+        SELECT CAST(s.v AS BIGINT) AS v, CAST(0 AS BIGINT) AS hops
+        FROM (VALUES (1), (2), (3)) s(v)
+        UNION
+        SELECT sym.dst AS v, walk.hops + 1 AS hops
+        FROM walk JOIN sym ON sym.src = walk.v
+        WHERE walk.hops < 6
+    )
+    SELECT v, MIN(hops) AS hops FROM walk GROUP BY v
+    """,
+    survey_ids=("X5", "X11"),
+)
+def x05_bfs_distances(spark, sf_dir):
+    """Multi-source BFS hop distances (X5's third iterative-join
+    member next to PageRank and connected components): hop count from
+    parts {1, 2, 3} over the adjacent-line co-order chain graph
+    (consecutive l_linenumber within an order link their parts — a
+    sparse graph with real multi-hop structure, unlike the near-clique
+    all-pairs co-order graph), capped at 6 hops. Level-synchronous
+    frontier expansion: per round, one equi-join of the FRONTIER (not
+    the visited set) with the static checkpointed edge list plus one
+    anti-join for the newly-discovered layer, with an empty-frontier
+    early exit — first discovery is the minimum distance, so no
+    min-fixpoint is needed. The oracle is DuckDB's native
+    ``WITH RECURSIVE ... UNION`` (set semantics bound the recursive
+    state by |V| x hops) over the same chain relation, collapsed with
+    MIN(hops) — proving the iterative frontier plan computes exactly
+    the recursive fixpoint. Reference has no graph capability; this is
+    engine uplift (SURVEY §4).
+    operators/components.py::bfs_distances."""
+    from .operators.components import bfs_distances
+
+    li = _ld(spark, sf_dir, "lineitem")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("i"),
+        F.col("l_partkey").alias("a"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_linenumber") - 1).alias("i"),
+        F.col("l_partkey").alias("b"),
+    )
+    chain = (
+        l1.join(l2, ["k", "i"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "v bigint")
+    return bfs_distances(chain, seeds, max_hops=6)
+
+
 #: Query-side entity ids sit in their own range so the ER graph's two
 #: populations never collide (catalog ids are part keys).
 _ER_OFFSET = 1000000000

@@ -1151,6 +1151,81 @@ def sql_correlated_subquery(spark, sf_dir):
     return spark.sql(_CORRELATED_SQL)
 
 
+#: Dialect-portable recursive CTE (runs verbatim in both engines):
+#: resolve every part's forest root and depth (parent = partkey DIV 10
+#: as data, expressed as FLOOR(cur / 10) because `/` is float division
+#: in BOTH dialects and the quotient stays exact below 2^53).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, p_partkey AS cur,
+               CAST(0 AS BIGINT) AS depth
+        FROM part
+        UNION ALL
+        SELECT node, CAST(FLOOR(cur / 10) AS BIGINT) AS cur,
+               depth + 1 AS depth
+        FROM walk WHERE cur >= 10
+    )
+    SELECT node, cur AS root, depth FROM walk WHERE cur < 10
+    """
+
+
+@_register(
+    "sql_recursive_hierarchy",
+    oracle=_RECURSIVE_SQL,
+    survey_ids=("X5",),
+)
+def sql_recursive_hierarchy(spark, sf_dir):
+    """Native ``WITH RECURSIVE`` through spark.sql — Spark 4's
+    recursive-CTE support (UnionLoop execution), same text as the
+    DuckDB oracle, so the user-facing recursion surface is proven
+    verbatim-portable. This is the SQL-surface twin of
+    ``x05_hierarchy_flatten``: identical fixpoint, but the engine
+    drives the iteration (one UNION ALL step per parent hop, O(depth)
+    rounds) where the DataFrame twin pointer-doubles in O(log depth)
+    rounds — at 100 TB prefer the twin for deep hierarchies and the
+    native CTE for portability/readability (depth here is
+    log10(partkey) ≤ 7, far under Spark's 100-level recursion guard).
+    The reference cannot express recursion at all (SURVEY §4 uplift)."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+#: Dialect-portable LATERAL join (verbatim in both engines): per
+#: nation, its top-3 customers by account balance. Comma-join LATERAL
+#: syntax parses identically; the deterministic ORDER BY (balance,
+#: key) makes the LIMIT row set engine-exact, and cents-casting the
+#: emitted balance keeps the value hash integer-clean.
+_LATERAL_SQL = """
+    SELECT n.n_name, c.c_custkey,
+           CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+    """
+
+
+@_register(
+    "sql_lateral_topk",
+    oracle=_LATERAL_SQL,
+    survey_ids=("X5", "X1"),
+)
+def sql_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery with per-row LIMIT through
+    spark.sql (SQL-surface parity for the dependent-join idiom every
+    warehouse user writes). Catalyst plans the dependent subquery as a
+    LateralJoin; semantics match the window-rank form exactly, and the
+    DataFrame twin for the 100 TB path remains ``x01_group_topk``
+    (one shuffle + per-partition rank, no dependent re-execution).
+    Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 @_register(
     "s01_sink_roundtrip",
     oracle="""

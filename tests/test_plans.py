@@ -442,3 +442,36 @@ def test_r4c_operator_plan_shapes(spark):
     # the one shape where BNLJ is harmless
     p = plans.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The LATERAL-with-LIMIT dependent join must decorrelate into a
+    window rank + equi-join (nation side broadcast) — per-outer-row
+    subquery re-execution or a nested-loop join here is the shape
+    that dies at scale."""
+    df = _q(spark, "sql_lateral_topk")
+    s = plans.plan_summary(df)
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0, s
+    assert s["windows"] == 1 and s["broadcast_joins"] == 1, s
+
+
+def test_recursive_cte_plans_as_union_loop(spark):
+    """Native WITH RECURSIVE must plan as Spark 4's UnionLoop (engine-
+    driven iteration), and the loop body must not smuggle in a
+    cartesian product."""
+    df = _q(spark, "sql_recursive_hierarchy")
+    p = plans.physical_plan(df)
+    assert "UnionLoop" in p
+    assert "CartesianProduct" not in p
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The A-ES weighted draw must resolve as TakeOrderedAndProject
+    (per-partition heap + driver merge of k), never a global sort,
+    and the positive-weight filter must reach the parquet scan."""
+    df = _q(spark, "q11_weighted_sample")
+    p = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in p
+    s = plans.plan_summary(df)
+    assert any("n_chars" in f for f in s["pushed_filters"]), s
+    assert s["shuffle_exchanges"] == 0, s

@@ -825,3 +825,89 @@ def test_doc_shingles_local_equivalence_and_plan_shape(spark):
         f"tokenizer duplicated {plan.count('regexp_replace')}x in the "
         "optimized plan - the InferFiltersFromGenerate trap is back"
     )
+
+
+def test_bfs_distances_levels_cycle_and_disconnected(spark):
+    """Hand-built graph: a path 1-2-3-4-5, a cycle 6-7-8, and an
+    isolated vertex 9. Multi-source BFS from {1, 6, 99} must return
+    layer-exact minimum hop counts, keep the off-graph seed 99 at hops
+    0, never reach 9, and take the SHORT way around the cycle."""
+    from echem_dft_etl_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8)],
+        "a long, b long",
+    )
+    seeds = spark.createDataFrame([(1,), (6,), (99,)], "v long")
+    got = {(r.v, r.hops) for r in bfs_distances(edges, seeds).collect()}
+    want = {
+        (1, 0), (2, 1), (3, 2), (4, 3), (5, 4),
+        (6, 0), (7, 1), (8, 1),
+        (99, 0),
+    }
+    assert got == want
+
+
+def test_bfs_distances_max_hops_cap(spark):
+    """A 10-vertex path from one end, capped at 3 hops: vertices past
+    the cap are absent; the early-exit never truncates below the cap."""
+    from echem_dft_etl_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "v long")
+    got = {(r.v, r.hops) for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3)}
+
+
+def test_bfs_distances_releases_loop_storage(spark):
+    """Static edge blocks and dead layers must not leak into session
+    storage after the result is collected (the CC/PageRank storage
+    discipline applies to BFS too). Layers backing the returned frame
+    are allowed to remain only until the caller drops the frame; here
+    we just bound growth: one bfs call may pin at most the layer
+    count, and the shuffle-width conf is restored."""
+    from echem_dft_etl_spark.operators.components import (
+        _persistent_rdd_ids,
+        bfs_distances,
+    )
+
+    width_before = spark.conf.get("spark.sql.shuffle.partitions")
+    before = _persistent_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "v long")
+    res = bfs_distances(edges, seeds, max_hops=8)
+    assert res.count() == 7
+    assert spark.conf.get("spark.sql.shuffle.partitions") == width_before
+    pinned = _persistent_rdd_ids(spark) - before
+    # seeds layer + 6 discovered layers back the frame; statics released
+    assert len(pinned) <= 8, pinned
+
+
+def test_weighted_sample_prefers_heavy_weights(spark, tmp_path):
+    """A-ES sanity on a planted corpus: with one doc carrying ~all the
+    weight mass, it must be drawn into a top-1 sample; and the draw is
+    invariant across repartitionings (pure function of the key)."""
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.functions.hashing import det_hash_i64
+
+    rows = [(i, 1) for i in range(1, 1001)] + [(5000, 10_000_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def draw(df, k):
+        u = (det_hash_i64(F.col("doc_id"), 41) + 1) / F.lit(4294967296.0)
+        return (
+            df.select("doc_id", (F.log(u) / F.col("n_chars")).alias("k"))
+            .orderBy(F.desc("k"), "doc_id")
+            .limit(k)
+        )
+
+    top1 = [r.doc_id for r in draw(docs, 1).collect()]
+    assert top1 == [5000]
+    a = [r.doc_id for r in draw(docs, 50).collect()]
+    b = [r.doc_id for r in draw(docs.repartition(7), 50).collect()]
+    assert sorted(a) == sorted(b)
