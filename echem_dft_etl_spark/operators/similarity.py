@@ -950,3 +950,114 @@ def semdedup(
             F.col("n_dominators").isNull().alias("is_kept"),
         )
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-compression ANN
+    lane next to the recall lanes (LSH buckets, IVF probes).
+
+    The vector is split into ``n_sub`` subspaces; each subspace is
+    quantized to its nearest of ``n_codes`` codewords, so a corpus
+    vector becomes ``n_sub`` small codes (here 4 codes covering a
+    64-dim vector — 16x smaller than even an int8 quantization).
+    Search is the classic Asymmetric Distance Computation: the QUERY
+    stays exact, each query precomputes one ``n_sub x n_codes``
+    table of subspace distances to every codeword, and a candidate's
+    approximate distance is ``n_sub`` table lookups summed — an
+    exhaustive scan over codes that never touches the original
+    vectors. At 100 TB this is the shape that keeps the index in
+    memory: the codes relation is ~n_sub bytes/vector, the distance
+    tables are query-side literals (broadcast), and the scan is one
+    embarrassingly-parallel projection + per-query top-k. Compose
+    with IVF cells (``ivf_topk``) to prune the scan to probed cells —
+    IVF-PQ, the standard billion-scale layout.
+
+    Determinism/exactness (the oracle replays bit-for-bit): vectors
+    are quantized to integer micro-units first, so every subspace
+    distance is an exact bigint (micro² units); codewords are the
+    ``n_codes`` lowest vec_ids' subvectors (same convention as
+    ``ivf_topk`` — a production index swaps in per-subspace k-means
+    codebooks without changing the query side); argmin ties break on
+    the lowest codeword id via struct ordering.
+    """
+    from .kmeans import quantize_micro
+
+    if dims % n_sub:
+        raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
+    sub = dims // n_sub
+
+    mic = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("m"))
+    cb_arr = (
+        mic.filter(F.col("vec_id") < n_codes)
+        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("m").alias("cm")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    )
+
+    def subdist(vec_col: Column, cm_col: Column, j: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec_col, j * sub + 1, sub),
+                F.slice(cm_col, j * sub + 1, sub),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    # encode the corpus: per subspace, argmin (distance, codeword id)
+    # over the broadcast codebook — zero shuffles, struct-sort argmin.
+    # NB the per-j lambdas are SINGLE-argument closures: F.transform
+    # dispatches on lambda arity, so a two-arg lambda capturing j via a
+    # default argument would silently receive (element, array-position)
+    # instead (the trap test_minhash_from_arrays pins).
+    def _code_expr(j: int) -> Column:
+        def scorer(c: Column) -> Column:
+            return F.struct(
+                subdist(F.col("m"), c["cm"], j).alias("d"),
+                c["cent_id"].alias("cent_id"),
+            )
+
+        return F.sort_array(F.transform(F.col("cb"), scorer))[0][
+            "cent_id"
+        ].alias(f"code{j}")
+
+    enc = mic.crossJoin(F.broadcast(cb_arr))
+    codes = enc.select("vec_id", *[_code_expr(j) for j in range(n_sub)])
+
+    # per-query distance tables: dt{j}[cent_id + 1] = subspace-j
+    # distance to that codeword (cb is sorted by cent_id = 0..n-1)
+    q = mic.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm")
+    )
+    def _dtable_expr(j: int) -> Column:
+        def dist(c: Column) -> Column:
+            return subdist(F.col("qm"), c["cm"], j)
+
+        return F.transform(F.col("cb"), dist).alias(f"dt{j}")
+
+    qt = q.crossJoin(F.broadcast(cb_arr)).select(
+        "query_id", *[_dtable_expr(j) for j in range(n_sub)]
+    )
+
+    adist = None
+    for j in range(n_sub):
+        term = F.element_at(F.col(f"dt{j}"), (F.col(f"code{j}") + 1).cast("int"))
+        adist = term if adist is None else adist + term
+    cands = (
+        codes.crossJoin(F.broadcast(qt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adist.alias("adist_micro2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_micro2", "vec_id")
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "adist_micro2", "rk")
+    )

@@ -1421,6 +1421,65 @@ def x09_sessionize(spark, sf_dir):
 
 
 @_register(
+    "x09_session_window_native",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, cents,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM tagged GROUP BY user_id, session_id
+    """,
+    survey_ids=("X9",),
+)
+def x09_session_window_native(spark, sf_dir):
+    """Native ``session_window`` in BATCH mode (X9): the engine's own
+    merging session operator — groupBy(session_window(ts, gap), key)
+    plans as a single SessionWindow sort per key with in-pass interval
+    merging, one shuffle, no window-function second pass — validated
+    against the lag-gap/cumsum replay oracle (the same fixpoint
+    x09_sessionize computes by hand, which makes the two queries a
+    native-vs-composed twin pair exactly like streaming's
+    x10_stream_sessions). Boundary-tie caveat carried from there: an
+    event exactly on start+gap is strict-< outside for session_window
+    and <= inside for the lag form; the deterministic corpus plants no
+    such tie, and tests/test_streaming.py pins the equivalence."""
+    ev = _ld(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"))).cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+@_register(
     "x09_tumbling_window",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -1705,6 +1764,120 @@ def x04_rolling_range(spark, sf_dir):
         "epoch_s",
         F.count("*").over(w).alias("n_1h"),
         F.sum("cents").over(w).alias("sum_cents_1h"),
+    )
+
+
+@_register(
+    "x04_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE user_id % 13 = 0
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+               FROM daily GROUP BY 1),
+    spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1)) AS BIGINT)
+                     AS day
+              FROM bounds),
+    j AS (SELECT s.user_id, s.day, d.cents
+          FROM spine s LEFT JOIN daily d USING (user_id, day)),
+    f AS (
+        SELECT user_id, day, cents,
+               last_value(CASE WHEN cents IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER wp AS prev_day,
+               last_value(cents IGNORE NULLS) OVER wp AS prev_val,
+               first_value(CASE WHEN cents IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER wn AS next_day,
+               first_value(cents IGNORE NULLS) OVER wn AS next_val
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                ELSE prev_val * (next_day - day) + next_val * (day - prev_day)
+                END AS BIGINT) AS val_num,
+           CAST(CASE WHEN cents IS NOT NULL THEN 1
+                ELSE next_day - prev_day END AS BIGINT) AS val_den,
+           cents IS NOT NULL AS is_observed
+    FROM f
+    """,
+    survey_ids=("X4", "X7"),
+)
+def x04_interpolate(spark, sf_dir):
+    """Linear interpolation of gaps in a per-entity daily series (X4's
+    feature-store fill shape): each sampled user's daily spend is
+    densified over their own [first, last] day span, and missing days
+    are linearly interpolated between the bracketing observations.
+    The interpolated value is emitted as an EXACT RATIONAL —
+    ``val_num / val_den`` with ``val_num = prev*(next_day - day) +
+    next*(day - prev_day)`` and ``val_den = next_day - prev_day`` —
+    pure bigint arithmetic, so parity is bit-exact where a float
+    division would inherit engine rounding (callers divide at the
+    edge). Day arithmetic runs on epoch-day integers for the same
+    reason. Plan: per-user bounds aggregate → sequence+explode spine
+    (fan-out = span days, calendar-bounded, never a driver loop) →
+    one shuffle to join observations → the prev/next carry in TWO
+    passes over one user-partitioned sort (forward last + backward
+    first, mirrored frames). Spine rows inside a span always have
+    both brackets, so no edge NULLs survive."""
+    ev = _ld(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("day"),
+    ).agg(F.sum(_cents(F.col("value"))).alias("cents"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_val"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"),
+        F.first("cents", ignorenulls=True).over(wn).alias("next_val"),
+    )
+    observed = F.col("cents").isNotNull()
+    return f.select(
+        "user_id",
+        "day",
+        F.when(observed, F.col("cents"))
+        .otherwise(
+            F.col("prev_val") * (F.col("next_day") - F.col("day"))
+            + F.col("next_val") * (F.col("day") - F.col("prev_day"))
+        )
+        .cast("bigint")
+        .alias("val_num"),
+        F.when(observed, F.lit(1))
+        .otherwise(F.col("next_day") - F.col("prev_day"))
+        .cast("bigint")
+        .alias("val_den"),
+        observed.alias("is_observed"),
     )
 
 

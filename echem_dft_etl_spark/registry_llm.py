@@ -1112,6 +1112,60 @@ def s12_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "s12_pq_topk",
+    oracle=f"""
+    WITH p AS (SELECT vec_id,
+                      list_transform(embedding,
+                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS m
+               FROM embeddings),
+    cb AS (SELECT vec_id AS cent_id, m AS cm FROM p WHERE vec_id < 16),
+    sd AS (SELECT v.vec_id, t.j, c.cent_id,
+                  CAST(list_sum(list_transform(range(1, 17),
+                       i -> (v.m[t.j * 16 + i] - c.cm[t.j * 16 + i])
+                          * (v.m[t.j * 16 + i] - c.cm[t.j * 16 + i])))
+                       AS BIGINT) AS d
+           FROM p v
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+           CROSS JOIN cb c),
+    codes AS (SELECT vec_id, j, cent_id AS code FROM (
+               SELECT vec_id, j, cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, cent_id) AS rn
+               FROM sd) WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, j, cent_id, d
+           FROM sd WHERE vec_id IN ({_QID_SQL})),
+    ad AS (SELECT q.query_id, x.vec_id,
+                  CAST(SUM(q.d) AS BIGINT) AS adist_micro2
+           FROM codes x JOIN qd q ON q.j = x.j AND q.cent_id = x.code
+           WHERE x.vec_id <> q.query_id
+           GROUP BY 1, 2)
+    SELECT query_id, vec_id, adist_micro2, rk FROM (
+        SELECT query_id, vec_id, adist_micro2,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist_micro2, vec_id) AS INTEGER) AS rk
+        FROM ad) WHERE rk <= 10
+    """,
+    survey_ids=("X12",),
+)
+def s12_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (X12's memory-compression lane,
+    completing the ANN triptych: LSH buckets recall, IVF probes prune,
+    PQ codes compress): 64-dim vectors → 4 subspace codes against a
+    16-codeword deterministic codebook, query-side distance tables,
+    approximate distance = 4 exact-bigint table lookups summed, per-
+    query top-10. The codes relation is the only corpus-sized thing
+    that moves (4 small ints/vector — the layout that holds a 100 TB
+    corpus's index in executor memory; compose with ivf_topk's cells
+    for IVF-PQ). The oracle replays quantization, encoding, and ADC in
+    integer micro² units, so the ranking is bit-identical.
+    operators/similarity.py::pq_topk."""
+    return similarity.pq_topk(
+        _ld(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10
+    )
+
+
+@_register(
     "s12_embed_quantize",
     oracle="""
     WITH a AS (SELECT vec_id, embedding,

@@ -1449,6 +1449,55 @@ def s03_merge_upsert(spark, sf_dir):
     return result
 
 
+@_register(
+    "s03_merge_delete",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM supplier WHERE s_suppkey % 7 <> 0 GROUP BY 1
+    """,
+    survey_ids=("S3", "S1"),
+)
+def s03_merge_delete(spark, sf_dir):
+    """Managed-table DELETE round-trip (S3's right-to-be-forgotten /
+    retention-purge path, ``MERGE WHEN MATCHED THEN DELETE``): the
+    full supplier table commits as snapshot 1, every 7th suppkey is
+    purged via :func:`sinks.delete_keys_parquet` (copy-on-write
+    anti-join, _SUCCESS-gated snapshot 2, idempotent for absent keys —
+    the delete set deliberately includes keys the table never had),
+    and the returned per-nation counts/balances aggregate the READ-
+    BACK surviving snapshot — a green row proves the purge removed
+    exactly the matched keys and nothing else. Reentrant like
+    s01_sink_roundtrip: per-invocation mkdtemp, literal result, table
+    root deleted before returning.
+    sources/sinks.py::delete_keys_parquet."""
+    import shutil
+    import tempfile
+
+    from .sources import sinks
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="echem_merge_delete_")
+    table_root = f"{root}/tbl"
+    sinks.merge_parquet(sup, table_root, ["s_suppkey"], "bal_cents")
+    doomed = sup.filter(F.col("s_suppkey") % 7 == 0).unionByName(
+        spark.createDataFrame([(0,)], "s_suppkey bigint"), allowMissingColumns=True
+    )
+    back = sinks.delete_keys_parquet(doomed, table_root, ["s_suppkey"])
+    result = back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )
+    result = _literal_result(spark, result)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 #: TPC-H-Q5-shaped 6-table join, dialect-portable (its own oracle):
 #: revenue per nation for one region-year, suppliers local to their
 #: customers. The join-reordering / broadcast-selection showcase.
@@ -2670,6 +2719,117 @@ def s18_profile_table(spark, sf_dir):
     li = _ld(spark, sf_dir, "lineitem")
     return profile_columns(
         li, ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
+    )
+
+
+@_register(
+    "s18_outlier_mad",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ),
+    med AS (
+        SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                 AS med_cents
+        FROM r GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.cents,
+               abs(e.cents - m.med_cents) AS adev, m.med_cents
+        FROM e JOIN med m USING (event_type)
+    ),
+    dr AS (
+        SELECT event_type, adev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END)
+                 AS mad_cents
+        FROM dr GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(MAX(d.med_cents) AS BIGINT) AS med_cents,
+           CAST(MAX(a.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_total
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    survey_ids=("X6", "X4"),
+)
+def s18_outlier_mad(spark, sf_dir):
+    """Robust outlier accounting per event type — median/MAD, the
+    data-quality screen that survives the exact contamination it is
+    screening for (a mean/stddev gate moves with every outlier it
+    should flag; the breakdown point of the median is 50%). All
+    arithmetic is integer-exact: values are cents, the LOWER median is
+    the rank-⌈n/2⌉ order statistic (no midpoint interpolation, so no
+    floats and no half-even cross-engine hazard), MAD is the lower
+    median of absolute deviations, and the flag is the classic
+    |x − med| > 3·MAD in pure bigint comparisons. Plan: two
+    rank-selection passes (each one shuffle+sort on event_type) and a
+    broadcast join of the per-type medians back onto the stream.
+    Exact grouped medians are inherently rank-based — at 100 TB the
+    screening twin is approx_percentile on the same cents column
+    (mergeable sketch, one pass), with this exact form as its audit;
+    the per-type sort partitions by the handful of event types, so a
+    single giant type takes the salted two-phase rank-selection escape
+    (x01_global_rownum's shape) if it ever dominates a task."""
+    from pyspark.sql.window import Window
+
+    ev = _ld(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents(F.col("value")).alias("cents")
+    )
+
+    def _lower_median(df, val_col, out_name):
+        # group sizes via a tiny agg + broadcast join, NOT a second
+        # partition-frame window — halves the window passes and keeps
+        # the size lookup off the sorted stream
+        wr = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        sizes = df.groupBy("event_type").agg(F.count("*").alias("n"))
+        ranked = df.select(
+            "event_type", F.col(val_col), F.row_number().over(wr).alias("rn")
+        ).join(F.broadcast(sizes), "event_type")
+        return ranked.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) DIV 2"), F.col(val_col)
+                )
+            ).alias(out_name)
+        )
+
+    med = _lower_median(ev, "cents", "med_cents")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = _lower_median(dev, "adev", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_cents")).cast("bigint")
+            ).alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
     )
 
 

@@ -214,14 +214,63 @@ def merge_parquet(
         version, merged = 0, batch
     new_path = f"{table_root}/snap_{version + 1:010d}"
     merged.write.parquet(new_path)  # _SUCCESS written last = commit
+    _prune_snapshots(spark, table_root, keep_snapshots)
+    return spark.read.parquet(new_path)
+
+
+def _prune_snapshots(
+    spark: SparkSession, table_root: str, keep_snapshots: int
+) -> None:
+    """Delete all but the newest ``keep_snapshots`` committed snapshots
+    (>= 2 keeps time travel for in-flight readers of the previous one)."""
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(table_root).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    for old_v, old_path in _committed_snapshots(spark, table_root)[
+    for _old_v, old_path in _committed_snapshots(spark, table_root)[
         : -max(keep_snapshots, 1)
     ]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), True)
+
+
+def delete_keys_parquet(
+    delete_keys: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    keep_snapshots: int = 2,
+) -> DataFrame:
+    """``MERGE WHEN MATCHED THEN DELETE`` against a managed snapshot
+    table — the right-to-be-forgotten / retention-purge path that
+    completes :func:`merge_parquet`'s upsert semantics.
+
+    Copy-on-write like the upsert: the surviving rows (one anti-join
+    of the current snapshot against the distinct delete-key set) are
+    written as a NEW ``snap_<n>`` directory whose ``_SUCCESS`` marker
+    is the atomic commit point, so concurrent readers of the previous
+    snapshot never observe a half-deleted table, and the purge is
+    auditable via time travel until the old snapshot is pruned. Keys
+    absent from the table are a no-op (MERGE's unmatched-source case),
+    making re-runs idempotent. Plan shape: one left-anti equi-join —
+    the delete-key side is typically small (broadcast by AQE); the
+    table side streams through without any shuffle of its own. A real
+    table format prunes the rewrite to files containing matched keys;
+    here the snapshot rewrites whole, same trade-off as
+    :func:`merge_parquet` and the swap point for ``DeltaTable.delete``
+    when delta-spark is available. Single-writer assumption as for
+    merge.
+    """
+    spark = delete_keys.sparkSession
+    snaps = _committed_snapshots(spark, table_root)
+    if not snaps:
+        raise ValueError(f"no committed snapshot under {table_root!r}")
+    version, head = snaps[-1]
+    current = spark.read.parquet(head)
+    kept = current.join(
+        delete_keys.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    new_path = f"{table_root}/snap_{version + 1:010d}"
+    kept.write.parquet(new_path)  # _SUCCESS written last = commit
+    _prune_snapshots(spark, table_root, keep_snapshots)
     return spark.read.parquet(new_path)
 
 

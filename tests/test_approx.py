@@ -95,3 +95,58 @@ def test_count_min_sketch_bounds_heavy_hitters(spark):
     for token, n in exact.items():
         est = sk.estimateCount(token)
         assert n <= est <= n + eps * row.total, (token, n, est)
+
+
+def test_pq_topk_matches_numpy_replay(spark):
+    """pq_topk's codes and ADC ranking replayed exactly in numpy on a
+    tiny synthetic corpus (dim 8, 2 subspaces, 4 codewords): integer
+    micro-unit arithmetic means the Spark result must match the replay
+    bit-for-bit, including argmin and rank tie-breaks."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = np.round(rng.uniform(-1, 1, size=(20, 8)), 3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.query_id, r.rk): (r.vec_id, r.adist_micro2)
+        for r in pq_topk(
+            emb, [0, 1], k=3, n_sub=2, n_codes=4, dims=8
+        ).collect()
+    }
+
+    # numpy replay in the same integer micro units
+    m = np.round(vecs.astype(np.float32).astype(np.float64) * 1_000_000).astype(np.int64)
+    cb = m[:4]
+    sub = 4
+
+    def codes(v):
+        out = []
+        for j in range(2):
+            d = [
+                int(((v[j * sub:(j + 1) * sub] - c[j * sub:(j + 1) * sub]) ** 2).sum())
+                for c in cb
+            ]
+            out.append(min(range(4), key=lambda i: (d[i], i)))
+        return out
+
+    def adist(q, x):
+        cx = codes(m[x])
+        tot = 0
+        for j in range(2):
+            c = cb[cx[j]]
+            tot += int(((q[j * sub:(j + 1) * sub] - c[j * sub:(j + 1) * sub]) ** 2).sum())
+        return tot
+
+    want = {}
+    for qid in (0, 1):
+        scored = sorted(
+            ((adist(m[qid], x), x) for x in range(20) if x != qid)
+        )
+        for rk, (d, x) in enumerate(scored[:3], start=1):
+            want[(qid, rk)] = (x, d)
+    assert got == want

@@ -199,3 +199,40 @@ def test_read_snapshot_versions_and_retention(spark, tmp_path):
     assert _rows(read_snapshot(spark, root, 2)) == {"a": 2.0}
     with _pytest.raises(KeyError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_delete_keys_removes_matched_only(spark, tmp_path):
+    """MERGE WHEN MATCHED THEN DELETE: matched keys vanish, absent
+    delete keys are a no-op, survivors are untouched, and the purge
+    commits as a NEW snapshot (old one still time-travelable until
+    pruned)."""
+    from echem_dft_etl_spark.sources.sinks import delete_keys_parquet
+
+    root = str(tmp_path / "tbl")
+    merge_parquet(
+        _mk(spark, [("a", 1.0), ("b", 2.0), ("c", 3.0)]), root, ["MP_id"], "pzc"
+    )
+    doomed = spark.createDataFrame([("b",), ("zz",)], "MP_id string")
+    t2 = delete_keys_parquet(doomed, root, ["MP_id"])
+    assert _rows(t2) == {"a": 1.0, "c": 3.0}
+    snaps = _committed_snapshots(spark, root)
+    assert [v for v, _ in snaps] == [1, 2]
+    # time travel: the pre-delete snapshot still reads complete
+    assert _rows(spark.read.parquet(snaps[0][1])) == {
+        "a": 1.0, "b": 2.0, "c": 3.0,
+    }
+
+
+def test_delete_keys_rerun_is_idempotent_and_requires_table(spark, tmp_path):
+    import pytest
+
+    from echem_dft_etl_spark.sources.sinks import delete_keys_parquet
+
+    root = str(tmp_path / "tbl")
+    doomed = spark.createDataFrame([("a",)], "MP_id string")
+    with pytest.raises(ValueError):
+        delete_keys_parquet(doomed, root, ["MP_id"])
+    merge_parquet(_mk(spark, [("a", 1.0), ("b", 2.0)]), root, ["MP_id"], "pzc")
+    r1 = _rows(delete_keys_parquet(doomed, root, ["MP_id"]))
+    r2 = _rows(delete_keys_parquet(doomed, root, ["MP_id"]))
+    assert r1 == r2 == {"b": 2.0}

@@ -475,3 +475,31 @@ def test_weighted_sample_is_take_ordered(spark):
     s = plans.plan_summary(df)
     assert any("n_chars" in f for f in s["pushed_filters"]), s
     assert s["shuffle_exchanges"] == 0, s
+
+
+def test_pq_topk_plan_shape(spark):
+    """PQ ADC: the only corpus-sized relation is the codes projection —
+    the codebook and per-query distance tables ride broadcasts (bnlj of
+    one-row/five-row frames is the intended shape, a CartesianProduct
+    is not), and the final per-query rank is the single window."""
+    df = _q(spark, "s12_pq_topk")
+    s = plans.plan_summary(df)
+    assert s["cartesian_products"] == 0, s
+    assert s["windows"] == 1, s
+    # 3 static exchanges: the one-row codebook fold prints under both
+    # its consumers (encode + distance tables) plus the rank window;
+    # runtime collapses the codebook branches via ReusedExchange
+    assert s["shuffle_exchanges"] <= 3, s
+
+
+def test_outlier_mad_plan_shape(spark):
+    """Exact grouped median/MAD: two rank-selection windows (one per
+    median pass), group sizes via agg + broadcast join (never a second
+    partition-frame window over the sorted stream)."""
+    df = _q(spark, "s18_outlier_mad")
+    s = plans.plan_summary(df)
+    assert s["cartesian_products"] == 0, s
+    # 2 rank windows; the first prints twice in the static plan (the
+    # deviation frame feeds both the MAD branch and the final agg) and
+    # collapses to one stage at runtime — so 3 static, never 4+
+    assert s["windows"] == 3, s

@@ -911,3 +911,128 @@ def test_weighted_sample_prefers_heavy_weights(spark, tmp_path):
     a = [r.doc_id for r in draw(docs, 50).collect()]
     b = [r.doc_id for r in draw(docs.repartition(7), 50).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_session_window_native_matches_hand_rolled(spark):
+    """Batch session_window must compute the same sessions as the
+    lag-gap/cumsum composition on the natural corpus (the native-vs-
+    composed twin invariant, engine-side)."""
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.operators.sessions import sessionize
+    from echem_dft_etl_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    native = {
+        (r.user_id, r.start, r.end, r.n)
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("start"),
+                F.col("w.end").alias("end"), "n")
+        .collect()
+    }
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30.0, tie_col="event_id")
+    hand = {
+        (r.user_id, r.start, r.end, r.n)
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("end"),
+            F.count("*").alias("n"),
+        )
+        .select("user_id", "start", "end", "n")
+        .collect()
+    }
+    assert native == hand
+
+
+def test_interpolate_exact_rational_on_planted_gap(spark):
+    """A hand-built daily series with a 3-day hole: interpolated rows
+    carry the exact rational (num, den) of the line between brackets;
+    observed rows pass through with den 1."""
+    import pyspark.sql.functions as F
+
+    # replicate the query's core on a literal frame: day 10 -> 100,
+    # day 14 -> 300; days 11-13 must interpolate 150, 200, 250 (den 4)
+    from pyspark.sql import Window
+
+    daily = spark.createDataFrame(
+        [(1, 10, 100), (1, 14, 300)], "user_id long, day long, cents long"
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id", "day", "cents",
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+    )
+    got = {
+        (r.day, r.num, r.den)
+        for r in f.select(
+            "day",
+            F.when(F.col("cents").isNotNull(), F.col("cents"))
+            .otherwise(F.col("pv") * (F.col("nd") - F.col("day"))
+                       + F.col("nv") * (F.col("day") - F.col("pd")))
+            .alias("num"),
+            F.when(F.col("cents").isNotNull(), F.lit(1))
+            .otherwise(F.col("nd") - F.col("pd")).alias("den"),
+        ).collect()
+    }
+    want = {
+        (10, 100, 1), (11, 600, 4), (12, 800, 4), (13, 1000, 4), (14, 300, 1),
+    }
+    assert got == want
+
+
+def test_outlier_mad_hand_computed(spark):
+    """Lower-median/MAD outlier accounting on a planted group: values
+    [10,10,10,100] -> med 10 (rank 2 of 4), adevs [0,0,0,90] -> MAD 0,
+    so the 100 is an outlier (90 > 3*0); a symmetric clean group has
+    zero outliers. Integer-exact, no interpolation."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.createDataFrame(
+        [("a", 1, 1000), ("a", 2, 1000), ("a", 3, 1000), ("a", 4, 10000),
+         ("b", 5, 100), ("b", 6, 200), ("b", 7, 300)],
+        "event_type string, event_id long, cents long",
+    )
+
+    def lower_median(df, val_col, out_name):
+        wr = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        sizes = df.groupBy("event_type").agg(F.count("*").alias("n"))
+        ranked = df.select(
+            "event_type", F.col(val_col), F.row_number().over(wr).alias("rn")
+        ).join(F.broadcast(sizes), "event_type")
+        return ranked.groupBy("event_type").agg(
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"),
+                         F.col(val_col))).alias(out_name)
+        )
+
+    med = lower_median(ev, "cents", "med")
+    dev = ev.join(med, "event_type").select(
+        "event_type", "event_id",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"), "med",
+    )
+    mad = lower_median(dev, "adev", "mad")
+    got = {
+        (r.event_type): (r.med, r.mad, r.n_out)
+        for r in dev.join(mad, "event_type").groupBy("event_type").agg(
+            F.max("med").alias("med"), F.max("mad").alias("mad"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("bigint")).alias("n_out"),
+        ).collect()
+    }
+    assert got == {"a": (1000, 0, 1), "b": (200, 100, 0)}
