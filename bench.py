@@ -109,6 +109,13 @@ HEADLINE: tuple[str, ...] = (
     # r2: eval decontamination + repetition quality gates
     "d15_decontaminate",
     "t13_repetition",
+    # r6 additions: iterative BFS, PQ ANN compression, the native
+    # session operator, and exact-rational interpolation — one
+    # median-tracked representative per new family
+    "x05_bfs_distances",
+    "s12_pq_topk",
+    "x09_session_window_native",
+    "x04_interpolate",
 )
 
 

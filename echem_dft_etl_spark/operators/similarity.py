@@ -952,6 +952,87 @@ def semdedup(
     )
 
 
+def _pq_subdist(vec_col: Column, cm_col: Column, j: int, sub: int) -> Column:
+    """Exact bigint squared distance between subspace ``j`` of two
+    integer micro-unit vectors (elements < ~4e6, so the per-subspace
+    sum stays far inside int64)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec_col, j * sub + 1, sub),
+            F.slice(cm_col, j * sub + 1, sub),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebook(mic: DataFrame, n_codes: int) -> DataFrame:
+    """One-row broadcastable codebook: the ``n_codes`` lowest vec_ids'
+    micro-vectors, sorted by codeword id so positional lookups are
+    ``cent_id + 1``. A production index swaps in per-subspace k-means
+    codebooks without changing any consumer (same convention as
+    ``ivf_topk``'s coarse centroids)."""
+    return (
+        mic.filter(F.col("vec_id") < n_codes)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"), F.col("m").alias("cm")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    )
+
+
+def _pq_codes(mic: DataFrame, cb_arr: DataFrame, n_sub: int, sub: int) -> DataFrame:
+    """PQ-encode: per subspace, argmin (distance, codeword id) over the
+    broadcast codebook — zero shuffles, struct-sort argmin. NB the
+    per-j lambdas are SINGLE-argument closures: F.transform dispatches
+    on lambda arity, so a two-arg lambda capturing j via a default
+    argument would silently receive (element, array-position) instead
+    (the trap test_minhash_from_arrays pins)."""
+
+    def _code_expr(j: int) -> Column:
+        def scorer(c: Column) -> Column:
+            return F.struct(
+                _pq_subdist(F.col("m"), c["cm"], j, sub).alias("d"),
+                c["cent_id"].alias("cent_id"),
+            )
+
+        return F.sort_array(F.transform(F.col("cb"), scorer))[0][
+            "cent_id"
+        ].alias(f"code{j}")
+
+    enc = mic.crossJoin(F.broadcast(cb_arr))
+    return enc.select("vec_id", *[_code_expr(j) for j in range(n_sub)])
+
+
+def _pq_dtables(q: DataFrame, cb_arr: DataFrame, n_sub: int, sub: int) -> DataFrame:
+    """Per-query ADC distance tables: ``dt{j}[cent_id + 1]`` = exact
+    subspace-j distance to that codeword (cb is sorted by cent_id)."""
+
+    def _dtable_expr(j: int) -> Column:
+        def dist(c: Column) -> Column:
+            return _pq_subdist(F.col("qm"), c["cm"], j, sub)
+
+        return F.transform(F.col("cb"), dist).alias(f"dt{j}")
+
+    return q.crossJoin(F.broadcast(cb_arr)).select(
+        "query_id", *[_dtable_expr(j) for j in range(n_sub)]
+    )
+
+
+def _pq_adist(n_sub: int) -> Column:
+    """Sum of per-subspace table lookups — the ADC distance."""
+    adist = None
+    for j in range(n_sub):
+        term = F.element_at(
+            F.col(f"dt{j}"), (F.col(f"code{j}") + 1).cast("int")
+        )
+        adist = term if adist is None else adist + term
+    return adist
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -976,16 +1057,13 @@ def pq_topk(
     memory: the codes relation is ~n_sub bytes/vector, the distance
     tables are query-side literals (broadcast), and the scan is one
     embarrassingly-parallel projection + per-query top-k. Compose
-    with IVF cells (``ivf_topk``) to prune the scan to probed cells —
-    IVF-PQ, the standard billion-scale layout.
+    with IVF cells for the pruned scan — :func:`ivfpq_topk`.
 
     Determinism/exactness (the oracle replays bit-for-bit): vectors
     are quantized to integer micro-units first, so every subspace
     distance is an exact bigint (micro² units); codewords are the
-    ``n_codes`` lowest vec_ids' subvectors (same convention as
-    ``ivf_topk`` — a production index swaps in per-subspace k-means
-    codebooks without changing the query side); argmin ties break on
-    the lowest codeword id via struct ordering.
+    ``n_codes`` lowest vec_ids' subvectors; argmin ties break on the
+    lowest codeword id via struct ordering.
     """
     from .kmeans import quantize_micro
 
@@ -994,66 +1072,99 @@ def pq_topk(
     sub = dims // n_sub
 
     mic = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("m"))
-    cb_arr = (
-        mic.filter(F.col("vec_id") < n_codes)
-        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("m").alias("cm")).alias("c"))
-        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
-    )
-
-    def subdist(vec_col: Column, cm_col: Column, j: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.slice(vec_col, j * sub + 1, sub),
-                F.slice(cm_col, j * sub + 1, sub),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    # encode the corpus: per subspace, argmin (distance, codeword id)
-    # over the broadcast codebook — zero shuffles, struct-sort argmin.
-    # NB the per-j lambdas are SINGLE-argument closures: F.transform
-    # dispatches on lambda arity, so a two-arg lambda capturing j via a
-    # default argument would silently receive (element, array-position)
-    # instead (the trap test_minhash_from_arrays pins).
-    def _code_expr(j: int) -> Column:
-        def scorer(c: Column) -> Column:
-            return F.struct(
-                subdist(F.col("m"), c["cm"], j).alias("d"),
-                c["cent_id"].alias("cent_id"),
-            )
-
-        return F.sort_array(F.transform(F.col("cb"), scorer))[0][
-            "cent_id"
-        ].alias(f"code{j}")
-
-    enc = mic.crossJoin(F.broadcast(cb_arr))
-    codes = enc.select("vec_id", *[_code_expr(j) for j in range(n_sub)])
-
-    # per-query distance tables: dt{j}[cent_id + 1] = subspace-j
-    # distance to that codeword (cb is sorted by cent_id = 0..n-1)
+    cb_arr = _pq_codebook(mic, n_codes)
+    codes = _pq_codes(mic, cb_arr, n_sub, sub)
     q = mic.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("qm")
     )
-    def _dtable_expr(j: int) -> Column:
-        def dist(c: Column) -> Column:
-            return subdist(F.col("qm"), c["cm"], j)
+    qt = _pq_dtables(q, cb_arr, n_sub, sub)
 
-        return F.transform(F.col("cb"), dist).alias(f"dt{j}")
-
-    qt = q.crossJoin(F.broadcast(cb_arr)).select(
-        "query_id", *[_dtable_expr(j) for j in range(n_sub)]
-    )
-
-    adist = None
-    for j in range(n_sub):
-        term = F.element_at(F.col(f"dt{j}"), (F.col(f"code{j}") + 1).cast("int"))
-        adist = term if adist is None else adist + term
     cands = (
         codes.crossJoin(F.broadcast(qt))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", adist.alias("adist_micro2"))
+        .select("query_id", "vec_id", _pq_adist(n_sub).alias("adist_micro2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_micro2", "vec_id")
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "adist_micro2", "rk")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN layout — IVF cells prune
+    WHERE to look, PQ codes compress WHAT is looked at.
+
+    Index side: every vector gets a coarse cell (argmax cosine against
+    the broadcast centroid array, zero shuffles — :func:`assign_cells`)
+    AND a PQ code row (:func:`_pq_codes`); the search-time relation is
+    (vec_id, cell, 4 small codes) — a few bytes per vector, which is
+    what lets a 100 TB corpus's index live in executor memory.
+    Query side: probe the ``n_probe`` nearest cells, then ADC-score
+    ONLY the probed cells' codes (exact-bigint table lookups) — each
+    query touches ~n_probe/n_cells of the code relation instead of all
+    of it. Every join is an equi-join on cell or vec_id; the only
+    broadcast-sized things are the one-row centroid/codebook arrays,
+    the probe list, and the per-query distance tables. Recall knobs
+    are the standard two: more probes, finer codebooks.
+    """
+    from .kmeans import quantize_micro
+
+    if dims % n_sub:
+        raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
+    sub = dims // n_sub
+
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent_arr = _cent_array(centroids)
+    cells = assign_cells(emb, centroids).select("vec_id", "cell")
+
+    mic = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("m"))
+    cb_arr = _pq_codebook(mic, n_codes)
+    codes = _pq_codes(mic, cb_arr, n_sub, sub)
+
+    # probe selection: identical arithmetic to ivf_topk (cosine argmax
+    # against the same centroid array), so IVF and IVF-PQ prune alike
+    q = _with_norm(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+        "q_norm",
+    )
+    top_cells = F.slice(
+        F.sort_array(_scored_cells(F.col("q_emb"), F.col("q_norm")), asc=False),
+        1,
+        n_probe,
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("query_id", F.explode(top_cells).alias("p"))
+        .select("query_id", (-F.col("p.nid")).alias("cell"))
+    )
+
+    qm = mic.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm")
+    )
+    qt = _pq_dtables(qm, cb_arr, n_sub, sub)
+
+    cands = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(qt), "query_id")
+        .select("query_id", "vec_id", _pq_adist(n_sub).alias("adist_micro2"))
     )
     w = Window.partitionBy("query_id").orderBy("adist_micro2", "vec_id")
     return (

@@ -1166,6 +1166,84 @@ def s12_pq_topk(spark, sf_dir):
 
 
 @_register(
+    "s12_ivfpq_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS c_emb
+                  FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    asg0 AS (SELECT e.vec_id, c.cent_id,
+                    {_cosine_sql('e.embedding', 'c.c_emb')} AS c_cos
+             FROM embeddings e CROSS JOIN cent c),
+    cells AS (SELECT vec_id, cent_id AS cell FROM (
+               SELECT vec_id, cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY c_cos DESC, cent_id) AS ark
+               FROM asg0) WHERE ark = 1),
+    qp AS (SELECT query_id, cent_id AS cell FROM (
+            SELECT q.vec_id AS query_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY {_cosine_sql('q.embedding', 'c.c_emb')} DESC,
+                                 c.cent_id) AS prk
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id IN ({_QID_SQL})) WHERE prk <= {_IVF_PROBE}),
+    p AS (SELECT vec_id,
+                 list_transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS m
+          FROM embeddings),
+    cb AS (SELECT vec_id AS cent_id, m AS cm FROM p WHERE vec_id < 16),
+    sd AS (SELECT v.vec_id, t.j, c.cent_id,
+                  CAST(list_sum(list_transform(range(1, 17),
+                       i -> (v.m[t.j * 16 + i] - c.cm[t.j * 16 + i])
+                          * (v.m[t.j * 16 + i] - c.cm[t.j * 16 + i])))
+                       AS BIGINT) AS d
+           FROM p v
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+           CROSS JOIN cb c),
+    codes AS (SELECT vec_id, j, cent_id AS code FROM (
+               SELECT vec_id, j, cent_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, cent_id) AS rn
+               FROM sd) WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, j, cent_id, d
+           FROM sd WHERE vec_id IN ({_QID_SQL})),
+    cand AS (SELECT qp.query_id, cl.vec_id
+             FROM cells cl JOIN qp ON cl.cell = qp.cell
+             WHERE cl.vec_id <> qp.query_id),
+    ad AS (SELECT cd.query_id, cd.vec_id,
+                  CAST(SUM(q.d) AS BIGINT) AS adist_micro2
+           FROM cand cd
+           JOIN codes x ON x.vec_id = cd.vec_id
+           JOIN qd q ON q.query_id = cd.query_id
+                    AND q.j = x.j AND q.cent_id = x.code
+           GROUP BY 1, 2)
+    SELECT query_id, vec_id, adist_micro2, rk FROM (
+        SELECT query_id, vec_id, adist_micro2,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist_micro2, vec_id) AS INTEGER) AS rk
+        FROM ad) WHERE rk <= 5
+    """,
+    survey_ids=("X12",),
+)
+def s12_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed (the billion-scale ANN layout): coarse cells
+    prune WHERE to look (same argmax-cosine assignment and 2-cell
+    probing as s12_ivf_topk), PQ codes compress WHAT is looked at
+    (same exact-bigint ADC as s12_pq_topk) — the search-time relation
+    is (vec_id, cell, 4 codes), a few bytes per vector, and each query
+    ADC-scans only ~n_probe/n_cells of it. The oracle composes the two
+    proven CTE chains verbatim, so the pruned scan's exact row set and
+    ranking are value-checked end-to-end.
+    operators/similarity.py::ivfpq_topk."""
+    return similarity.ivfpq_topk(
+        _ld(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=5,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+    )
+
+
+@_register(
     "s12_embed_quantize",
     oracle="""
     WITH a AS (SELECT vec_id, embedding,
