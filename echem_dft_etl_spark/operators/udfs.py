@@ -196,3 +196,46 @@ def make_prefix_cols_udtf():
     # columnar batches dominates when eval() is a passthrough);
     # useArrow pays off for wide fan-out per input row, not 1:1 maps
     return udtf(PrefixCols)
+
+
+def make_nation_gaps_udtf():
+    """Partitioned TABLE-argument UDTF (Spark 4's grouped table
+    function): invoked as ``gaps(TABLE(...) PARTITION BY key ORDER BY
+    val)``, the engine guarantees one class instance consumes ALL rows
+    of a partition IN ORDER — ``eval`` streams rows O(1)-state,
+    ``terminate`` emits the per-partition summary. This is the SQL
+    face of custom per-group stateful batch logic (the third grouped
+    surface next to applyInPandas and the aggregating UDAF): here the
+    largest gap between consecutive ordered balances, a
+    sort-dependent statistic a plain UDAF cannot see (it gets rows
+    unordered) and plain SQL needs a window + re-aggregate for.
+
+    Scale: PARTITION BY plans one hash exchange + in-partition sort —
+    the same shape as the window form; state is O(1) per partition.
+    Python-side row iteration is the slow lane (documented on the
+    sibling UDTFs); the window+agg expression form remains the 100 TB
+    fast path and is exactly what the DuckDB oracle replays.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="s_nationkey bigint, n_rows bigint, max_gap_cents bigint")
+    class NationGaps:
+        def __init__(self):
+            self._key = None
+            self._prev = None
+            self._n = 0
+            self._max_gap = 0
+
+        def eval(self, row):
+            self._key = row["s_nationkey"]
+            c = row["bal_cents"]
+            if self._prev is not None and c - self._prev > self._max_gap:
+                self._max_gap = c - self._prev
+            self._prev = c
+            self._n += 1
+
+        def terminate(self):
+            if self._n:
+                yield self._key, self._n, self._max_gap
+
+    return NationGaps

@@ -242,6 +242,48 @@ def x14_udtf_chunks(spark, sf_dir):
 
 
 @_register(
+    "x14_udtf_table_args",
+    oracle="""
+    WITH s AS (SELECT s_nationkey, s_suppkey,
+                      CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS c
+               FROM supplier),
+    g AS (SELECT s_nationkey,
+                 c - LAG(c) OVER (PARTITION BY s_nationkey
+                                  ORDER BY c, s_suppkey) AS gap
+          FROM s)
+    SELECT s_nationkey, COUNT(*) AS n_rows,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_cents
+    FROM g GROUP BY 1
+    """,
+    survey_ids=("X14", "X4"),
+)
+def x14_udtf_table_args(spark, sf_dir):
+    """TABLE-argument UDTF with PARTITION BY / ORDER BY (X14's grouped
+    table function, Spark 4): per nation, the largest gap between
+    consecutive supplier balances in sorted order — an order-dependent
+    per-group statistic streamed through one UDTF instance per
+    partition (engine-guaranteed), O(1) state, summary from
+    terminate(). The oracle replays it as the window+re-aggregate
+    expression form, which is also the documented 100 TB fast path.
+    operators/udfs.py::make_nation_gaps_udtf."""
+    from .operators.udfs import make_nation_gaps_udtf
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("nation_gaps", make_nation_gaps_udtf())
+    return spark.sql("""
+        SELECT s_nationkey, n_rows, max_gap_cents
+        FROM nation_gaps(
+            TABLE(SELECT s_nationkey, s_suppkey,
+                         CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)
+                             AS bal_cents
+                  FROM supplier)
+            PARTITION BY s_nationkey
+            ORDER BY (bal_cents, s_suppkey))
+    """)
+
+
+@_register(
     "pipe_external_solver",
     oracle="""
     SELECT n.n_name || '_' || printf('%.1f', c.charge) AS run_id,
@@ -1190,6 +1232,45 @@ def sql_recursive_hierarchy(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+@_register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <  DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 10
+    """,
+    survey_ids=("X3", "Q21"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining — the
+    dataflow-ordered SQL dialect): scan → filter → grouped aggregate →
+    post-aggregate filter written top-to-bottom the way the engine
+    executes it. Catalyst lowers pipes to the identical logical plan
+    as the nested form, so the optimizer surface (pushdown, partial
+    aggregation) is unchanged — asserted by the oracle being the
+    classic GROUP BY/HAVING spelling of the same query. A reference
+    user gets dbt-style readable pipelines with zero plan cost."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderdate >= DATE '1995-01-01'
+           AND o_orderdate < DATE '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders >= 10
+        |> SELECT o_orderpriority, n_orders, sum_cents
+    """)
 
 
 #: Dialect-portable LATERAL join (verbatim in both engines): per

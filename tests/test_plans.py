@@ -503,3 +503,14 @@ def test_outlier_mad_plan_shape(spark):
     # deviation frame feeds both the MAD branch and the final agg) and
     # collapses to one stage at runtime — so 3 static, never 4+
     assert s["windows"] == 3, s
+
+
+def test_pipe_syntax_lowers_to_classic_plan(spark):
+    """Spark 4 pipe SQL must lower to the same optimized shape as the
+    classic spelling: date filter pushed to the scan, one partial+final
+    aggregate exchange, no extra operators from the pipe form."""
+    df = _q(spark, "sql_pipe_syntax")
+    s = plans.plan_summary(df)
+    assert any("o_orderdate" in f for f in s["pushed_filters"]), s
+    assert s["shuffle_exchanges"] == 1, s
+    assert s["cartesian_products"] == 0, s

@@ -1036,3 +1036,29 @@ def test_outlier_mad_hand_computed(spark):
         ).collect()
     }
     assert got == {"a": (1000, 0, 1), "b": (200, 100, 0)}
+
+
+def test_table_arg_udtf_ordered_gaps(spark):
+    """The partitioned TABLE-argument UDTF must see each partition's
+    rows in the declared order: planted balances whose max gap only
+    comes out right under (bal, key) ordering, plus a singleton
+    partition (gap 0)."""
+    from echem_dft_etl_spark.operators.udfs import make_nation_gaps_udtf
+
+    df = spark.createDataFrame(
+        [(1, 101, 100), (1, 102, 400), (1, 103, 150),   # gaps 50, 250
+         (2, 201, 700)],                                 # singleton
+        "s_nationkey long, s_suppkey long, bal_cents long",
+    )
+    df.createOrReplaceTempView("gap_input")
+    spark.udtf.register("nation_gaps_t", make_nation_gaps_udtf())
+    got = {
+        r.s_nationkey: (r.n_rows, r.max_gap_cents)
+        for r in spark.sql("""
+            SELECT * FROM nation_gaps_t(
+                TABLE(SELECT * FROM gap_input)
+                PARTITION BY s_nationkey
+                ORDER BY (bal_cents, s_suppkey))
+        """).collect()
+    }
+    assert got == {1: (3, 250), 2: (1, 0)}
