@@ -1482,6 +1482,67 @@ def s01_schema_evolution(spark, sf_dir):
 
 
 @_register(
+    "s01_corrupt_tolerant_read",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM supplier WHERE s_suppkey % 3 <> 0 GROUP BY 1
+    """,
+    survey_ids=("S1", "S2"),
+)
+def s01_corrupt_tolerant_read(spark, sf_dir):
+    """Corrupt-file tolerance on the table read path (S1's operational
+    reality at 100 TB: with millions of files, a truncated upload or a
+    bit-rotted object WILL appear, and one bad file must not kill a
+    thousand-executor job). The fixture writes supplier as three
+    deterministic parquet files (suppkey mod 3), TRUNCATES one to 100
+    bytes — an invalid footer, the classic partial-write shape — and
+    reads the directory back with ``ignoreCorruptFiles``: the corrupt
+    file is skipped (logged, not fatal) and exactly the other two
+    files' rows survive, which is what the oracle's ``% 3 <> 0``
+    expresses. This is the read-side complement of the quarantine
+    sources (s02_csv_quarantine / x08_json_quarantine: bad ROWS) — bad
+    FILES degrade to a deterministic subset instead of an aborted job.
+    Reentrant: per-invocation mkdtemp, literal result, dir deleted."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", _cents(F.col("s_acctbal")).alias("bal_cents")
+    )
+    root = Path(tempfile.mkdtemp(prefix="echem_corrupt_read_"))
+    tbl = root / "tbl"
+    tbl.mkdir()
+    for r in range(3):
+        part_dir = root / f"part{r}"
+        sup.filter(F.col("s_suppkey") % 3 == r).coalesce(1).write.parquet(
+            str(part_dir)
+        )
+        (src,) = part_dir.glob("part-*.parquet")
+        shutil.move(str(src), str(tbl / f"f{r}.parquet"))
+    # truncate the r=0 file: an invalid parquet footer, as a torn
+    # upload leaves behind
+    with open(tbl / "f0.parquet", "r+b") as fh:
+        fh.truncate(100)
+    # explicit schema, as a catalog/managed table supplies: schema
+    # inference itself footer-reads data files and can abort on the
+    # corrupt one before ignoreCorruptFiles applies to the scan
+    back = (
+        spark.read.schema("s_suppkey bigint, s_nationkey bigint, bal_cents bigint")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(tbl))
+    )
+    result = back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
+    )
+    result = _literal_result(spark, result)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+@_register(
     "s03_merge_upsert",
     oracle="""
     SELECT s_suppkey,

@@ -364,3 +364,32 @@ def test_stream_foreachbatch_into_report_sink(spark, tmp_path):
     assert manifest["total_rows"] == total_lines == expected
     job_ids = {p.name.split("-")[1] for p in (tmp_path / "landed").glob("part-*.txt")}
     assert len(job_ids) >= 2  # separate append JOBS merged one manifest
+
+
+def test_ignore_corrupt_files_skips_only_bad_file(spark, tmp_path):
+    """A truncated parquet file is skipped under ignoreCorruptFiles
+    (surviving rows = the intact files' rows exactly), and the same
+    read WITHOUT the option fails — proving the file really is corrupt
+    rather than silently empty."""
+    import pytest
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    for r in range(2):
+        part = tmp_path / f"p{r}"
+        spark.range(r * 10, r * 10 + 10).coalesce(1).write.parquet(str(part))
+        (src,) = part.glob("part-*.parquet")
+        src.rename(d / f"f{r}.parquet")
+    with open(d / "f0.parquet", "r+b") as fh:
+        fh.truncate(50)
+
+    ok = (
+        spark.read.schema("id bigint")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(str(d))
+    )
+    assert sorted(r.id for r in ok.collect()) == list(range(10, 20))
+
+    strict = spark.read.schema("id bigint").parquet(str(d))
+    with pytest.raises(Exception):
+        strict.collect()
