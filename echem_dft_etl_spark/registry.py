@@ -1299,6 +1299,43 @@ def x07_datetime(spark, sf_dir):
 
 
 @_register(
+    "x08_feature_map",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    survey_ids=("X8", "X13"),
+)
+def x08_feature_map(spark, sf_dir):
+    """MapType feature plumbing (X8's typed-collection side): per-user
+    activity counts are aggregated INTO a ``map<event_type, n>``
+    column (``map_from_entries`` over a collected struct list — the
+    schema-flexible per-entity feature-bag shape feature stores use
+    when the feature set isn't fixed at table-design time), pruned
+    in the map domain with ``map_filter`` (keep features with n >= 2),
+    and exploded back to rows. The relational oracle (GROUP BY +
+    HAVING) proves the whole map round-trip — build, lambda filter,
+    generator — is lossless and value-exact. Scale: one map-side-
+    partial count shuffle plus one per-user fold; map width is bounded
+    by |event types|, so the per-row map never outgrows a task."""
+    ev = _ld(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    fm = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("fm")
+    )
+    pruned = fm.select(
+        "user_id", F.map_filter("fm", lambda k, v: v >= 2).alias("fm")
+    )
+    return pruned.select(
+        "user_id", F.explode("fm").alias("event_type", "n")
+    )
+
+
+@_register(
     "x08_json_extract",
     oracle="""
     SELECT event_type,
@@ -1456,10 +1493,11 @@ def x09_session_window_native(spark, sf_dir):
     against the lag-gap/cumsum replay oracle (the same fixpoint
     x09_sessionize computes by hand, which makes the two queries a
     native-vs-composed twin pair exactly like streaming's
-    x10_stream_sessions). Boundary-tie caveat carried from there: an
-    event exactly on start+gap is strict-< outside for session_window
-    and <= inside for the lag form; the deterministic corpus plants no
-    such tie, and tests/test_streaming.py pins the equivalence."""
+    x10_stream_sessions). Boundary-tie semantics, measured and pinned
+    (tests/test_properties.py::test_session_window_boundary_tie_semantics):
+    native session_window MERGES touching windows, so an event exactly
+    on start+gap stays in-session — agreeing with the lag form's <=
+    cut; the two forms are tie-equivalent, not just corpus-equivalent."""
     ev = _ld(spark, sf_dir, "events")
     return (
         ev.groupBy(

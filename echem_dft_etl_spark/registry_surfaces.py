@@ -628,10 +628,11 @@ def x10_stream_sessions(spark, sf_dir):
     closed, so the oracle IS the batch sessionization filtered to
     sessions ending at or below max(ts) − watermark — upgrading this
     from a rows-only check to full value parity (the equality is also
-    asserted engine-side in tests/test_streaming.py). Caveat pinned by
-    that test: an event exactly on a session's gap boundary could
-    diverge between session_window (strict <) and the batch lag-gap
-    form (<=); no such tie exists in the deterministic corpus."""
+    asserted engine-side in tests/test_streaming.py). Boundary ties:
+    measured on Spark 4.1, session_window MERGES touching windows, so
+    an event exactly on the gap boundary stays in-session — the same
+    <= semantics as the batch lag-gap form (pinned by
+    tests/test_properties.py::test_session_window_boundary_tie_semantics)."""
     from .streaming.windows import read_events_stream, run_to_memory, session_windows
 
     stream = session_windows(read_events_stream(spark, sf_dir), "30 minutes", "2 hours")
@@ -1773,6 +1774,57 @@ def sql_surface_large_orders(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LARGE_ORDERS_SQL)
+
+
+@_register(
+    "s02_multi_format_union",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM supplier GROUP BY 1
+    """,
+    survey_ids=("S2", "X2"),
+)
+def s02_multi_format_union(spark, sf_dir):
+    """Federated multi-format read (S2's migration reality: a dataset's
+    history often spans formats — an old CSV drop, a JSONL export, the
+    current parquet): supplier is written as three disjoint thirds in
+    THREE formats, read back through three format-specific readers with
+    ONE explicit schema, and unioned by name — the aggregate over the
+    union must equal the single-table oracle exactly, proving the
+    readers agree on types, NULLs, and values. unionByName keeps the
+    merge correct under column-order drift between readers; at scale
+    each reader scans only its own files and the union is a zero-cost
+    plan node (no shuffle). Reentrant: per-invocation mkdtemp, literal
+    result, dir deleted."""
+    import shutil
+    import tempfile
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", _cents(F.col("s_acctbal")).alias("bal_cents")
+    )
+    schema = "s_suppkey bigint, s_nationkey bigint, bal_cents bigint"
+    root = tempfile.mkdtemp(prefix="echem_multifmt_")
+    sup.filter(F.col("s_suppkey") % 3 == 0).write.parquet(f"{root}/p")
+    sup.filter(F.col("s_suppkey") % 3 == 1).write.option(
+        "header", "true"
+    ).csv(f"{root}/c")
+    sup.filter(F.col("s_suppkey") % 3 == 2).write.json(f"{root}/j")
+    parts = [
+        spark.read.schema(schema).parquet(f"{root}/p"),
+        spark.read.schema(schema).option("header", "true").csv(f"{root}/c"),
+        spark.read.schema(schema).json(f"{root}/j"),
+    ]
+    allsup = parts[0]
+    for p in parts[1:]:
+        allsup = allsup.unionByName(p)
+    result = allsup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
+    )
+    result = _literal_result(spark, result)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
 
 
 @_register(

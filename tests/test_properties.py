@@ -1062,3 +1062,69 @@ def test_table_arg_udtf_ordered_gaps(spark):
         """).collect()
     }
     assert got == {1: (3, 250), 2: (1, 0)}
+
+
+def test_session_window_boundary_tie_semantics(spark):
+    """Pin the boundary-tie semantics the corpus never exercises: an
+    event landing EXACTLY at prev_ts + gap. Measured (Spark 4.1):
+    native session_window MERGES touching windows — [0,30) and
+    [30,60) become one session — which AGREES with the lag-gap
+    composition's <= cut. Earlier docstrings hypothesized a strict-<
+    divergence; this test is the executable record that both forms
+    keep the boundary event in-session, and catches an engine upgrade
+    changing either side."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, base), (1, 2, base + dt.timedelta(minutes=30))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    hand = (
+        sessionize(ev, "user_id", "ts", gap_minutes=30.0, tie_col="event_id")
+        .select("session_id")
+        .distinct()
+        .count()
+    )
+    assert native == 1  # touching windows merge: boundary stays in-session
+    assert hand == 1    # <= cut: same session — the two forms agree
+
+
+def test_recursive_hierarchy_depth_at_large_keys(spark):
+    """The native WITH RECURSIVE query must clear Spark's recursion
+    guard at production key magnitudes: billion-scale part keys mean
+    depth ~log10(key) ≈ 10, far under the 100-level default — but an
+    accidental non-decreasing rewrite would hit the guard instead of
+    looping forever, and this pins that the loop terminates with the
+    right depth."""
+    df = spark.createDataFrame(
+        [(987654321012,), (7,)], "p_partkey bigint"
+    )
+    df.createOrReplaceTempView("part")
+    rows = {
+        r.node: (r.root, r.depth)
+        for r in spark.sql("""
+            WITH RECURSIVE walk AS (
+                SELECT p_partkey AS node, p_partkey AS cur,
+                       CAST(0 AS BIGINT) AS depth
+                FROM part
+                UNION ALL
+                SELECT node, CAST(FLOOR(cur / 10) AS BIGINT) AS cur,
+                       depth + 1 AS depth
+                FROM walk WHERE cur >= 10
+            )
+            SELECT node, cur AS root, depth FROM walk WHERE cur < 10
+        """).collect()
+    }
+    assert rows[7] == (7, 0)
+    assert rows[987654321012] == (9, 11)
+    spark.catalog.dropTempView("part")
