@@ -145,3 +145,46 @@ def rollup_accumulators(
         F.min(cents).alias("min_cents"),
         F.max(cents).alias("max_cents"),
     )
+
+
+def retract_rollup(
+    base: DataFrame, retractions: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Retraction-aware incremental refresh — the CDC-delete half of
+    materialized-view maintenance that :func:`merge_partial_rollup`'s
+    insert-only algebra cannot express.
+
+    ``base`` is a materialized rollup carrying ``(n_rows, sum_cents)``
+    accumulators; ``retractions`` carries the SAME accumulator shape
+    rolled up over the deleted rows. Deletion is algebraic for
+    group-sum-like accumulators: a deleted row contributes
+    ``(-1, -cents)``, so the refresh is the same union + combine as
+    the insert path and still costs O(delta). What is NOT retractable
+    is min/max (removing the current extremum needs the runner-up,
+    which the accumulator discarded) — production IVM either keeps a
+    heavy sketch or marks the group stale for rebuild; here the
+    contract is explicit: only retract-safe accumulators flow through,
+    and ``n_retracted`` is emitted so a consumer can see which groups
+    absorbed deletes (the rebuild signal). Groups whose every row was
+    retracted converge to ``n_rows = 0`` and are dropped, matching a
+    full recompute exactly.
+    """
+    signed = retractions.select(
+        *group_cols,
+        (-F.col("n_rows")).alias("n_rows"),
+        (-F.col("sum_cents")).alias("sum_cents"),
+        F.col("n_rows").alias("n_retracted"),
+    )
+    unioned = base.select(
+        *group_cols, "n_rows", "sum_cents",
+        F.lit(0).cast("bigint").alias("n_retracted"),
+    ).unionByName(signed)
+    return (
+        unioned.groupBy(*group_cols)
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            F.sum("n_retracted").cast("bigint").alias("n_retracted"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

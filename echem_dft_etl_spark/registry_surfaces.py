@@ -3028,6 +3028,56 @@ def s18_outlier_mad(spark, sf_dir):
 
 
 @_register(
+    "s19_retractable_rollup",
+    oracle="""
+    WITH o AS (SELECT o_orderstatus, o_orderkey,
+                      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN cents ELSE 0 END)
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retracted
+    FROM o GROUP BY 1
+    HAVING SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) > 0
+    """,
+    survey_ids=("X3", "S3"),
+)
+def s19_retractable_rollup(spark, sf_dir):
+    """Retraction-aware materialized-view refresh (the CDC-delete half
+    of IVM, completing s19_incremental_rollup's insert-only algebra):
+    the standing rollup is built from ALL orders, a delete batch
+    (every 10th orderkey) arrives as a retraction rollup, and the
+    merge applies signed accumulators — a deleted row contributes
+    (-1, -cents), so the refresh stays O(delta) where a naive approach
+    re-scans the base table. The oracle recomputes from surviving rows
+    directly: incremental-with-deletes == full recompute is the
+    invariant; ``n_retracted`` surfaces which groups absorbed deletes
+    (the rebuild signal for non-retractable min/max accumulators,
+    which deliberately do not flow through this path).
+    operators/audit.py::retract_rollup."""
+    from .operators.audit import retract_rollup
+
+    o = _ld(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+
+    def _acc(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    base = _acc(o)
+    deletes = _acc(o.filter(F.col("o_orderkey") % 10 == 0))
+    return retract_rollup(base, deletes, ["o_orderstatus"])
+
+
+@_register(
     "s19_incremental_rollup",
     oracle="""
     SELECT o_orderstatus,

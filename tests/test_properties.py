@@ -1128,3 +1128,70 @@ def test_recursive_hierarchy_depth_at_large_keys(spark):
     assert rows[7] == (7, 0)
     assert rows[987654321012] == (9, 11)
     spark.catalog.dropTempView("part")
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0, max_size=20,
+    ),
+    st.sets(st.integers(0, 9), min_size=1, max_size=3),
+)
+def test_bfs_distances_matches_python_reference(spark, raw_edges, seed_set):
+    """Random small graphs vs a dict-based BFS reference: hop counts
+    must agree exactly, including unreachable nodes (absent) and
+    off-graph seeds (hops 0)."""
+    from collections import deque
+
+    from echem_dft_etl_spark.operators.components import bfs_distances
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seed_set}
+    dq = deque(seed_set)
+    while dq:
+        v = dq.popleft()
+        if want[v] >= 6:
+            continue
+        for w in adj.get(v, ()):
+            if w not in want:
+                want[w] = want[v] + 1
+                dq.append(w)
+
+    edf = spark.createDataFrame(edges or [(99, 98)], "a long, b long")
+    if not edges:
+        edf = edf.filter("a < 0")  # truly empty edge frame, typed
+    sdf = spark.createDataFrame([(s,) for s in seed_set], "v long")
+    got = {r.v: r.hops for r in bfs_distances(edf, sdf, max_hops=6).collect()}
+    assert got == want
+
+
+def test_retract_rollup_matches_full_recompute(spark):
+    """Signed-accumulator retraction == full recompute, including a
+    group fully deleted (dropped) and a group untouched (n_retracted
+    0)."""
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.operators.audit import retract_rollup
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 4, 40)]
+    dead = {2, 3, 4}  # kills all of b and c, half of a
+    df = spark.createDataFrame(rows, "g string, k long, cents long")
+
+    def acc(d):
+        return d.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    merged = retract_rollup(
+        acc(df), acc(df.filter(F.col("k").isin(list(dead)))), ["g"]
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_cents, r.n_retracted) for r in merged.collect()
+    }
+    assert got == {"a": (1, 10, 1)}
