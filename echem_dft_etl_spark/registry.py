@@ -1160,6 +1160,53 @@ def x05_semi_anti(spark, sf_dir):
 
 
 @_register(
+    "x05_nullsafe_join",
+    oracle="""
+    WITH l AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_nationkey END AS nk
+               FROM customer),
+    r AS (SELECT n_nationkey AS nk, n_name FROM nation
+          UNION ALL SELECT NULL, 'UNKNOWN')
+    SELECT r.n_name, COUNT(*) AS n_customers
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+    GROUP BY 1
+    """,
+    survey_ids=("X5",),
+)
+def x05_nullsafe_join(spark, sf_dir):
+    """Null-safe equi-join (X5's missing-dimension-key idiom): planted
+    NULL nation keys (every 7th customer — the unattributed-rows
+    reality of any large fact table) joined to a dimension that
+    carries an explicit NULL→'UNKNOWN' member via ``<=>`` — Spark's
+    EqualNullSafe, DuckDB's IS NOT DISTINCT FROM. A plain equi-join
+    silently DROPS null-keyed rows (NULL = NULL is NULL); the
+    null-safe form routes them to the unknown member instead, which is
+    the dimensional-modeling contract for unattributed facts. Plan:
+    EqualNullSafe stays a hash-join key (nulls hash to one bucket —
+    fine here, the null population is bounded at 1/7; a null-heavy
+    fact would pre-split nulls the way s15_salted_join splits hot
+    keys), so the plan is the same broadcast hash join as the plain
+    equi-join, not a nested loop."""
+    c = _ld(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = _ld(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    ).unionByName(
+        spark.createDataFrame([(None, "UNKNOWN")], "nk bigint, n_name string")
+    )
+    return (
+        c.join(F.broadcast(n), c["nk"].eqNullSafe(n["nk"]))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
     "x05_full_outer",
     oracle="""
     WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
