@@ -2863,6 +2863,93 @@ def s18_table_checksum(spark, sf_dir):
     )
 
 
+#: Canonical supplier row hash for the snapshot-diff fixture (same
+#: md5-prefix convention as _CHECKSUM_H_SQL).
+_DIFF_H_SQL = """
+    (('0x' || substr(md5(concat_ws(chr(31),
+        CAST({k} AS VARCHAR),
+        CAST({n} AS VARCHAR),
+        CAST({c} AS VARCHAR))), 1, 12))::BIGINT)
+"""
+
+
+@_register(
+    "s18_snapshot_diff",
+    oracle=f"""
+    WITH sup AS (SELECT s_suppkey, s_nationkey,
+                        CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS c
+                 FROM supplier),
+    cur AS (
+        SELECT s_suppkey, s_nationkey,
+               CASE WHEN s_suppkey % 11 = 0 THEN c + 1 ELSE c END AS c
+        FROM sup WHERE s_nationkey <> 3
+        UNION ALL
+        SELECT s_suppkey + 100000, 77, c FROM sup WHERE s_nationkey = 5
+    ),
+    hb AS (SELECT s_nationkey,
+                  {_DIFF_H_SQL.format(k='s_suppkey', n='s_nationkey', c='c')}
+                    AS hh
+           FROM sup),
+    hc AS (SELECT s_nationkey,
+                  {_DIFF_H_SQL.format(k='s_suppkey', n='s_nationkey', c='c')}
+                    AS hh
+           FROM cur),
+    fb AS (SELECT s_nationkey, COUNT(*) AS n, bit_xor(hh) AS x,
+                  MIN(hh) AS mn, MAX(hh) AS mx
+           FROM hb GROUP BY 1),
+    fc AS (SELECT s_nationkey, COUNT(*) AS n, bit_xor(hh) AS x,
+                  MIN(hh) AS mn, MAX(hh) AS mx
+           FROM hc GROUP BY 1)
+    SELECT s_nationkey,
+           CASE WHEN fb.n IS NULL THEN 'added'
+                WHEN fc.n IS NULL THEN 'removed'
+                WHEN fb.n = fc.n AND fb.x = fc.x
+                     AND fb.mn = fc.mn AND fb.mx = fc.mx THEN 'same'
+                ELSE 'changed' END AS status,
+           CAST(COALESCE(fb.n, 0) AS BIGINT) AS n_rows_base,
+           CAST(COALESCE(fc.n, 0) AS BIGINT) AS n_rows_cur
+    FROM fb FULL OUTER JOIN fc USING (s_nationkey)
+    """,
+    survey_ids=("X6", "S3"),
+)
+def s18_snapshot_diff(spark, sf_dir):
+    """Partition-grained snapshot drift report (the incremental-
+    downstream primitive: after a backfill / compaction / CDC replay,
+    which partitions ACTUALLY changed, so downstream reprocesses only
+    those): two table fingerprints (one scan each, XOR row hashes per
+    nation) full-outer-joined and classified added / removed /
+    changed / same. The current snapshot plants all three drift kinds
+    — every 11th supplier's balance bumped one cent (changed), nation
+    3 dropped (removed), nation 5 cloned to a new nation 77 (added) —
+    and nations untouched by any of it must come back 'same', which
+    pins the no-false-positive property a reprocessing trigger needs.
+    operators/audit.py::fingerprint_diff."""
+    from .operators.audit import fingerprint_diff, table_fingerprint
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", _cents(F.col("s_acctbal")).alias("c")
+    )
+    cur = sup.filter(F.col("s_nationkey") != 3).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.when(F.col("s_suppkey") % 11 == 0, F.col("c") + 1)
+        .otherwise(F.col("c"))
+        .alias("c"),
+    ).unionByName(
+        sup.filter(F.col("s_nationkey") == 5).select(
+            (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+            F.lit(77).cast("bigint").alias("s_nationkey"),
+            "c",
+        )
+    )
+    hcols = [F.col("s_suppkey"), F.col("s_nationkey"), F.col("c")]
+    return fingerprint_diff(
+        table_fingerprint(sup, ["s_nationkey"], hcols),
+        table_fingerprint(cur, ["s_nationkey"], hcols),
+        ["s_nationkey"],
+    )
+
+
 @_register(
     "s18_profile_table",
     oracle="""

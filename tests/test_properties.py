@@ -1195,3 +1195,32 @@ def test_retract_rollup_matches_full_recompute(spark):
         r.g: (r.n_rows, r.sum_cents, r.n_retracted) for r in merged.collect()
     }
     assert got == {"a": (1, 10, 1)}
+
+
+def test_fingerprint_diff_identical_and_reordered_same(spark):
+    """Diff of a table against a row-reordered, repartitioned copy of
+    itself is all-'same' (XOR fingerprints are order-independent);
+    flipping one value in one group flags exactly that group."""
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.operators.audit import (
+        fingerprint_diff,
+        table_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, g * 100 + i) for g in range(3) for i in range(5)],
+        "g long, k long, v long",
+    )
+    hcols = [F.col("k"), F.col("v")]
+    fp = lambda d: table_fingerprint(d, ["g"], hcols)  # noqa: E731
+    shuffled = df.orderBy(F.desc("v")).repartition(7)
+    assert {
+        r.status for r in fingerprint_diff(fp(df), fp(shuffled), ["g"]).collect()
+    } == {"same"}
+
+    tweaked = df.withColumn(
+        "v", F.when((F.col("g") == 1) & (F.col("k") == 2), 999).otherwise(F.col("v"))
+    )
+    got = {r.g: r.status for r in fingerprint_diff(fp(df), fp(tweaked), ["g"]).collect()}
+    assert got == {0: "same", 1: "changed", 2: "same"}
