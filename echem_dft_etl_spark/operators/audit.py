@@ -179,15 +179,26 @@ def retract_rollup(
         *group_cols, "n_rows", "sum_cents",
         F.lit(0).cast("bigint").alias("n_retracted"),
     ).unionByName(signed)
-    return (
-        unioned.groupBy(*group_cols)
-        .agg(
-            F.sum("n_rows").cast("bigint").alias("n_rows"),
-            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
-            F.sum("n_retracted").cast("bigint").alias("n_retracted"),
-        )
-        .filter(F.col("n_rows") > 0)
+    merged = unioned.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.sum("n_retracted").cast("bigint").alias("n_retracted"),
     )
+    # the guard lives INSIDE the emitted column — a standalone
+    # assert_true column would be pruned away before it ever evaluated
+    n_guarded = F.when(F.col("n_rows") >= 0, F.col("n_rows")).otherwise(
+        F.raise_error(
+            F.lit(
+                "retract_rollup: negative count — retraction over-delivery"
+            )
+        )
+    )
+    return merged.select(
+        *group_cols,
+        n_guarded.alias("n_rows"),
+        "sum_cents",
+        "n_retracted",
+    ).filter(F.col("n_rows") > 0)
 
 
 def fingerprint_diff(
@@ -208,14 +219,28 @@ def fingerprint_diff(
     frames; nothing row-sized crosses the diff.
     """
     b = base_fp.select(
-        *group_cols,
+        *[F.col(g).alias(f"bg_{g}") for g in group_cols],
         *[F.col(c).alias(f"b_{c}") for c in ("n_rows", "xor_fp", "min_h", "max_h")],
     )
     c = cur_fp.select(
-        *group_cols,
+        *[F.col(g).alias(f"cg_{g}") for g in group_cols],
         *[F.col(col).alias(f"c_{col}") for col in ("n_rows", "xor_fp", "min_h", "max_h")],
     )
-    j = b.join(c, group_cols, "full_outer")
+    # NULL-SAFE key equality: a NULL-keyed partition (unattributed
+    # rows) must match itself across snapshots — plain equality would
+    # report it added+removed on every diff, a permanent false trigger
+    cond = None
+    for g in group_cols:
+        t = F.col(f"bg_{g}").eqNullSafe(F.col(f"cg_{g}"))
+        cond = t if cond is None else cond & t
+    j = b.join(c, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"bg_{g}"), F.col(f"cg_{g}")).alias(g)
+            for g in group_cols
+        ],
+        "b_n_rows", "b_xor_fp", "b_min_h", "b_max_h",
+        "c_n_rows", "c_xor_fp", "c_min_h", "c_max_h",
+    )
     same = (
         (F.col("b_n_rows") == F.col("c_n_rows"))
         & (F.col("b_xor_fp") == F.col("c_xor_fp"))

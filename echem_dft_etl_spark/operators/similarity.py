@@ -399,7 +399,9 @@ def _with_norm(df: DataFrame, vec_col: str, norm_col: str) -> DataFrame:
     return df.select("*", l2_norm(F.col(vec_col)).alias(norm_col))
 
 
-def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_cells(
+    emb: DataFrame, centroids: DataFrame, cent_arr: DataFrame | None = None
+) -> DataFrame:
     """Nearest-centroid assignment: every vector → argmax-cosine cell.
 
     The centroid set is folded into ONE array-of-structs row and
@@ -407,9 +409,12 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     array (struct ordering: cosine desc, ties to the lowest cent_id via
     the negated id). Pure projection — at 100 TB the assignment is a
     single scan of the corpus with ZERO shuffles and no window; only
-    the one-row centroid array crosses the network.
+    the one-row centroid array crosses the network. Callers that
+    already folded the centroid array pass it via ``cent_arr`` so it
+    is built once per index, not once per consumer.
     """
-    cent_arr = _cent_array(centroids)
+    if cent_arr is None:
+        cent_arr = _cent_array(centroids)
     with_n = _with_norm(emb, "embedding", "v_norm")
     best = F.array_max(_scored_cells(F.col("embedding"), F.col("v_norm")))
     return with_n.crossJoin(F.broadcast(cent_arr)).select(
@@ -417,6 +422,24 @@ def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         "embedding",
         "v_norm",
         (-best["nid"]).alias("cell"),
+    )
+
+
+def _probe_cells(q: DataFrame, cent_arr: DataFrame, n_probe: int) -> DataFrame:
+    """Per-query probe list: the ``n_probe`` nearest centroids by
+    cosine (ties to the lowest cent_id via the negated-id struct sort).
+    ONE owner for the probe arithmetic so IVF and IVF-PQ prune
+    identically by construction. ``q`` carries (query_id, q_emb,
+    q_norm); returns (query_id, cell)."""
+    top_cells = F.slice(
+        F.sort_array(_scored_cells(F.col("q_emb"), F.col("q_norm")), asc=False),
+        1,
+        n_probe,
+    )
+    return (
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("query_id", F.explode(top_cells).alias("p"))
+        .select("query_id", (-F.col("p.nid")).alias("cell"))
     )
 
 
@@ -456,15 +479,8 @@ def ivf_topk(
         "q_emb",
         "q_norm",
     )
-    top_cells = F.slice(
-        F.sort_array(_scored_cells(F.col("q_emb"), F.col("q_norm")), asc=False),
-        1,
-        n_probe,
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_arr))
-        .select("query_id", "q_emb", "q_norm", F.explode(top_cells).alias("p"))
-        .select("query_id", "q_emb", "q_norm", (-F.col("p.nid")).alias("cell"))
+    probes = _probe_cells(q, cent_arr, n_probe).join(
+        q.select("query_id", "q_emb", "q_norm"), "query_id"
     )
 
     denom = F.col("q_norm") * F.col("v_norm")
@@ -968,11 +984,14 @@ def _pq_subdist(vec_col: Column, cm_col: Column, j: int, sub: int) -> Column:
 
 
 def _pq_codebook(mic: DataFrame, n_codes: int) -> DataFrame:
-    """One-row broadcastable codebook: the ``n_codes`` lowest vec_ids'
-    micro-vectors, sorted by codeword id so positional lookups are
-    ``cent_id + 1``. A production index swaps in per-subspace k-means
-    codebooks without changing any consumer (same convention as
-    ``ivf_topk``'s coarse centroids)."""
+    """One-row broadcastable codebook: the micro-vectors whose vec_id
+    falls below ``n_codes``, sorted by codeword id. PRECONDITION: at
+    least one such vec_id must exist (the deterministic-codebook
+    convention shared with ``ivf_topk``'s coarse centroids) — an empty
+    codebook cannot encode anything. Codeword ids need NOT be dense:
+    consumers look distances up by id (map-keyed), not by position, so
+    a production index swaps in per-subspace k-means codebooks with
+    arbitrary ids without changing any consumer."""
     return (
         mic.filter(F.col("vec_id") < n_codes)
         .select(
@@ -1008,14 +1027,24 @@ def _pq_codes(mic: DataFrame, cb_arr: DataFrame, n_sub: int, sub: int) -> DataFr
 
 
 def _pq_dtables(q: DataFrame, cb_arr: DataFrame, n_sub: int, sub: int) -> DataFrame:
-    """Per-query ADC distance tables: ``dt{j}[cent_id + 1]`` = exact
-    subspace-j distance to that codeword (cb is sorted by cent_id)."""
+    """Per-query ADC distance tables: ``dt{j}`` is a ``map<cent_id,
+    distance>`` of exact subspace-j distances to every codeword. A map
+    keyed by codeword id (not a position-indexed array) keeps lookups
+    correct for ANY codeword id set — sparse, gapped, or
+    k-means-assigned ids — where a positional ``array[cent_id + 1]``
+    silently reads the wrong codeword once ids stop being dense from
+    zero."""
 
     def _dtable_expr(j: int) -> Column:
-        def dist(c: Column) -> Column:
-            return _pq_subdist(F.col("qm"), c["cm"], j, sub)
+        def entry(c: Column) -> Column:
+            return F.struct(
+                c["cent_id"].alias("key"),
+                _pq_subdist(F.col("qm"), c["cm"], j, sub).alias("value"),
+            )
 
-        return F.transform(F.col("cb"), dist).alias(f"dt{j}")
+        return F.map_from_entries(F.transform(F.col("cb"), entry)).alias(
+            f"dt{j}"
+        )
 
     return q.crossJoin(F.broadcast(cb_arr)).select(
         "query_id", *[_dtable_expr(j) for j in range(n_sub)]
@@ -1023,12 +1052,12 @@ def _pq_dtables(q: DataFrame, cb_arr: DataFrame, n_sub: int, sub: int) -> DataFr
 
 
 def _pq_adist(n_sub: int) -> Column:
-    """Sum of per-subspace table lookups — the ADC distance."""
+    """Sum of per-subspace table lookups (by codeword id) — the ADC
+    distance. Every code was produced from the same codebook the maps
+    were built from, so the key always exists."""
     adist = None
     for j in range(n_sub):
-        term = F.element_at(
-            F.col(f"dt{j}"), (F.col(f"code{j}") + 1).cast("int")
-        )
+        term = F.col(f"dt{j}")[F.col(f"code{j}")]
         adist = term if adist is None else adist + term
     return adist
 
@@ -1128,14 +1157,16 @@ def ivfpq_topk(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
     cent_arr = _cent_array(centroids)
-    cells = assign_cells(emb, centroids).select("vec_id", "cell")
+    cells = assign_cells(emb, centroids, cent_arr=cent_arr).select(
+        "vec_id", "cell"
+    )
 
     mic = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("m"))
     cb_arr = _pq_codebook(mic, n_codes)
     codes = _pq_codes(mic, cb_arr, n_sub, sub)
 
-    # probe selection: identical arithmetic to ivf_topk (cosine argmax
-    # against the same centroid array), so IVF and IVF-PQ prune alike
+    # probe selection: the SAME _probe_cells owner ivf_topk uses, so
+    # IVF and IVF-PQ prune identically by construction
     q = _with_norm(
         emb.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1143,16 +1174,7 @@ def ivfpq_topk(
         "q_emb",
         "q_norm",
     )
-    top_cells = F.slice(
-        F.sort_array(_scored_cells(F.col("q_emb"), F.col("q_norm")), asc=False),
-        1,
-        n_probe,
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_arr))
-        .select("query_id", F.explode(top_cells).alias("p"))
-        .select("query_id", (-F.col("p.nid")).alias("cell"))
-    )
+    probes = _probe_cells(q, cent_arr, n_probe)
 
     qm = mic.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("qm")

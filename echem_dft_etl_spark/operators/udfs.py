@@ -229,7 +229,15 @@ def make_nation_gaps_udtf():
         def eval(self, row):
             self._key = row["s_nationkey"]
             c = row["bal_cents"]
-            if self._prev is not None and c - self._prev > self._max_gap:
+            # NULL tolerance mirrors the window twin exactly:
+            # c - LAG(c) is NULL when either side is NULL and MAX
+            # ignores it, while LAG still takes the previous ROW's
+            # value — so a NULL participates as a prev, never as a gap
+            if (
+                c is not None
+                and self._prev is not None
+                and c - self._prev > self._max_gap
+            ):
                 self._max_gap = c - self._prev
             self._prev = c
             self._n += 1

@@ -1224,3 +1224,102 @@ def test_fingerprint_diff_identical_and_reordered_same(spark):
     )
     got = {r.g: r.status for r in fingerprint_diff(fp(df), fp(tweaked), ["g"]).collect()}
     assert got == {0: "same", 1: "changed", 2: "same"}
+
+
+def test_fingerprint_diff_null_group_key_matches_itself(spark):
+    """A NULL-keyed partition (unattributed rows) present identically
+    in both snapshots must diff as 'same' — plain-equality joins would
+    report it added+removed forever (review finding, fixed with a
+    null-safe key join)."""
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.operators.audit import (
+        fingerprint_diff,
+        table_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), (1, 3, 30)],
+        "g long, k long, v long",
+    )
+    fp = table_fingerprint(df, ["g"], [F.col("k"), F.col("v")])
+    got = {r.g: r.status for r in fingerprint_diff(fp, fp, ["g"]).collect()}
+    assert got == {None: "same", 1: "same"}
+
+
+def test_retract_rollup_over_delivery_fails_loudly(spark):
+    """Applying the same retraction batch twice drives a count negative
+    — corruption, not 'group cleanly gone'; the guard must fail the
+    job instead of silently dropping the group (review finding)."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from echem_dft_etl_spark.operators.audit import retract_rollup
+
+    df = spark.createDataFrame([("a", 1, 10)], "g string, k long, cents long")
+
+    def acc(d):
+        return d.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    once = retract_rollup(acc(df), acc(df), ["g"])
+    assert once.collect() == []  # clean full retraction: group gone
+    doubled = acc(df).unionByName(acc(df))  # same delete batch twice
+    with pytest.raises(Exception, match="over-delivery|assert"):
+        retract_rollup(acc(df), doubled, ["g"]).collect()
+
+
+def test_table_arg_udtf_tolerates_null_values(spark):
+    """A NULL balance row must not crash the UDTF: it mirrors the
+    window twin (NULL gaps ignored, NULL still becomes the LAG prev),
+    so max_gap skips any pair touching the NULL (review finding)."""
+    from echem_dft_etl_spark.operators.udfs import make_nation_gaps_udtf
+
+    df = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, None), (1, 3, 400)],
+        "s_nationkey long, s_suppkey long, bal_cents long",
+    )
+    df.createOrReplaceTempView("gap_null_input")
+    spark.udtf.register("nation_gaps_n", make_nation_gaps_udtf())
+    (row,) = spark.sql("""
+        SELECT * FROM nation_gaps_n(
+            TABLE(SELECT * FROM gap_null_input)
+            PARTITION BY s_nationkey
+            ORDER BY (bal_cents, s_suppkey))
+    """).collect()
+    # order is (NULL first) 2, then 100, then 400: the only non-null
+    # consecutive pair is 100->400 but prev passes THROUGH the null,
+    # exactly as LAG does: pairs are (null,100)->skip, (100,400)->300
+    assert (row.n_rows, row.max_gap_cents) == (3, 300)
+
+
+def test_pq_topk_sparse_codeword_ids(spark):
+    """PQ lookups are keyed by codeword id, not array position: a
+    corpus whose vec_ids don't densely cover [0, n_codes) must still
+    encode and rank correctly (review finding — the positional
+    element_at form read the wrong codeword or threw)."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(3)
+    vecs = np.round(rng.uniform(-1, 1, size=(12, 8)), 3)
+    # ids 5..16: codebook = ids {5, 6, 7} (vec_id < 8), NOT dense from 0
+    emb = spark.createDataFrame(
+        [(i + 5, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(emb, [5], k=3, n_sub=2, n_codes=8, dims=8).collect()
+    assert len(out) == 3
+    assert all(r.adist_micro2 >= 0 for r in out)
+    # the query's own codeword-mates rank deterministically; re-run is
+    # stable under repartitioning
+    out2 = pq_topk(
+        emb.repartition(5), [5], k=3, n_sub=2, n_codes=8, dims=8
+    ).collect()
+    assert sorted((r.vec_id, r.adist_micro2) for r in out) == sorted(
+        (r.vec_id, r.adist_micro2) for r in out2
+    )
