@@ -991,7 +991,13 @@ def _pq_codebook(mic: DataFrame, n_codes: int) -> DataFrame:
     codebook cannot encode anything. Codeword ids need NOT be dense:
     consumers look distances up by id (map-keyed), not by position, so
     a production index swaps in per-subspace k-means codebooks with
-    arbitrary ids without changing any consumer."""
+    arbitrary ids without changing any consumer.
+
+    The precondition is ENFORCED, not just documented: an
+    ``assert_true`` folded into the codebook row fails the job loudly
+    if the codebook comes back empty (otherwise NULL codes/ADC
+    distances would silently float garbage rows to the top of the
+    ascending rank window)."""
     return (
         mic.filter(F.col("vec_id") < n_codes)
         .select(
@@ -999,7 +1005,21 @@ def _pq_codebook(mic: DataFrame, n_codes: int) -> DataFrame:
                 F.col("vec_id").alias("cent_id"), F.col("m").alias("cm")
             ).alias("c")
         )
-        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cb0"))
+        # assert_true evaluates to NULL iff the condition holds; cb
+        # depends on it, so Catalyst cannot prune the check away.
+        .select(
+            F.when(
+                F.assert_true(
+                    F.size("cb0") > 0,
+                    F.lit(
+                        "PQ codebook is empty: no vec_id < n_codes in the "
+                        "input — cannot encode; check the corpus ids"
+                    ),
+                ).isNull(),
+                F.col("cb0"),
+            ).alias("cb")
+        )
     )
 
 

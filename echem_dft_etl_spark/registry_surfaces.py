@@ -22,6 +22,35 @@ from .operators import multimodal, pipe, udfs
 from .registry import _cents, _ld, _register
 
 
+def _scratch_dir(prefix: str) -> str:
+    """``mkdtemp`` with leak reclamation for the write-then-read-back
+    fixtures. Dirs are named ``<prefix><pid>_<rand>``; before creating
+    a new one, same-prefix dirs left behind by DEAD processes (a crash
+    or exception between mkdtemp and rmtree in a previous run) are
+    pruned, so repeated bench/parity runs cannot grow /tmp without
+    bound — at most one leaked dir per live process can exist. Call
+    sites additionally wrap their bodies in try/finally rmtree, so the
+    pruning is a second line of defense, not the only one."""
+    import os
+    import re
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pat = re.compile(re.escape(prefix) + r"(\d+)_")
+    for p in Path(tempfile.gettempdir()).glob(prefix + "*"):
+        m = pat.match(p.name)
+        if m is None or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # liveness probe, no signal sent
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # live (or unprobeable) process — leave its dir alone
+    return tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}_")
+
+
 def _literal_result(spark, df):
     """Materialize ``df`` into a LITERAL frame: collect the rows and
     rebuild them as a ``createDataFrame`` LocalRelation.
@@ -249,7 +278,7 @@ def x14_udtf_chunks(spark, sf_dir):
                FROM supplier),
     g AS (SELECT s_nationkey,
                  c - LAG(c) OVER (PARTITION BY s_nationkey
-                                  ORDER BY c, s_suppkey) AS gap
+                                  ORDER BY c NULLS FIRST, s_suppkey) AS gap
           FROM s)
     SELECT s_nationkey, COUNT(*) AS n_rows,
            CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_cents
@@ -742,7 +771,7 @@ def x10_stream_foreach_merge(spark, sf_dir):
 
     from .streaming.windows import stream_merge_latest
 
-    root = tempfile.mkdtemp(prefix="echem_stream_merge_")
+    root = _scratch_dir("echem_stream_merge_")
     try:
         table = stream_merge_latest(spark, sf_dir, f"{root}/state")
         result = _literal_result(
@@ -1110,7 +1139,7 @@ def pipeline_reference_e2e(spark, sf_dir):
         (nk + 4.0).alias("cell00"),
         (rk + 5.0).alias("cell11"),
     )
-    out_dir = tempfile.mkdtemp(prefix="echem_pipeline_")
+    out_dir = _scratch_dir("echem_pipeline_")
     return run_reference_pipeline(spark, materials, out_dir)
 
 
@@ -1384,7 +1413,7 @@ def s01_sink_roundtrip(spark, sf_dir):
         F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
     )
     out = Path(
-        tempfile.mkdtemp(prefix=f"echem_sink_roundtrip_{Path(sf_dir).name}_")
+        _scratch_dir(f"echem_sink_roundtrip_{Path(sf_dir).name}_")
     )
     table_path = f"{out}/suppliers"
     report_path = f"{out}/report"
@@ -1464,7 +1493,7 @@ def s01_schema_evolution(spark, sf_dir):
     import tempfile
 
     docs = _ld(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="echem_schema_evo_")
+    out = _scratch_dir("echem_schema_evo_")
     docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", "n_chars"
     ).write.parquet(f"{out}/tbl/v1")
@@ -1513,34 +1542,37 @@ def s01_corrupt_tolerant_read(spark, sf_dir):
     sup = _ld(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", _cents(F.col("s_acctbal")).alias("bal_cents")
     )
-    root = Path(tempfile.mkdtemp(prefix="echem_corrupt_read_"))
-    tbl = root / "tbl"
-    tbl.mkdir()
-    for r in range(3):
-        part_dir = root / f"part{r}"
-        sup.filter(F.col("s_suppkey") % 3 == r).coalesce(1).write.parquet(
-            str(part_dir)
+    root = Path(_scratch_dir("echem_corrupt_read_"))
+    try:
+        tbl = root / "tbl"
+        tbl.mkdir()
+        for r in range(3):
+            part_dir = root / f"part{r}"
+            sup.filter(F.col("s_suppkey") % 3 == r).coalesce(1).write.parquet(
+                str(part_dir)
+            )
+            (src,) = part_dir.glob("part-*.parquet")
+            shutil.move(str(src), str(tbl / f"f{r}.parquet"))
+        # truncate the r=0 file: an invalid parquet footer, as a torn
+        # upload leaves behind
+        with open(tbl / "f0.parquet", "r+b") as fh:
+            fh.truncate(100)
+        # explicit schema, as a catalog/managed table supplies: schema
+        # inference itself footer-reads data files and can abort on the
+        # corrupt one before ignoreCorruptFiles applies to the scan
+        back = (
+            spark.read.schema(
+                "s_suppkey bigint, s_nationkey bigint, bal_cents bigint"
+            )
+            .option("ignoreCorruptFiles", "true")
+            .parquet(str(tbl))
         )
-        (src,) = part_dir.glob("part-*.parquet")
-        shutil.move(str(src), str(tbl / f"f{r}.parquet"))
-    # truncate the r=0 file: an invalid parquet footer, as a torn
-    # upload leaves behind
-    with open(tbl / "f0.parquet", "r+b") as fh:
-        fh.truncate(100)
-    # explicit schema, as a catalog/managed table supplies: schema
-    # inference itself footer-reads data files and can abort on the
-    # corrupt one before ignoreCorruptFiles applies to the scan
-    back = (
-        spark.read.schema("s_suppkey bigint, s_nationkey bigint, bal_cents bigint")
-        .option("ignoreCorruptFiles", "true")
-        .parquet(str(tbl))
-    )
-    result = back.groupBy("s_nationkey").agg(
-        F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
-    )
-    result = _literal_result(spark, result)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+        result = back.groupBy("s_nationkey").agg(
+            F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @_register(
@@ -1581,15 +1613,16 @@ def s03_merge_upsert(spark, sf_dir):
     batch2 = sup.filter(F.col("s_suppkey") % 3 == 0).withColumn(
         "bal_cents", F.col("bal_cents") + 1000
     )
-    root = tempfile.mkdtemp(prefix="echem_merge_upsert_")
-    table_root = f"{root}/tbl"
-    sinks.merge_parquet(batch1, table_root, ["s_suppkey"], "bal_cents")
-    result = sinks.merge_parquet(
-        batch2, table_root, ["s_suppkey"], "bal_cents"
-    ).select("s_suppkey", "bal_cents")
-    result = _literal_result(spark, result)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    root = _scratch_dir("echem_merge_upsert_")
+    try:
+        table_root = f"{root}/tbl"
+        sinks.merge_parquet(batch1, table_root, ["s_suppkey"], "bal_cents")
+        result = sinks.merge_parquet(
+            batch2, table_root, ["s_suppkey"], "bal_cents"
+        ).select("s_suppkey", "bal_cents")
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @_register(
@@ -1625,20 +1658,22 @@ def s03_merge_delete(spark, sf_dir):
         "s_nationkey",
         F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
     )
-    root = tempfile.mkdtemp(prefix="echem_merge_delete_")
-    table_root = f"{root}/tbl"
-    sinks.merge_parquet(sup, table_root, ["s_suppkey"], "bal_cents")
-    doomed = sup.filter(F.col("s_suppkey") % 7 == 0).unionByName(
-        spark.createDataFrame([(0,)], "s_suppkey bigint"), allowMissingColumns=True
-    )
-    back = sinks.delete_keys_parquet(doomed, table_root, ["s_suppkey"])
-    result = back.groupBy("s_nationkey").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("bal_cents").alias("bal_cents"),
-    )
-    result = _literal_result(spark, result)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    root = _scratch_dir("echem_merge_delete_")
+    try:
+        table_root = f"{root}/tbl"
+        sinks.merge_parquet(sup, table_root, ["s_suppkey"], "bal_cents")
+        doomed = sup.filter(F.col("s_suppkey") % 7 == 0).unionByName(
+            spark.createDataFrame([(0,)], "s_suppkey bigint"),
+            allowMissingColumns=True,
+        )
+        back = sinks.delete_keys_parquet(doomed, table_root, ["s_suppkey"])
+        result = back.groupBy("s_nationkey").agg(
+            F.count("*").alias("n_kept"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 #: TPC-H-Q5-shaped 6-table join, dialect-portable (its own oracle):
@@ -1805,26 +1840,27 @@ def s02_multi_format_union(spark, sf_dir):
         "s_suppkey", "s_nationkey", _cents(F.col("s_acctbal")).alias("bal_cents")
     )
     schema = "s_suppkey bigint, s_nationkey bigint, bal_cents bigint"
-    root = tempfile.mkdtemp(prefix="echem_multifmt_")
-    sup.filter(F.col("s_suppkey") % 3 == 0).write.parquet(f"{root}/p")
-    sup.filter(F.col("s_suppkey") % 3 == 1).write.option(
-        "header", "true"
-    ).csv(f"{root}/c")
-    sup.filter(F.col("s_suppkey") % 3 == 2).write.json(f"{root}/j")
-    parts = [
-        spark.read.schema(schema).parquet(f"{root}/p"),
-        spark.read.schema(schema).option("header", "true").csv(f"{root}/c"),
-        spark.read.schema(schema).json(f"{root}/j"),
-    ]
-    allsup = parts[0]
-    for p in parts[1:]:
-        allsup = allsup.unionByName(p)
-    result = allsup.groupBy("s_nationkey").agg(
-        F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
-    )
-    result = _literal_result(spark, result)
-    shutil.rmtree(root, ignore_errors=True)
-    return result
+    root = _scratch_dir("echem_multifmt_")
+    try:
+        sup.filter(F.col("s_suppkey") % 3 == 0).write.parquet(f"{root}/p")
+        sup.filter(F.col("s_suppkey") % 3 == 1).write.option(
+            "header", "true"
+        ).csv(f"{root}/c")
+        sup.filter(F.col("s_suppkey") % 3 == 2).write.json(f"{root}/j")
+        parts = [
+            spark.read.schema(schema).parquet(f"{root}/p"),
+            spark.read.schema(schema).option("header", "true").csv(f"{root}/c"),
+            spark.read.schema(schema).json(f"{root}/j"),
+        ]
+        allsup = parts[0]
+        for p in parts[1:]:
+            allsup = allsup.unionByName(p)
+        result = allsup.groupBy("s_nationkey").agg(
+            F.count("*").alias("n_rows"), F.sum("bal_cents").alias("bal_cents")
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @_register(
@@ -1891,7 +1927,7 @@ def s02_csv_roundtrip(spark, sf_dir):
             F.col("o_orderpriority"), F.lit(',"'), F.col("o_orderstatus"), F.lit('"')
         ).alias("tricky"),
     )
-    out = tempfile.mkdtemp(prefix="echem_csv_roundtrip_")
+    out = _scratch_dir("echem_csv_roundtrip_")
     csv_opts = {"header": "true", "nullValue": "\\N"}
     src.write.mode("overwrite").options(**csv_opts).csv(out)
 
@@ -1969,7 +2005,7 @@ def s02_jsonl_roundtrip(spark, sf_dir):
             )
         ).alias("members")
     )
-    out = tempfile.mkdtemp(prefix="echem_jsonl_roundtrip_")
+    out = _scratch_dir("echem_jsonl_roundtrip_")
     rolled.write.mode("overwrite").json(out)
 
     schema = StructType(
@@ -2043,7 +2079,7 @@ def s17_bucketed_join(spark, sf_dir):
 
     tag = uuid.uuid4().hex[:8]
     li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
-    out = tempfile.mkdtemp(prefix="echem_bucketed_join_")
+    out = _scratch_dir("echem_bucketed_join_")
     li = _ld(spark, sf_dir, "lineitem").select(
         "l_orderkey", _cents(F.col("l_extendedprice")).alias("price_cents")
     )
@@ -2108,7 +2144,7 @@ def s01_sorted_layout_scan(spark, sf_dir):
     li = _ld(spark, sf_dir, "lineitem").select(
         "l_shipdate", F.col("l_quantity").cast("bigint").alias("qty")
     )
-    out = tempfile.mkdtemp(prefix="echem_sorted_layout_")
+    out = _scratch_dir("echem_sorted_layout_")
     write_clustered(li, out, "l_shipdate", n_ranges=8)
     back = spark.read.parquet(out).filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
@@ -2304,7 +2340,7 @@ def s04_custom_sink(spark, sf_dir):
             )
         )
     )
-    out = tempfile.mkdtemp(prefix="echem_custom_sink_")
+    out = _scratch_dir("echem_custom_sink_")
     lines.repartition(4).write.format("reportsink").option("path", out).mode(
         "append"
     ).save()
@@ -2459,7 +2495,7 @@ def s02_csv_quarantine(spark, sf_dir):
             cents.cast("string")
         ),
     )
-    out = tempfile.mkdtemp(prefix="echem_csv_quarantine_")
+    out = _scratch_dir("echem_csv_quarantine_")
     orders.select(line.alias("value")).write.mode("overwrite").text(out)
 
     back = (
@@ -2782,7 +2818,7 @@ def s01_compaction(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01")
     )
-    out = Path(tempfile.mkdtemp(prefix="echem_compaction_"))
+    out = Path(_scratch_dir("echem_compaction_"))
     src, dst = f"{out}/fragmented", f"{out}/compacted"
     li.repartition(48).write.parquet(src)
     n_in, n_out = compact_parquet(
@@ -3208,7 +3244,7 @@ def s19_incremental_rollup(spark, sf_dir):
     base_rows = orders.filter(F.col("o_orderkey") % 10 < 8)
     delta_rows = orders.filter(F.col("o_orderkey") % 10 >= 8)
 
-    out = Path(tempfile.mkdtemp(prefix="echem_incr_rollup_"))
+    out = Path(_scratch_dir("echem_incr_rollup_"))
     rollup_accumulators(base_rows, keys, F.col("cents")).write.parquet(
         f"{out}/base"
     )
@@ -3257,7 +3293,7 @@ def s01_zorder_scan(spark, sf_dir):
     orders = _ld(spark, sf_dir, "orders").withColumn(
         "o_orderday", F.datediff("o_orderdate", F.lit("1995-01-01"))
     )
-    out = Path(tempfile.mkdtemp(prefix="echem_zorder_"))
+    out = Path(_scratch_dir("echem_zorder_"))
     write_zordered(orders, f"{out}/orders", "o_custkey", "o_orderday")
     back = spark.read.parquet(f"{out}/orders")
     result = (
@@ -3317,7 +3353,7 @@ def s03_time_travel(spark, sf_dir):
         "s_nationkey",
         _cents(F.col("s_acctbal")).alias("cents"),
     )
-    out = Path(tempfile.mkdtemp(prefix="echem_time_travel_"))
+    out = Path(_scratch_dir("echem_time_travel_"))
     root = f"{out}/table"
     merge_parquet(sup, root, ["s_suppkey"], "s_suppkey")
     batch2 = sup.filter(F.col("s_suppkey") % 2 == 0).withColumn(
@@ -3452,7 +3488,7 @@ def s02_orc_roundtrip(spark, sf_dir):
         .otherwise(F.col("p_name"))
         .alias("p_name"),
     )
-    out = tempfile.mkdtemp(prefix="echem_orc_roundtrip_")
+    out = _scratch_dir("echem_orc_roundtrip_")
     src.write.mode("overwrite").orc(out)
     back = spark.read.schema(src.schema).orc(out)
     result = back.groupBy("p_brand").agg(
@@ -3522,7 +3558,7 @@ def s02_xml_roundtrip(spark, sf_dir):
         .alias("seg"),
         F.concat(F.col("c_name"), F.lit('<&">')).alias("tricky"),
     )
-    out = tempfile.mkdtemp(prefix="echem_xml_roundtrip_")
+    out = _scratch_dir("echem_xml_roundtrip_")
     src.write.mode("overwrite").format("xml").option("rowTag", "row").save(
         out
     )
@@ -3589,7 +3625,7 @@ def s01_dynamic_overwrite(spark, sf_dir):
         F.col("s_nationkey").cast("int").alias("s_nationkey"),
         _cents(F.col("s_acctbal")).alias("bal_cents"),
     )
-    out = Path(tempfile.mkdtemp(prefix="echem_dyn_overwrite_"))
+    out = Path(_scratch_dir("echem_dyn_overwrite_"))
     root = f"{out}/suppliers"
     sup.write.partitionBy("s_nationkey").parquet(root)
 

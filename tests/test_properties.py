@@ -1323,3 +1323,21 @@ def test_pq_topk_sparse_codeword_ids(spark):
     assert sorted((r.vec_id, r.adist_micro2) for r in out) == sorted(
         (r.vec_id, r.adist_micro2) for r in out2
     )
+
+
+def test_pq_empty_codebook_fails_loudly(spark):
+    """An input with NO vec_id < n_codes violates _pq_codebook's
+    precondition; the folded assert_true must abort the job with the
+    diagnostic instead of letting NULL ADC distances silently float
+    garbage rows to the top of the ascending rank window."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from echem_dft_etl_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i)] * 8) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Py4JJavaError, match="PQ codebook is empty"):
+        pq_topk(emb, [100], k=3, n_sub=2, n_codes=8, dims=8).collect()
