@@ -1101,9 +1101,77 @@ def x03_time_rollup(spark, sf_dir):
     )
 
 
+def _e2e_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE reference dataflow (see
+    pipeline_reference_e2e): every stage — hash-order sampling, slab
+    expansion, pick-one, charge fan-out, the solver stub's
+    printf-rounded arithmetic, and the descriptor math — re-derived
+    from the nation table in SQL. Constants are embedded at full
+    Python-double precision so the scalar arithmetic is bit-identical;
+    the final pzc/capacitance are rounded to 6 decimals on BOTH sides
+    because the capacitance regression crosses each engine's own
+    regr_slope float path (agreement ~1e-12 relative, far inside the
+    rounding — the x14_grouped_fit_pandas convention)."""
+    bohr2 = repr(0.529177**2)
+    h48 = "(('0x' || substr(md5({s}), 1, 12))::BIGINT)"
+    return f"""
+    WITH mats AS (
+        SELECT 'mp-' || CAST(n_nationkey AS VARCHAR) AS material_id,
+               CAST(n_nationkey AS DOUBLE) + 4.0 AS cell00,
+               CAST(n_regionkey AS DOUBLE) + 5.0 AS cell11
+        FROM nation WHERE n_regionkey < 3
+    ),
+    sampled AS (
+        SELECT * FROM mats
+        ORDER BY ({h48.format(s='material_id')} + 27) % 4294967296,
+                 material_id
+        LIMIT 2
+    ),
+    slabs AS (
+        SELECT material_id, cell00, cell11,
+               material_id || '-111-' || CAST(
+                   unnest(range(0,
+                       {h48.format(s="material_id || '-111'")} % 3 + 1))
+                   AS VARCHAR) AS slab_id
+        FROM sampled
+    ),
+    picked AS (
+        SELECT * FROM slabs
+        ORDER BY ({h48.format(s='slab_id')} + 20) % 4294967296, slab_id
+        LIMIT 1
+    ),
+    runs AS (
+        SELECT slab_id, cell00, cell11, c.charge,
+               CAST(printf('%.6f', -0.2 + 0.05 * c.charge) AS DOUBLE) AS mu,
+               CAST(printf('%.3f', 250 + 10 * c.charge) AS DOUBLE) AS ne
+        FROM picked
+        CROSS JOIN (VALUES (CAST(-0.1 AS DOUBLE)), (CAST(0.0 AS DOUBLE)),
+                           (CAST(0.1 AS DOUBLE))) c(charge)
+    ),
+    anch AS (
+        SELECT slab_id,
+               MAX(CASE WHEN charge = 0.0 THEN ne END) AS ne0,
+               MAX(CASE WHEN charge = 0.0 THEN mu END) AS mu0
+        FROM runs GROUP BY slab_id
+    ),
+    pts AS (
+        SELECT r.slab_id, a.mu0,
+               r.mu * (-27.2114) - 4.66 AS pot_v,
+               -(r.ne - a.ne0)
+                 / (r.cell00 * r.cell11 * {bohr2} * 1e-16)
+                 * 1.60217663e-19 * 1e6 / 2.0 AS rho_uc_cm2
+        FROM runs r JOIN anch a USING (slab_id)
+    )
+    SELECT slab_id AS MP_id,
+           ROUND(MAX(mu0) * (-27.2114) - 4.66, 6) AS pzc,
+           ROUND(REGR_SLOPE(rho_uc_cm2, pot_v), 6) AS capacitance
+    FROM pts GROUP BY slab_id
+    """
+
+
 @_register(
     "pipeline_reference_e2e",
-    oracle=None,  # side-effectful end-to-end run; rows-only check
+    oracle=_e2e_oracle_sql(),
     survey_ids=("Q11", "Q12", "Q13", "Q14", "Q15", "Q16", "S1", "S3", "S4"),
 )
 def pipeline_reference_e2e(spark, sf_dir):
@@ -1112,12 +1180,11 @@ def pipeline_reference_e2e(spark, sf_dir):
     fan-out → input-deck serialization → external solver subprocess →
     log parse → descriptors → first-wins upsert → report, with the
     partitioned/upsert/report sinks landing under a fresh temp dir.
-    Returns the final (MP_id, pzc, capacitance) table. Deterministic
-    end-to-end (rows-only at the driver; exact values are asserted in
-    tests/test_pipeline_e2e.py and the per-stage oracles cover every
-    operator individually)."""
-    import tempfile
-
+    Returns the final (MP_id, pzc, capacitance) table — value-oracled:
+    the SQL in :func:`_e2e_oracle_sql` replays the whole dataflow from
+    the nation table (my_dag.py:184's result row), so the driver checks
+    the composed pipeline's VALUES, not just its row count; the sink
+    side-effects stay covered by tests/test_pipeline_e2e.py."""
     from .pipeline import run_reference_pipeline
 
     n = _ld(spark, sf_dir, "nation")
@@ -1140,7 +1207,14 @@ def pipeline_reference_e2e(spark, sf_dir):
         (rk + 5.0).alias("cell11"),
     )
     out_dir = _scratch_dir("echem_pipeline_")
-    return run_reference_pipeline(spark, materials, out_dir)
+    table = run_reference_pipeline(spark, materials, out_dir)
+    # 6-decimal rounding on BOTH sides: capacitance crosses each
+    # engine's own regr_slope float path (see _e2e_oracle_sql).
+    return table.select(
+        "MP_id",
+        F.round("pzc", 6).alias("pzc"),
+        F.round("capacitance", 6).alias("capacitance"),
+    )
 
 
 @_register(
