@@ -129,6 +129,101 @@ def write_jdbc(
     writer.save()
 
 
+def upsert_sql(
+    table: str,
+    key_cols: list[str],
+    cols: list[tuple[str, str]],
+    dialect: str = "postgres",
+) -> list[str]:
+    """S3: the SERVER-SIDE half of the JDBC upsert — the exact SQL a
+    production target runs after :func:`write_jdbc` lands the deduped
+    batch in ``{table}_staging``.
+
+    The reference's conflict-skip is Postgres
+    ``INSERT … ON CONFLICT (MP_id) DO NOTHING`` (my_dag.py:201-202)
+    over a table created with a UNIQUE key (my_dag.py:199); this
+    generator emits that statement sequence for Postgres and the
+    standard-SQL ``MERGE … WHEN NOT MATCHED THEN INSERT`` equivalent
+    for engines without the ON CONFLICT extension (Derby — executed
+    for real against embedded Derby in tests/test_jdbc.py, so the
+    generated text is known-valid SQL, not just a string).
+
+    ``cols`` is the ordered ``(name, sql_type)`` column list;
+    ``key_cols`` the conflict key subset. Returns the statements in
+    execution order: create-target-if-absent, conflict-skip insert
+    from staging, staging cleanup.
+
+    Column identifiers are double-quoted (ANSI, honored by both
+    dialects): Spark's JDBC writer creates the staging table with
+    quoted case-sensitive names, so an unquoted ``s.MP_id`` would fold
+    to ``S.MP_ID`` and miss the staged column — the reference's
+    unquoted spelling (my_dag.py:201) works only because psycopg2
+    creates its table unquoted too.
+    """
+    if dialect not in ("postgres", "derby"):
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    names = [n for n, _ in cols]
+    missing = [k for k in key_cols if k not in names]
+    if missing:
+        raise ValueError(f"key_cols not in cols: {missing}")
+    col_defs = ", ".join(f'"{n}" {t}' for n, t in cols)
+    col_list = ", ".join(f'"{n}"' for n in names)
+    keys = ", ".join(f'"{k}"' for k in key_cols)
+    staging = f"{table}_staging"
+    if dialect == "postgres":
+        return [
+            f"CREATE TABLE IF NOT EXISTS {table} "
+            f"(id SERIAL PRIMARY KEY, {col_defs}, UNIQUE ({keys}))",
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {staging} "
+            f"ON CONFLICT ({keys}) DO NOTHING",
+            f"DROP TABLE {staging}",
+        ]
+    # Derby: no IF NOT EXISTS, no ON CONFLICT — surrogate id via
+    # GENERATED ALWAYS, conflict-skip via MERGE WHEN NOT MATCHED.
+    on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
+    src_vals = ", ".join(f's."{n}"' for n in names)
+    return [
+        f"CREATE TABLE {table} "
+        f"(id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, "
+        f"{col_defs}, UNIQUE ({keys}))",
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_vals})",
+        f"DROP TABLE {staging}",
+    ]
+
+
+def execute_jdbc_statements(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    ignore_errors: tuple[str, ...] = (),
+) -> None:
+    """Run server-side statements (DDL / MERGE) over JDBC through the
+    JVM's DriverManager — the execution vehicle for :func:`upsert_sql`
+    when the driver jar is on Spark's classpath (Derby always is; a
+    Postgres target needs its jar on ``spark.jars``).
+
+    ``ignore_errors``: substrings of SQLState/message to tolerate —
+    e.g. Derby's table-exists X0Y32 stands in for the Postgres
+    dialect's IF NOT EXISTS.
+    """
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            try:
+                st.execute(sql)
+            except Exception as e:  # py4j wraps SQLException
+                msg = str(e)
+                if not any(tok in msg for tok in ignore_errors):
+                    raise
+        st.close()
+    finally:
+        conn.close()
+
+
 def _committed_snapshots(spark: SparkSession, table_root: str):
     """Sorted [(version, path)] of COMMITTED snapshots under a
     :func:`merge_parquet` table root — committed means Spark's own
