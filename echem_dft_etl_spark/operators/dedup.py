@@ -765,6 +765,7 @@ def containment_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_df: int | None = DEFAULT_MAX_DF,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """DIRECTED near-superset pairs by exact shingle containment
     ``C(a→b) = |a ∩ b| / |a|``.
@@ -784,6 +785,14 @@ def containment_pairs(
     posting-list self-join, per-shingle fan-out ≤ max_df²/2); the only
     difference is the normalizer, so candidates are enumerated as
     unordered pairs once and each direction is tested independently.
+
+    ``checkpoint`` (default on, the triangle_counts discipline)
+    materializes the two multiply-consumed frames once: the df-capped
+    shingle index feeds THREE branches (sizes, both posting-list join
+    arms) and ``sized`` feeds both direction branches of the final
+    union — without it each branch re-shingles the corpus / re-runs
+    the intersection join. Pinned storage is the shingle index and the
+    candidate-pair frame, the algorithm's own working set.
     """
     shingled = doc_shingles(docs, shingle_n)
     if max_df is not None:
@@ -793,6 +802,8 @@ def containment_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+    if checkpoint:
+        shingled = shingled.localCheckpoint(eager=True)
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
@@ -809,6 +820,8 @@ def containment_pairs(
         sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")),
         "b",
     )
+    if checkpoint:
+        sized = sized.localCheckpoint(eager=True)
     fwd = sized.select(
         "a",
         "b",

@@ -900,7 +900,11 @@ def lsh_near_pairs(
 
 
 def semdedup(
-    emb: DataFrame, k: int = 8, rounds: int = 1, threshold: float = 0.4
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    threshold: float = 0.4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
     the embedding space, then drop within-cluster near-duplicates —
@@ -926,11 +930,20 @@ def semdedup(
     like any equi-join. Scores use the same dimension-ordered
     double fold as every cosine in this module, so the DuckDB oracle
     reproduces them bit-for-bit.
+
+    ``checkpoint`` (default on, the triangle_counts discipline)
+    materializes the assigned-points frame once: it feeds THREE plan
+    branches (both in-cell join arms and the final dominator join),
+    each of which would otherwise re-scan the corpus and re-run the
+    centroid-argmin assignment. Pinned storage is one |V|-row frame
+    of (id, embedding, cell).
     """
     from .kmeans import assignments
 
     asg = assignments(emb, k, rounds)
     pts = emb.select("vec_id", "embedding").join(asg, "vec_id")
+    if checkpoint:
+        pts = pts.localCheckpoint(eager=True)
     a = pts.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"), "cell"
     )

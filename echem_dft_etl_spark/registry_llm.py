@@ -2177,16 +2177,34 @@ def x05_triangle_counts(spark, sf_dir):
     canonical equi-join. The oracle is the naive three-way self-join
     with a < b < c ordering — same triangle set, so parity proves the
     oriented enumeration exact.
+
+    Pairs construction is a SINGLE scan: collect_set of parts per
+    order, then the unordered-pair expansion as a nested array
+    transform (bounded by lines-per-order², ≤49 structs/order) —
+    one shuffle on orderkey plus the canonical distinct, instead of
+    the self-join's two scans + two shuffles. Strictly less work per
+    run (one lineitem scan, one pre-distinct shuffle); wall-clock at
+    sf0.1 is comparable-to-better under this VM's load noise. At
+    100 TB the fan-out bound is the same (per-order line count, not
+    node degree). The oracle keeps the naive self-join spelling, so
+    parity also proves the two constructions equivalent.
     operators/components.py::triangle_counts."""
     from .operators.components import triangle_counts
 
     li = _ld(spark, sf_dir, "lineitem")
-    l1 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
-    l2 = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.col("ps"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
     pairs = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grp.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select("p.a", "p.b")
         .distinct()
     )
     return triangle_counts(pairs)
