@@ -1,60 +1,50 @@
 #!/usr/bin/env python
-"""Scale probe for the quadratic-prone operators: time the near-pair
-queries on a corpus scaled K-fold beyond sf0.1 (derived in /tmp by
-unioning the base tables with shifted ids — no test data is modified).
+"""Scale probe for the quadratic-prone and iterative operators: time
+each family on corpora scaled K-fold beyond sf0.1 (derived in /tmp by
+unioning the base tables with shifted ids — no test data is modified)
+and FIT the measured scaling exponent time ~ K^e across the K ladder.
 
-Usage: python scripts/scale_probe.py [K]   (default K=4)
+Usage: python scripts/scale_probe.py [kmax]       (default ladder 1,2,4)
+       SCALEPROBE_OUT=/path.json to override the artifact path.
 
 This is evidence, not a gate: it answers "does the operator's cost
 track its candidate volume, and does it finish with bounded memory, at
 a scale the bench never reaches" — the question PLANS.md's static
 shapes can't. Run it after touching dedup/similarity join shapes.
+Results are written to ``SCALEPROBE_r{N}.json`` at the repo root (N =
+current round, inferred the same way verify_local.py names PARITY) so
+each round's scaling record is committed evidence, not a transient
+stdout line; SCALE.md cites the artifact.
 
-Measured (K=4: 20k docs / 8k vectors, local[32], 24g heap; r3 re-run):
-  d13_simhash_pairs     36.1M pairs    18.4s  (was 152.1s before the
-                        first-agreeing-band filter replaced the
-                        distinct over the candidate stream — at this
-                        duplicate density the distinct re-shuffled
-                        36M+ pair rows; output itself is quadratic in
-                        the copy count — cost tracks output, no OOM)
-  s12_cosine_near_pairs 32.0M-pair grid 4.0s (kernel cost tracks the
-                        pair grid; 12.5M in ~1.2s at sf0.1)
-  s12_near_pairs_pruned 12k true dups  2.2s  (banded candidates +
-                        Arrow verify beating the 4.0s exact grid; the
-                        K-fold union plants 6 copies per original
-                        vector at cos 1.0 — identical signatures
-                        collide in every band, all 12000 found. 32
-                        bands x 16 GAUSSIAN bits: the sequential
-                        multiplicative-hash plane family collapsed
-                        sig entropy ~300x — 3.2M joined rows instead
-                        of ~400k — and took 13.6s; spherically
-                        symmetric planes restore the 1-theta/pi bit
-                        agreement the banding math assumes)
-                        r4 re-run: 3.5s with the NARROW banded join
-                        (ids only, distinct over the candidate
-                        stream) on a host running the other probes
-                        ~1.5-2x faster than r3 — the planted
-                        all-cos-1.0 density is the distinct's worst
-                        case (every dup pair arrives x64 bands ≈
-                        0.8M 16-byte rows, still ~12MB); the narrow
-                        shape wins everywhere duplicate mass is a
-                        minority because it strips ~512B of sig
-                        arrays from EVERY banded row (28x wire on
-                        the dominant stream; see similarity.py)
-  d14_ngram_jaccard     34.1k pairs    13.0s  (df cap bounds the
-                        posting-list blowup from 4x duplication)
-  d12_dup_clusters      20k labels     22.8s  (4x duplication fattens
-                        every component; pointer jumping converges in
-                        2 rounds — per-round stats now printed — edge
-                        set checkpointed once, superseded round
-                        checkpoints released eagerly)
-  t13_bm25_topk         top-25          2.4s  (two scans + 1-row agg)
-NOTE: with Spark's default 1g local heap the simhash join OOMs
-(GCLocker retries) — get_session now sets spark.driver.memory.
+Interpretation notes (see SCALE.md for the per-family design):
+
+- ``rows_exponent`` is exact and load-independent — e.g. the planted
+  K-fold duplication makes true near-pair output quadratic in K by
+  construction, so rows ~ K^2 CONFIRMS the probe is exercising the
+  dense regime, while time staying ~K^1-1.5 shows the banding/df-caps
+  keep COST tracking candidates, not the all-pairs grid.
+- ``time_exponent`` is noisy on this host (1.3-1.7x run-to-run drift,
+  README round-3 notes); treat <= ~1.5 as linear-ish, >= ~2.5 as
+  quadratic-alarm, and re-run before believing any single number.
+- K-fold copies are DISJOINT (id-shifted), so graph components and
+  LSH buckets don't merge across copies: per-copy work is constant
+  and the honest null hypothesis is time ~ K, not sublinear.
+
+History (r3/r4 findings that shaped the operators): the simhash
+first-agreeing-band filter replaced a distinct over a 36M-row
+candidate stream (152 s -> 18 s at K=4); the banded minhash join was
+narrowed to ids-only (28x wire cut on the dominant stream); Gaussian
+hyperplanes replaced the multiplicative family after sig-entropy
+collapse (13.6 s -> 3.5 s); with Spark's default 1g heap the simhash
+join OOMs — get_session sets spark.driver.memory.
 """
 
 from __future__ import annotations
 
+import json
+import math
+import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -65,85 +55,230 @@ sys.path.insert(0, str(REPO))
 BASE = "/root/testdata/sf0.1"
 
 
-def scaled(df, key: str, k: int, stride: int = 10_000_000):
+def scaled(df, keys, k: int, stride: int = 10_000_000):
+    """K disjoint id-shifted copies of ``df`` (shift every col in
+    ``keys``), the standard blow-up fixture."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    parts = [
-        df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(k)
-    ]
+    if isinstance(keys, str):
+        keys = [keys]
+    parts = []
+    for i in range(k):
+        p = df
+        for key in keys:
+            p = p.withColumn(key, F.col(key) + F.lit(i * stride))
+        parts.append(p)
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+def _artifact_path() -> Path:
+    override = os.environ.get("SCALEPROBE_OUT")
+    if override:
+        return Path(override)
+    rounds = [
+        int(m.group(1))
+        for f in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", f.name))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return REPO / f"SCALEPROBE_r{n:02d}.json"
+
+
+def _fit_exponent(ks: list[int], ys: list[float]) -> float | None:
+    """Least-squares slope of log(y) vs log(k) — the measured exponent
+    of y ~ k^e. None when any sample is non-positive (log undefined)
+    or the ladder is degenerate."""
+    pts = [(k, y) for k, y in zip(ks, ys) if y > 0]
+    if len(pts) < 2:
+        return None
+    lx = [math.log(k) for k, _ in pts]
+    ly = [math.log(y) for _, y in pts]
+    mx = sum(lx) / len(lx)
+    my = sum(ly) / len(ly)
+    den = sum((x - mx) ** 2 for x in lx)
+    if den == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den, 2)
+
+
+def build_probes(spark, k: int, cc_stats: list):
+    """(family, name, build_fn) triples over K-scaled corpora. Every
+    probe returns a DataFrame whose count() forces full execution."""
     from pyspark.sql import functions as F
 
-    from echem_dft_etl_spark.operators import dedup, similarity
-    from echem_dft_etl_spark.session import get_session
+    from echem_dft_etl_spark.operators import dedup, retrieval, similarity
+    from echem_dft_etl_spark.operators.components import (
+        bfs_distances,
+        duplicate_clusters,
+    )
+    from echem_dft_etl_spark.operators.sessions import sessionize
     from echem_dft_etl_spark.sources import load_table
-
-    spark = get_session(app_name="scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
 
     docs = scaled(load_table(spark, BASE, "documents"), "doc_id", k)
     emb = scaled(load_table(spark, BASE, "embeddings"), "vec_id", k)
-    n_docs, n_emb = docs.count(), emb.count()
-    print(f"scaled corpus: {n_docs} docs, {n_emb} embeddings (K={k})")
+    events = scaled(load_table(spark, BASE, "events"), "user_id", k)
 
-    cc_stats: list = []
-    runs = [
+    def coorder_edges():
+        # disjoint K copies of the co-order part graph (both ids shifted)
+        li = scaled(
+            load_table(spark, BASE, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            ["l_orderkey", "l_partkey"],
+            k,
+        )
+        grp = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.transform(
+                    F.col("ps"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return (
+            grp.select(F.explode(pair_arr).alias("p"))
+            .filter(F.col("p.a") < F.col("p.b"))
+            .select("p.a", "p.b")
+            .distinct()
+        )
+
+    def bfs_probe():
+        edges = coorder_edges().localCheckpoint(eager=True)
+        seeds = (
+            edges.select(F.col("a").alias("v"))
+            .filter(F.col("v") % 101 == 0)
+            .distinct()
+        )
+        return bfs_distances(edges, seeds, max_hops=4)
+
+    return [
+        # --- LSH / fuzzy dedup family ---
         (
-            f"d13_simhash_pairs ({n_docs} docs)",
+            "lsh",
+            "d13_simhash_pairs",
             lambda: dedup.simhash_near_pairs(docs, max_hamming=6),
         ),
         (
-            f"s12_cosine_near_pairs ({n_emb} vecs, "
-            f"{n_emb * (n_emb - 1) // 2} pairs)",
+            "lsh",
+            "s12_near_pairs_pruned",
+            lambda: similarity.lsh_near_pairs(emb, threshold=0.85),
+        ),
+        (
+            "lsh",
+            "d14_ngram_jaccard",
+            lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        ),
+        # --- exact-grid baseline the LSH paths are pruning ---
+        (
+            "ann",
+            "s12_cosine_near_pairs",
             lambda: similarity.cosine_near_pairs_blocked_pandas(
                 emb, 0.45, n_blocks=max(8, 2 * k)
             ),
         ),
         (
-            # every original vector has K-1 shifted exact copies, so
-            # the pruned path has (K choose 2)·n_base true cos-1.0
-            # pairs to find — identical signatures collide in every
-            # band, so missing any would be a correctness bug
-            f"s12_near_pairs_pruned ({n_emb} vecs, banded + verify)",
-            lambda: similarity.lsh_near_pairs(emb, threshold=0.85),
+            "ann",
+            "s12_ivfpq_topk",
+            lambda: similarity.ivfpq_topk(emb, [0, 1, 2, 3], k=5),
         ),
+        # --- iterative graph loops ---
         (
-            f"d14_ngram_jaccard ({n_docs} docs, df-capped)",
-            lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+            "graph",
+            "d12_dup_clusters",
+            lambda: duplicate_clusters(
+                docs, threshold=0.8, round_stats=cc_stats
+            ),
         ),
+        ("graph", "x05_bfs_distances", bfs_probe),
+        # --- sessionization (windowed per-key state) ---
         (
-            # K-fold duplication multiplies component sizes, not just
-            # counts — the probe checks rounds stay logarithmic and the
-            # per-round joins absorb the K2 edge growth; cc_stats below
-            # records per-round (changed, n_labels) frame sizes
-            f"d12_dup_clusters ({n_docs} docs, pointer-jumping CC)",
-            lambda: __import__(
-                "echem_dft_etl_spark.operators.components",
-                fromlist=["duplicate_clusters"],
-            ).duplicate_clusters(docs, threshold=0.8, round_stats=cc_stats),
+            "session",
+            "x09_sessionize",
+            lambda: sessionize(
+                events, gap_minutes=30.0, tie_col="event_id"
+            ).groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions")),
         ),
+        # --- ranked retrieval (two-scan + 1-row stats) ---
         (
-            f"t13_bm25_topk ({n_docs} docs)",
-            lambda: __import__(
-                "echem_dft_etl_spark.operators.retrieval",
-                fromlist=["bm25_topk"],
-            ).bm25_topk(
+            "text",
+            "t13_bm25_topk",
+            lambda: retrieval.bm25_topk(
                 docs, ("spark", "merge", "window", "vector", "stream"), 25
             ),
         ),
     ]
-    for label, build in runs:
-        t0 = time.perf_counter()
-        n = build().count()
-        print(f"{label}: {n} pairs in {time.perf_counter() - t0:.1f}s")
-    if cc_stats:
-        print(f"d12_dup_clusters per-round label frames: {cc_stats}")
+
+
+def main() -> None:
+    kmax = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    ks = sorted({1, max(2, kmax // 2), kmax})
+
+    from echem_dft_etl_spark.session import get_session
+
+    spark = get_session(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        with open("/proc/loadavg") as fh:
+            load0 = [float(x) for x in fh.read().split()[:3]]
+    except Exception:
+        load0 = []
+
+    results: dict[str, dict] = {}
+    cc_rounds: dict[int, list] = {}
+    for k in ks:
+        cc_stats: list = []
+        for family, name, build in build_probes(spark, k, cc_stats):
+            t0 = time.perf_counter()
+            n = build().count()
+            dt = round(time.perf_counter() - t0, 2)
+            print(f"K={k} {name}: {n} rows in {dt}s", flush=True)
+            slot = results.setdefault(
+                name, {"family": family, "seconds": {}, "rows": {}}
+            )
+            slot["seconds"][str(k)] = dt
+            slot["rows"][str(k)] = n
+        if cc_stats:
+            cc_rounds[k] = cc_stats
+            print(f"K={k} d12 per-round label frames: {cc_stats}", flush=True)
+
+    for name, slot in results.items():
+        secs = [slot["seconds"][str(k)] for k in ks]
+        rows = [float(slot["rows"][str(k)]) for k in ks]
+        slot["time_exponent"] = _fit_exponent(ks, secs)
+        slot["rows_exponent"] = _fit_exponent(ks, rows)
+
+    artifact = {
+        "generated_by": "scripts/scale_probe.py",
+        "base": BASE,
+        "k_values": ks,
+        "loadavg_start": load0,
+        "cpus": os.cpu_count(),
+        "probes": results,
+        "cc_round_stats": {str(k): v for k, v in cc_rounds.items()},
+        "notes": (
+            "time_exponent fits time ~ K^e over the K ladder "
+            "(log-log least squares); rows_exponent likewise for "
+            "output rows. Disjoint id-shifted copies: honest null is "
+            "e_time ~ 1. Host timing drift 1.3-1.7x — exponents "
+            "within ~0.3 of 1.0 are linear."
+        ),
+    }
+    out = _artifact_path()
+    out.write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"wrote {out}")
+    for name, slot in sorted(results.items()):
+        print(
+            f"  {name}: time~K^{slot['time_exponent']}"
+            f" rows~K^{slot['rows_exponent']}"
+        )
 
 
 if __name__ == "__main__":
