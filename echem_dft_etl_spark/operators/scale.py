@@ -330,3 +330,86 @@ def rolling_distinct_hll(
             "approx_distinct"
         )
     )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter row pruning: drop probe rows whose key CANNOT be in
+    ``build`` before the join ever shuffles them — the explicit,
+    authoring-side form of Spark's runtime row-level filtering
+    (`spark.sql.optimizer.runtime.bloomFilter.*`, which only injects
+    itself when its cost heuristics fire; this version is deterministic
+    and engine-portable).
+
+    Why it matters at 100 TB: a selective dimension predicate (say 2%
+    of orders) still forces a FULL fact-side shuffle in a plain shuffle
+    join — every lineitem row travels to its hash partition before the
+    join discards 98% of them. A bloom filter built from the matching
+    keys is a few KB, broadcasts as ONE ROW, and eliminates the dead
+    rows at the SCAN, so the shuffle moves ~2% of the bytes. False
+    positives only ever ADD rows (no false negatives, guaranteed by
+    construction), so callers compose it with the exact join they were
+    already doing and correctness is untouched.
+
+    Plan shape (all JVM expressions, no UDF, no driver collect):
+
+    1. build side → ``n_hashes`` xxhash64 bit positions per key →
+       ``(word, mask)`` pairs → ``bit_or`` per word: ≤ n_bits/64 rows;
+    2. word map folded to a SINGLE ROW (``map_from_arrays`` over
+       ``collect_list`` of a ≤1024-row frame — the documented one-row
+       broadcast pattern, cf. the ANN centroid frames);
+    3. probe ``crossJoin(broadcast(bitmap_row))`` + a pure-expression
+       membership test: all ``n_hashes`` bits set.
+
+    Defaults (65536 bits / 3 hashes) hold the false-positive rate
+    under ~1% up to ~5k build keys; size ``n_bits`` ≈ 10× build-key
+    count for that regime (8 KB of bitmap per 2^16 bits — broadcasting
+    even a 2^24-bit filter is 2 MB, still trivial).
+    """
+    one = F.lit(1).cast("bigint")
+
+    def _positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+
+    words = (
+        build.select(
+            F.explode(F.array(*_positions(F.col(build_key)))).alias("pos")
+        )
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", one, F.pmod(F.col("pos"), F.lit(64)).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    bitmap = words.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("w"), F.collect_list("word")
+        ).alias("_bloom")
+    )
+    probed = probe.crossJoin(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for p in _positions(F.col(probe_key)):
+        w = F.floor(p / 64).cast("int")
+        m = F.call_function(
+            "shiftleft", one, F.pmod(p, F.lit(64)).cast("int")
+        )
+        # try_element_at, not element_at: under ANSI (Spark 4 default)
+        # element_at THROWS on a missing map key, and a probe key may
+        # hash to a word no build key ever touched.
+        hit = F.coalesce(
+            F.try_element_at(F.col("_bloom"), w), F.lit(0).cast("bigint")
+        ).bitwiseAND(m) != 0
+        cond = cond & hit
+    return probed.filter(cond).drop("_bloom")

@@ -3730,3 +3730,382 @@ def s01_dynamic_overwrite(spark, sf_dir):
     result = _literal_result(spark, result)
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@_register(
+    "s15_bloom_prune",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_li,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+    )
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("X5", "Q2"),
+)
+def s15_bloom_prune(spark, sf_dir):
+    """Bloom-filter row pruning ahead of a selective semi-join (scale
+    pattern, the explicit form of Spark's runtime row-level
+    filtering): a selective dimension predicate (~4% of orders —
+    urgent AND high-value) builds an 8 KB bitmap that broadcasts as
+    ONE ROW and kills non-matching fact rows AT THE SCAN, so the join
+    shuffle moves ~4% of the bytes instead of all of them. The bloom
+    pass can only ADD false positives (never drop a match), and the
+    exact semi-join that follows removes them — so the result equals
+    the plain semi-join row-for-row, which is the oracle. All-JVM
+    expressions (xxhash64 positions, bit_or bitmap, map lookup), no
+    UDF, no driver collect. operators/scale.py::bloom_prefilter;
+    superset + equality properties unit-tested in
+    tests/test_scale.py."""
+    from .operators.scale import bloom_prefilter
+
+    keys = (
+        _ld(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 400000)
+        )
+        .select("o_orderkey")
+    )
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    pruned = bloom_prefilter(li, "l_orderkey", keys, "o_orderkey")
+    exact = pruned.join(
+        F.broadcast(keys),
+        pruned["l_orderkey"] == keys["o_orderkey"],
+        "leftsemi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_li"),
+        F.sum(_cents(F.col("l_extendedprice"))).cast("bigint").alias(
+            "sum_cents"
+        ),
+    )
+
+
+@_register(
+    "s01_dpp_scan",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-04-01'
+      AND o_orderdate <  DATE '1996-07-01'
+    GROUP BY 1
+    """,
+    survey_ids=("S1", "Q1"),
+)
+def s01_dpp_scan(spark, sf_dir):
+    """Dynamic partition pruning round-trip (S1's partitioned-layout
+    payoff): orders is written partitioned by month, then joined to a
+    month dimension filtered on a NON-JOIN column (quarter label) —
+    the shape where static pruning is impossible (the partition values
+    are only known after the dim filter runs) and Spark injects a
+    DynamicPruningExpression into the fact scan from the broadcast
+    side, so only the 3 matching month directories are read. At 100 TB
+    this is the difference between scanning 3 partitions and scanning
+    84. The dynamicpruning plan shape is pinned in tests/test_scale.py
+    ::test_dynamic_partition_pruning_on_partitioned_sink; values
+    replay from the raw table in the oracle.
+    Reentrant: per-invocation mkdtemp, literal collected frame, dir
+    deleted."""
+    import shutil
+
+    root = _scratch_dir("echem_dpp_")
+    try:
+        o = _ld(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("cents"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        o.write.mode("overwrite").partitionBy("month").parquet(root)
+        fact = spark.read.parquet(root)
+        dim = (
+            _ld(spark, sf_dir, "orders")
+            .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .distinct()
+            .withColumn(
+                "quarter",
+                F.concat(
+                    F.substring("month", 1, 4),
+                    F.lit("-Q"),
+                    F.ceil(
+                        F.substring("month", 6, 2).cast("int") / 3
+                    ).cast("int"),
+                ),
+            )
+        )
+        joined = fact.join(
+            F.broadcast(dim.filter(F.col("quarter") == "1996-Q2")), "month"
+        )
+        result = joined.groupBy("month").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+#: TPC-H-Q10-shaped returned-item revenue ranking, dialect-portable
+#: (its own oracle): which customers drove the most returned revenue
+#: in a quarter — 4-table join, selective flag + date predicates, top-20.
+_RETURNED_ITEMS_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+             AS BIGINT) AS revenue_c4,
+           COUNT(*) AS n_li
+    FROM customer c
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_c4 DESC, c.c_custkey
+    LIMIT 20
+    """
+
+
+@_register(
+    "sql_surface_returned_items",
+    oracle=_RETURNED_ITEMS_SQL,
+    survey_ids=("Q17", "Q21", "X1"),
+)
+def sql_surface_returned_items(spark, sf_dir):
+    """Returned-item revenue ranking (TPC-H Q10 shape) through
+    ``spark.sql``: the quarterly who-returned-the-most report — a
+    4-table join where the return-flag predicate prunes the fact scan,
+    the date window prunes orders, nation broadcasts, and the top-20
+    resolves as TakeOrderedAndProject (per-partition heaps + driver
+    merge, no global sort materialization). Revenue stays in integer
+    cents×percent so grouped sums are bit-identical across engines;
+    ties broken by the unique customer key. Same text is the DuckDB
+    oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RETURNED_ITEMS_SQL)
+
+
+#: TPC-H-Q12-shaped conditional aggregation over a fact join: per
+#: return-flag, how many 1997 shipments came from high- vs low-priority
+#: orders. The CASE-inside-SUM pivot every ops dashboard runs.
+_PRIORITY_MIX_SQL = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """
+
+
+@_register(
+    "sql_surface_priority_mix",
+    oracle=_PRIORITY_MIX_SQL,
+    survey_ids=("Q17", "Q21", "X3"),
+)
+def sql_surface_priority_mix(spark, sf_dir):
+    """Shipping-priority mix (TPC-H Q12 shape) through ``spark.sql``:
+    conditional aggregation (CASE inside SUM — the manual pivot) over
+    an orders⋈lineitem join with a one-year ship-date window pushed to
+    the fact scan. Counts are integers by construction so parity is
+    exact; the grouped output is 3 rows however large the corpus.
+    Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PRIORITY_MIX_SQL)
+
+
+#: TPC-H-Q14-shaped promo-revenue share for one month, kept as an exact
+#: integer numerator/denominator pair (callers divide at the edge).
+_PROMO_SHARE_SQL = """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS promo_c4,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+             AS BIGINT) AS total_c4,
+           COUNT(*) AS n_li
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '1997-09-01'
+      AND l.l_shipdate <  DATE '1997-10-01'
+    """
+
+
+@_register(
+    "sql_surface_promo_share",
+    oracle=_PROMO_SHARE_SQL,
+    survey_ids=("Q17", "Q21", "Q8"),
+)
+def sql_surface_promo_share(spark, sf_dir):
+    """Promotion revenue share (TPC-H Q14 shape) through ``spark.sql``:
+    one-month fact window joined to the part dimension, numerator
+    (promo revenue) and denominator (all revenue) emitted as EXACT
+    integer c4 units instead of the float percentage — the division
+    happens at the consumer, so parity is bit-exact where a ratio
+    would inherit engine rounding. The month filter prunes the fact
+    scan; the part side joins on its key. Same text is the DuckDB
+    oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PROMO_SHARE_SQL)
+
+
+@_register(
+    "x04_ewma_dyadic",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE user_id % 17 = 0
+        GROUP BY 1, 2
+    ),
+    votes AS (
+        SELECT user_id, day + d.d AS day,
+               cents * (CASE d.d WHEN 0 THEN 8 WHEN 1 THEN 4
+                                 WHEN 2 THEN 2 ELSE 1 END) AS wv
+        FROM daily
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+    )
+    SELECT user_id, day, CAST(SUM(wv) AS BIGINT) AS ewm_cents
+    FROM votes GROUP BY user_id, day
+    """,
+    survey_ids=("X4", "X7"),
+)
+def x04_ewma_dyadic(spark, sf_dir):
+    """Exponentially weighted trailing sum with DYADIC decay (X4's
+    recency-weighted feature shape — 'recent spend matters 2× more
+    per day of age'): each sampled user's daily cents enter a trailing
+    4-day window with weights 8/4/2/1 (2^(K-1-age)), so the weighted
+    sum stays in EXACT integer arithmetic — powers of two make the
+    decay bit-exact in any engine where a float alpha would drift.
+    The naive authoring is a per-row lookback window; at 100 TB the
+    winning shape is the VOTE trick (cf. x04_rolling_wau): each daily
+    row fans out to the constant K=4 target days it influences, with
+    its weight attached, and ONE grouped sum finishes — no window
+    sort, no per-user state, fan-out bounded by the horizon, never by
+    data. Output keyed by every day that receives influence, so gaps
+    in a user's activity still decay correctly (absent days simply
+    cast no vote)."""
+    ev = _ld(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("day"),
+    ).agg(F.sum(_cents(F.col("value"))).alias("cents"))
+    dw = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("bigint").alias("d"),
+                    F.lit(8 >> d).cast("bigint").alias("w"),
+                )
+                for d in range(4)
+            ]
+        )
+    ).alias("dw")
+    votes = daily.select("user_id", "day", "cents", dw).select(
+        "user_id",
+        (F.col("day") + F.col("dw.d")).alias("day"),
+        (F.col("cents") * F.col("dw.w")).alias("wv"),
+    )
+    return votes.groupBy("user_id", "day").agg(
+        F.sum("wv").cast("bigint").alias("ewm_cents")
+    )
+
+
+@_register(
+    "mm_image_phash_pairs",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1200000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    d AS (SELECT doc_id,
+                 hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS L,
+                 ((doc_id % 4) + 1) * 4 AS w,
+                 ((doc_id % 3) + 1) * 4 AS h
+          FROM aug),
+    px AS (SELECT doc_id, w * h * 3 AS n,
+                  list_transform(range(0, w * h * 3),
+                      j -> ('0x' || substr(hx, (j % L) * 2 + 1, 2))::BIGINT)
+                    AS bytes
+           FROM d),
+    tot AS (SELECT doc_id, n, bytes,
+                   CAST(list_sum(bytes) AS BIGINT) AS total
+            FROM px),
+    hs AS (SELECT doc_id,
+                  CAST(COALESCE(list_sum(list_transform(
+                      range(0, least(62, n)),
+                      i -> CASE WHEN bytes[i + 1] * n > total
+                                THEN CAST(1 AS BIGINT) << i
+                                ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+                    AS ahash
+           FROM tot)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ahash
+    FROM hs a JOIN hs b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+    """,
+    survey_ids=("X14", "X11"),
+)
+def mm_image_phash_pairs(spark, sf_dir):
+    """Multimodal near-duplicate detection by PERCEPTUAL HASH (the
+    image half of X11's dedup story): every document's BMP payload is
+    average-hashed (mean-threshold bits over the decoded pixel grid,
+    integer-exact — operators/multimodal.py::ahash_bmp) and dup pairs
+    emerge from an equi-join on the 8-byte hash — the scale shape
+    that matters: pixels never shuffle, hashes do, and the join is a
+    hash join on a 64-bit key, never an O(n²) image comparison.
+    Planted fixtures (every 50th doc re-ingested under id+1,200,000 —
+    an offset divisible by 12 so the derived geometry is identical)
+    give the driver row a guaranteed non-empty dup set; the oracle
+    re-derives every pixel byte from the cycled text fill and replays
+    the same hash arithmetic, so any natural hash collisions match
+    too. The aHash semantic (different images may share a bucket) is
+    exactly what both sides compute."""
+    from .operators.multimodal import ahash_batch, build_bmp_payload
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1200000))
+    )
+    aug = docs.unionByName(twins)
+    hs = ahash_batch(build_bmp_payload(aug))
+    a, b = hs.alias("a"), hs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.ahash") == F.col("b.ahash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.ahash").alias("ahash"),
+    )

@@ -446,3 +446,58 @@ def test_semdedup_cell_population_bounded(spark):
     # 4x the ideal split: loose enough for real cluster imbalance,
     # tight enough that the in-cell grid stays ~(4n/k)^2/2 not n^2/2.
     assert max_cell <= 4 * n / _KM_K, (max_cell, n, _KM_K)
+
+
+def test_bloom_prefilter_superset_and_exact_composition(spark):
+    """bloom_prefilter must (a) never drop a matching row — the exact
+    semi-join's rows survive pruning multiset-for-multiset, (b) prune
+    a meaningful share of non-matching rows at the defaults, and
+    (c) compose with the exact join back to the plain semi-join."""
+    from echem_dft_etl_spark.operators.scale import bloom_prefilter
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    keys = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = bloom_prefilter(li, "l_orderkey", keys, "o_orderkey")
+    exact = li.join(keys, li.l_orderkey == keys.o_orderkey, "leftsemi")
+    n_all = li.count()
+    n_pruned = pruned.count()
+    n_exact = exact.count()
+    assert n_exact <= n_pruned, "bloom dropped matching rows"
+    assert n_pruned < n_all, (
+        f"bloom pruned nothing ({n_pruned}/{n_all}) for a ~20% build side"
+    )
+    missing = exact.select("l_orderkey").exceptAll(
+        pruned.select("l_orderkey")
+    )
+    assert missing.count() == 0, "false negative: exact row lost"
+    comp = pruned.join(
+        keys, pruned.l_orderkey == keys.o_orderkey, "leftsemi"
+    )
+    assert comp.count() == n_exact
+
+
+def test_bloom_prefilter_bitmap_broadcasts_one_row(spark):
+    """The bitmap side must reach the probe as a broadcast (one-row
+    map), never a shuffle join — the property that makes the prune
+    free at 100 TB."""
+    from echem_dft_etl_spark.operators.scale import bloom_prefilter
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    keys = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    pruned = bloom_prefilter(li, "l_orderkey", keys, "o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly ONE hash exchange is allowed: the build-side bit_or
+    # aggregate over the ≤ n_bits/64-row word frame (metadata-sized).
+    # The PROBE side must reach the membership filter shuffle-free.
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -269,3 +269,36 @@ def test_y4m_roundtrip_and_degrade():
     ]
     for i, payload in enumerate(hostile):
         assert multimodal.parse_y4m(payload) is None, i
+
+
+def test_ahash_planted_twin_is_exact_dup(spark):
+    """A twin document re-encoded under a geometry-preserving id offset
+    must produce the identical perceptual hash, and the pair join must
+    surface it."""
+    from echem_dft_etl_spark.operators.multimodal import (
+        ahash_batch,
+        ahash_bmp,
+        bmp_bytes,
+        build_bmp_payload,
+    )
+
+    # unit: identical pixels → identical hash; one flipped pixel in a
+    # flat image flips the thresholded bit pattern
+    base = bmp_bytes(8, 8, b"spark-graft rocks")
+    assert ahash_bmp(base) == ahash_bmp(bytes(base))
+    flat = bmp_bytes(8, 8, bytes([5] * 192))
+    hot = bytearray(flat)
+    hot[54] = 255  # first pixel byte
+    assert ahash_bmp(flat) != ahash_bmp(bytes(hot))
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (7, "other text body here")],
+        "doc_id bigint, text string",
+    )
+    twins = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1200000)
+    )
+    hs = ahash_batch(build_bmp_payload(docs.unionByName(twins)))
+    vals = {r["doc_id"]: r["ahash"] for r in hs.collect()}
+    assert vals[0] == vals[1200000]
+    assert all(v >= 0 for v in vals.values()), "hash must stay positive int64"
