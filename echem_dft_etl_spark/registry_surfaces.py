@@ -4109,3 +4109,64 @@ def mm_image_phash_pairs(spark, sf_dir):
         F.col("b.doc_id").alias("id_b"),
         F.col("a.ahash").alias("ahash"),
     )
+
+
+@_register(
+    "s03_deletion_vectors",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM supplier
+    WHERE s_suppkey % 11 <> 0 AND s_nationkey <> 3
+    GROUP BY 1
+    """,
+    survey_ids=("S3", "S1"),
+)
+def s03_deletion_vectors(spark, sf_dir):
+    """MERGE-ON-READ delete round-trip (S3's other delete design
+    point, vs s03_merge_delete's copy-on-write): the supplier table
+    commits as snapshot 1, then TWO independent purges land as
+    deletion-vector SIDECARS (every 11th suppkey; all of nation 3) —
+    O(|delete set|) writes, zero data rewrite — and the merge-on-read
+    scan (current snapshot anti-join the committed sidecar union,
+    broadcast) must show exactly the survivors. A compaction then
+    folds the vectors into snapshot 2, and the aggregate is taken
+    from the COMPACTED snapshot — a green row proves the dv read
+    path and the compaction agree with each other and with the
+    oracle's direct predicate. Crashed-sidecar invisibility and
+    dv-vs-copy-on-write equivalence are unit-tested in
+    tests/test_merge_sink.py. Reentrant: per-invocation mkdtemp,
+    literal result, table root deleted before returning.
+    sources/sinks.py::delete_keys_dv/read_with_dv/compact_dv."""
+    import shutil
+
+    from .sources import sinks
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    root = _scratch_dir("echem_dv_")
+    try:
+        table_root = f"{root}/tbl"
+        sinks.merge_parquet(sup, table_root, ["s_suppkey"], "bal_cents")
+        sinks.delete_keys_dv(
+            sup.filter(F.col("s_suppkey") % 11 == 0),
+            table_root,
+            ["s_suppkey"],
+        )
+        sinks.delete_keys_dv(
+            sup.filter(F.col("s_nationkey") == 3),
+            table_root,
+            ["s_suppkey"],
+        )
+        back = sinks.compact_dv(spark, table_root)
+        result = back.groupBy("s_nationkey").agg(
+            F.count("*").alias("n_kept"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

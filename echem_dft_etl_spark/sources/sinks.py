@@ -540,3 +540,110 @@ def read_snapshot(
             f"{sorted(by_version)})"
         )
     return spark.read.parquet(by_version[version])
+
+
+def _committed_dvs(spark: SparkSession, table_root: str, version: int):
+    """Sorted [(index, path)] of COMMITTED deletion-vector sidecars for
+    one snapshot version (same ``_SUCCESS``-marker commit point as the
+    snapshots themselves)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    prefix = f"dv_{version:010d}_"
+    out = []
+    for st in fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(table_root, prefix + "*")
+    ):
+        p = st.getPath()
+        name = p.getName()
+        if not st.isDirectory():
+            continue
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            continue  # crashed dv write: invisible, exactly like snapshots
+        try:
+            out.append((int(name[len(prefix):]), str(p)))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def delete_keys_dv(
+    delete_keys: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+) -> str:
+    """MERGE-ON-READ delete: record the doomed keys in a deletion-vector
+    SIDECAR next to the current snapshot instead of rewriting it —
+    the other half of the delete design space from
+    :func:`delete_keys_parquet` (copy-on-write), and the trade every
+    real table format (Delta deletion vectors, Iceberg position/
+    equality deletes, Hudi MOR) exposes:
+
+    - **write cost**: O(|delete set|) — a few-KB parquet of keys — vs
+      copy-on-write's full snapshot rewrite. At 100 TB a nightly
+      right-to-be-forgotten purge of a thousand keys must not rewrite
+      the table; it appends a sidecar.
+    - **read cost**: every reader pays one anti-join against the
+      union of committed sidecars (broadcast — delete sets are small
+      by construction). When sidecars accumulate,
+      :func:`compact_dv` folds them into a new snapshot and the read
+      path is clean again (Delta's PURGE / Iceberg's rewrite).
+
+    Sidecars are keyed to the snapshot VERSION they apply to
+    (``dv_<version>_<n>``), so a later merge/compaction — which
+    produces a new version whose data already excludes nothing —
+    naturally orphans them. Commit point is Spark's ``_SUCCESS``
+    marker, same as snapshots: readers never observe a torn sidecar.
+    Returns the committed sidecar path.
+    """
+    spark = delete_keys.sparkSession
+    snaps = _committed_snapshots(spark, table_root)
+    if not snaps:
+        raise ValueError(f"no committed snapshot under {table_root!r}")
+    version, _head = snaps[-1]
+    existing = _committed_dvs(spark, table_root, version)
+    nxt = (existing[-1][0] + 1) if existing else 1
+    path = f"{table_root}/dv_{version:010d}_{nxt:04d}"
+    delete_keys.select(*key_cols).distinct().write.parquet(path)
+    return path
+
+
+def read_with_dv(spark: SparkSession, table_root: str) -> DataFrame:
+    """Merge-on-read scan: the current snapshot minus every committed
+    deletion-vector sidecar for its version. Key columns come from the
+    sidecar schema itself (the sidecar IS the key projection), so the
+    reader needs no out-of-band metadata. One broadcast left-anti
+    equi-join; the data side streams through shuffle-free."""
+    snaps = _committed_snapshots(spark, table_root)
+    if not snaps:
+        raise ValueError(f"no committed snapshot under {table_root!r}")
+    version, head = snaps[-1]
+    current = spark.read.parquet(head)
+    dvs = _committed_dvs(spark, table_root, version)
+    if not dvs:
+        return current
+    doomed = spark.read.parquet(*[p for _i, p in dvs]).distinct()
+    return current.join(F.broadcast(doomed), doomed.columns, "left_anti")
+
+
+def compact_dv(
+    spark: SparkSession,
+    table_root: str,
+    keep_snapshots: int = 2,
+) -> DataFrame:
+    """Fold accumulated deletion vectors into a NEW snapshot (the
+    copy-on-write step merge-on-read defers): write the dv-filtered
+    view as ``snap_<n+1>``, after which the sidecars are orphaned
+    (they name the old version) and the read path is anti-join-free
+    until the next dv delete. This is the maintenance op that keeps
+    read amplification bounded — run it when sidecar count or deleted
+    fraction crosses a threshold, not per delete."""
+    cleaned = read_with_dv(spark, table_root)
+    snaps = _committed_snapshots(spark, table_root)
+    version, _head = snaps[-1]
+    new_path = f"{table_root}/snap_{version + 1:010d}"
+    cleaned.write.parquet(new_path)  # _SUCCESS written last = commit
+    _prune_snapshots(spark, table_root, keep_snapshots)
+    return spark.read.parquet(new_path)

@@ -236,3 +236,71 @@ def test_delete_keys_rerun_is_idempotent_and_requires_table(spark, tmp_path):
     r1 = _rows(delete_keys_parquet(doomed, root, ["MP_id"]))
     r2 = _rows(delete_keys_parquet(doomed, root, ["MP_id"]))
     assert r1 == r2 == {"b": 2.0}
+
+
+def test_deletion_vectors_merge_on_read_and_compaction(spark, tmp_path):
+    """Merge-on-read deletes: sidecars filter the scan without any
+    data rewrite, accumulate across calls, equal the copy-on-write
+    result, and compaction folds them into a new snapshot that no
+    longer needs the anti-join."""
+    from echem_dft_etl_spark.sources.sinks import (
+        _committed_dvs,
+        compact_dv,
+        delete_keys_dv,
+        delete_keys_parquet,
+        read_with_dv,
+    )
+
+    rows = [("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)]
+    root = str(tmp_path / "mor")
+    merge_parquet(_mk(spark, rows), root, ["MP_id"], "pzc")
+    delete_keys_dv(
+        spark.createDataFrame([("b",), ("zz",)], "MP_id string"),
+        root, ["MP_id"],
+    )
+    delete_keys_dv(
+        spark.createDataFrame([("d",)], "MP_id string"), root, ["MP_id"]
+    )
+    assert _rows(read_with_dv(spark, root)) == {"a": 1.0, "c": 3.0}
+    # the snapshot itself was NOT rewritten: still version 1, 2 sidecars
+    snaps = _committed_snapshots(spark, root)
+    assert [v for v, _ in snaps] == [1]
+    assert len(_committed_dvs(spark, root, 1)) == 2
+
+    # copy-on-write over the same deletes agrees row-for-row
+    cow_root = str(tmp_path / "cow")
+    merge_parquet(_mk(spark, rows), cow_root, ["MP_id"], "pzc")
+    cow = delete_keys_parquet(
+        spark.createDataFrame([("b",), ("zz",), ("d",)], "MP_id string"),
+        cow_root, ["MP_id"],
+    )
+    assert _rows(cow) == _rows(read_with_dv(spark, root))
+
+    # compaction: new snapshot, sidecars orphaned, read path clean
+    folded = compact_dv(spark, root)
+    assert _rows(folded) == {"a": 1.0, "c": 3.0}
+    snaps = _committed_snapshots(spark, root)
+    assert [v for v, _ in snaps] == [1, 2]
+    assert _committed_dvs(spark, root, 2) == []
+    assert _rows(read_with_dv(spark, root)) == {"a": 1.0, "c": 3.0}
+
+
+def test_crashed_dv_sidecar_is_invisible(spark, tmp_path):
+    """A sidecar directory without _SUCCESS (crashed writer) must not
+    affect readers — same commit discipline as snapshots."""
+    from echem_dft_etl_spark.sources.sinks import (
+        delete_keys_dv,
+        read_with_dv,
+    )
+
+    root = str(tmp_path / "tbl")
+    merge_parquet(_mk(spark, [("a", 1.0), ("b", 2.0)]), root, ["MP_id"], "pzc")
+    delete_keys_dv(
+        spark.createDataFrame([("a",)], "MP_id string"), root, ["MP_id"]
+    )
+    # fake a torn sidecar: directory with data but no _SUCCESS marker
+    import pathlib
+    torn = pathlib.Path(root) / "dv_0000000001_0002"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"not a commit")
+    assert _rows(read_with_dv(spark, root)) == {"b": 2.0}
