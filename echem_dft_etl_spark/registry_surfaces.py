@@ -4170,3 +4170,52 @@ def s03_deletion_vectors(spark, sf_dir):
         return _literal_result(spark, result)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "x05_range_join_binned",
+    oracle="""
+    WITH pts AS (SELECT p_partkey, p_partkey % 997 AS v FROM part),
+    itv AS (SELECT s_suppkey, s_nationkey,
+                   s_suppkey % 997 AS lo,
+                   s_suppkey % 997 + s_nationkey % 7 + 1 AS hi
+            FROM supplier)
+    SELECT s_nationkey, COUNT(*) AS n_pairs,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM itv JOIN pts ON v BETWEEN lo AND hi
+    GROUP BY 1
+    """,
+    survey_ids=("X5",),
+)
+def x05_range_join_binned(spark, sf_dir):
+    """LARGE×LARGE range join (X5's other regime, vs x05_range_join's
+    broadcastable dim): when the interval side no longer fits in a
+    broadcast, the theta-join's BroadcastNestedLoopJoin degenerates to
+    |points|·|intervals| comparisons on every executor. The binned
+    EQUI-join restores shuffle-join shape: points key by
+    floor(v/width), intervals explode to every bin they overlap
+    (replication ≈ width/bin + 1), the exact BETWEEN filters inside
+    the bin, and a qualifying pair meets in EXACTLY one bin (the
+    point's) so no dedup pass exists. Interval widths here are ≤ 7 so
+    bin_width=8 keeps replication ≤ 2. The oracle is the plain
+    theta-join — parity proves the binning is exact.
+    operators/scale.py::binned_range_join (equivalence also
+    unit-tested in tests/test_scale.py)."""
+    from .operators.scale import binned_range_join
+
+    pts = _ld(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") % 997).alias("v")
+    )
+    itv = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.col("s_suppkey") % 997).alias("lo"),
+        (
+            F.col("s_suppkey") % 997 + F.col("s_nationkey") % 7 + 1
+        ).alias("hi"),
+    )
+    joined = binned_range_join(pts, itv, "v", "lo", "hi", bin_width=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+    )
