@@ -103,6 +103,73 @@ def _fit_exponent(ks: list[int], ys: list[float]) -> float | None:
     return round(sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den, 2)
 
 
+def _bloom_probe(spark, k: int):
+    """Bloom prune + exact semi-join over K disjoint copies: build keys
+    and probe rows both grow K-fold with aligned shifts (same stride),
+    so matches — and honest cost — scale ~K. n_bits scales with the
+    build side, as the operator's docstring prescribes at 10x keys."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators.scale import bloom_prefilter
+    from echem_dft_etl_spark.sources import load_table
+
+    li = scaled(
+        load_table(spark, BASE, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "l_orderkey",
+        k,
+    )
+    keys = scaled(
+        load_table(spark, BASE, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 400000)
+        )
+        .select("o_orderkey"),
+        "o_orderkey",
+        k,
+    )
+    pruned = bloom_prefilter(
+        li, "l_orderkey", keys, "o_orderkey", n_bits=(1 << 16) * k
+    )
+    return pruned.join(
+        F.broadcast(keys),
+        pruned["l_orderkey"] == keys["o_orderkey"],
+        "leftsemi",
+    )
+
+
+def _binned_range_probe(spark, k: int, stride: int = 10_000_000):
+    """Binned range join over K disjoint copies: each copy's point and
+    interval values live in their own 1100-wide band (derived from the
+    shifted key's copy index), so qualifying pairs never cross copies
+    and the honest null hypothesis stays time ~ K."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators.scale import binned_range_join
+    from echem_dft_etl_spark.sources import load_table
+
+    band = lambda key: (F.col(key) % 997) + (
+        F.floor(F.col(key) / stride) * 1100
+    )  # 1100-wide bands: max hi = 996 + 8 < 1100, so no cross-copy pair
+    pts = scaled(
+        load_table(spark, BASE, "part").select("p_partkey"), "p_partkey", k
+    ).select("p_partkey", band("p_partkey").alias("v"))
+    itv = scaled(
+        load_table(spark, BASE, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        ),
+        "s_suppkey",
+        k,
+    ).select(
+        "s_suppkey",
+        band("s_suppkey").alias("lo"),
+        (band("s_suppkey") + F.col("s_nationkey") % 7 + 1).alias("hi"),
+    )
+    return binned_range_join(pts, itv, "v", "lo", "hi", bin_width=8)
+
+
 def build_probes(spark, k: int, cc_stats: list):
     """(family, name, build_fn) triples over K-scaled corpora. Every
     probe returns a DataFrame whose count() forces full execution."""
@@ -196,6 +263,17 @@ def build_probes(spark, k: int, cc_stats: list):
             ),
         ),
         ("graph", "x05_bfs_distances", bfs_probe),
+        # --- join-diet operators (bloom prune, binned range join) ---
+        (
+            "join",
+            "s15_bloom_prune",
+            lambda: _bloom_probe(spark, k),
+        ),
+        (
+            "join",
+            "x05_range_join_binned",
+            lambda: _binned_range_probe(spark, k),
+        ),
         # --- sessionization (windowed per-key state) ---
         (
             "session",
