@@ -646,4 +646,14 @@ def compact_dv(
     new_path = f"{table_root}/snap_{version + 1:010d}"
     cleaned.write.parquet(new_path)  # _SUCCESS written last = commit
     _prune_snapshots(spark, table_root, keep_snapshots)
+    # vacuum the folded sidecars: they are orphaned the instant the new
+    # snapshot commits (they name the old version), and nothing else
+    # ever deletes them — without this, every compaction cycle leaks
+    # its delete history onto the filesystem.
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(table_root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for _i, dv_path in _committed_dvs(spark, table_root, version):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
     return spark.read.parquet(new_path)

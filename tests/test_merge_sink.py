@@ -304,3 +304,26 @@ def test_crashed_dv_sidecar_is_invisible(spark, tmp_path):
     torn.mkdir()
     (torn / "part-00000.parquet").write_bytes(b"not a commit")
     assert _rows(read_with_dv(spark, root)) == {"b": 2.0}
+
+
+def test_compact_dv_vacuums_folded_sidecars(spark, tmp_path):
+    """Compaction must delete the sidecars it folded — otherwise every
+    cycle leaks its delete history onto the filesystem."""
+    import pathlib
+
+    from echem_dft_etl_spark.sources.sinks import (
+        _committed_dvs,
+        compact_dv,
+        delete_keys_dv,
+    )
+
+    root = str(tmp_path / "tbl")
+    merge_parquet(_mk(spark, [("a", 1.0), ("b", 2.0)]), root, ["MP_id"], "pzc")
+    delete_keys_dv(
+        spark.createDataFrame([("a",)], "MP_id string"), root, ["MP_id"]
+    )
+    assert len(_committed_dvs(spark, root, 1)) == 1
+    folded = compact_dv(spark, root)
+    assert _rows(folded) == {"b": 2.0}
+    assert _committed_dvs(spark, root, 1) == []
+    assert not list(pathlib.Path(root).glob("dv_*")), "sidecar dirs leaked"
