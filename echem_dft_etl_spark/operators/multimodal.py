@@ -860,7 +860,7 @@ def read_bmp_files(spark, path: str) -> DataFrame:
     return read_payload_files(spark, path, "bmp")
 
 
-def ahash_bmp(payload: bytes, n_bits: int = 62) -> int:
+def ahash_bmp(payload: bytes, n_bits: int = 62) -> int | None:
     """Perceptual AVERAGE HASH of a BMP payload, integer-exact.
 
     The classic aHash recipe (mean-threshold bits over the pixel
@@ -871,8 +871,14 @@ def ahash_bmp(payload: bytes, n_bits: int = 62) -> int:
     at 62 bits so the packed hash stays a POSITIVE int64 in engines
     with signed-only bigints. Geometry comes from the actual header
     (struct.unpack), pixels from the offset the header declares —
-    the real decode path, same as :func:`decode_bmp`.
+    the real decode path, same as :func:`decode_bmp`, including its
+    corrupt-payload contract: a malformed payload hashes to ``None``
+    (null), which every downstream equi-join drops — corrupt images
+    can neither crash the job nor bucket together into false dup
+    pairs (a sentinel 0 would do exactly that).
     """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
     (pix_offset,) = struct.unpack_from("<I", payload, 10)
     width, height = struct.unpack_from("<ii", payload, 18)
     n = width * height * 3

@@ -302,3 +302,28 @@ def test_ahash_planted_twin_is_exact_dup(spark):
     vals = {r["doc_id"]: r["ahash"] for r in hs.collect()}
     assert vals[0] == vals[1200000]
     assert all(v >= 0 for v in vals.values()), "hash must stay positive int64"
+
+
+def test_ahash_corrupt_payload_is_null_not_bucketed(spark):
+    """Corrupt payloads must hash to NULL (dropped by the pair join),
+    never to a shared sentinel that would pair all corrupt images."""
+    from echem_dft_etl_spark.operators.multimodal import (
+        ahash_batch,
+        ahash_bmp,
+    )
+
+    assert ahash_bmp(b"") is None
+    assert ahash_bmp(b"NOTABMP" * 20) is None
+    df = spark.createDataFrame(
+        [(1, bytearray(b"garbage")), (2, bytearray(b"also garbage"))],
+        "doc_id bigint, payload binary",
+    )
+    hs = ahash_batch(df)
+    assert [r["ahash"] for r in hs.collect()] == [None, None]
+    a, b = hs.alias("a"), hs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ahash") == F.col("b.ahash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert pairs.count() == 0
