@@ -1341,3 +1341,106 @@ def test_pq_empty_codebook_fails_loudly(spark):
     )
     with pytest.raises(Py4JJavaError, match="PQ codebook is empty"):
         pq_topk(emb, [100], k=3, n_sub=2, n_codes=8, dims=8).collect()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+             max_size=60),
+    st.lists(st.integers(min_value=0, max_value=200), min_size=0,
+             max_size=25, unique=True),
+)
+def test_bloom_prefilter_never_drops_a_match(spark, probe_keys, build_keys):
+    """Whatever the key sets, the bloom pass is a SUPERSET of the exact
+    semi-join (no false negatives), and composing it with the exact
+    join reproduces the plain semi-join multiset-for-multiset —
+    including the empty-build case (bloom drops everything)."""
+    from echem_dft_etl_spark.operators.scale import bloom_prefilter
+
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k bigint")
+    build = spark.createDataFrame(
+        [(k,) for k in build_keys], "b bigint"
+    ) if build_keys else spark.createDataFrame([], "b bigint")
+    pruned = bloom_prefilter(probe, "k", build, "b", n_bits=256)
+    got = sorted(r.k for r in pruned.collect())
+    want = sorted(k for k in probe_keys if k in set(build_keys))
+    # superset (no false negatives), even at a deliberately tiny filter
+    assert set(want) <= set(got)
+    for k in set(want):
+        assert got.count(k) == probe_keys.count(k)
+    exact = [
+        r.k
+        for r in pruned.join(
+            build, pruned["k"] == build["b"], "leftsemi"
+        ).collect()
+    ]
+    assert sorted(exact) == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-50, max_value=150), min_size=1,
+             max_size=40),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=150),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+def test_binned_range_join_any_width_equals_theta(spark, vs, spans, width):
+    """The binned equi-join rewrite must equal the theta join for ANY
+    bin width ≥ 1, any sign mix, and intervals of any length
+    (including zero-length lo == hi)."""
+    from echem_dft_etl_spark.operators.scale import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "pid int, v int"
+    )
+    itv = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(spans)],
+        "iid int, lo int, hi int",
+    )
+    binned = binned_range_join(pts, itv, "v", "lo", "hi", bin_width=width)
+    got = sorted((r.pid, r.iid) for r in binned.collect())
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(vs)
+        for j, (lo, w) in enumerate(spans)
+        if lo <= v <= lo + w
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=3),
+    st.binary(min_size=0, max_size=80),
+)
+def test_ahash_reference_implementation(w4, h4, pixel_src):
+    """ahash_bmp must agree with an independent recomputation from the
+    builder's fill rule, stay in [0, 2^62), and be a pure function of
+    the pixel bytes."""
+    from echem_dft_etl_spark.operators.multimodal import (
+        ahash_bmp,
+        bmp_bytes,
+        _fill,
+    )
+
+    w, h = w4 * 4, h4 * 4
+    payload = bmp_bytes(w, h, pixel_src)
+    got = ahash_bmp(payload)
+    n = w * h * 3
+    px = _fill(pixel_src, n)
+    total = sum(px)
+    want = 0
+    for i in range(min(62, n)):
+        if px[i] * n > total:
+            want |= 1 << i
+    assert got == want
+    assert 0 <= got < (1 << 62)
+    assert ahash_bmp(bytes(payload)) == got
