@@ -123,6 +123,12 @@ HEADLINE: tuple[str, ...] = (
     "s12_ivfpq_topk",
     "d25_entity_resolution",
     "s19_retractable_rollup",
+    # r7 session-2 additions: the bloom-pruned semi-join, the
+    # large×large binned range join, and perceptual-hash image dedup —
+    # one median-tracked representative per new family
+    "s15_bloom_prune",
+    "x05_range_join_binned",
+    "mm_image_phash_pairs",
 )
 
 
