@@ -901,3 +901,57 @@ def ahash_batch(df: DataFrame) -> DataFrame:
         return pd.Series([ahash_bmp(bytes(p)) for p in payload])
 
     return df.select("doc_id", _ahash(F.col("payload")).alias("ahash"))
+
+
+def audio_fingerprint(payload: bytes, frame: int = 8, n_bits: int = 62) -> int | None:
+    """Energy-delta audio FINGERPRINT of a PCM WAV payload,
+    integer-exact (the simplified Shazam/Chromaprint recipe: one bit
+    per frame boundary, set when the next frame is louder).
+
+    Frames are ``frame`` consecutive int16 samples; a frame's energy
+    is the sum of ABSOLUTE sample values (integer, overflow-safe —
+    squares would also fit int64 but buy nothing for a sign test);
+    bit i = energy(frame i+1) > energy(frame i), packed little-endian
+    over the first ``n_bits`` boundaries so the hash stays a positive
+    int64. Geometry (rate/channels/bits/sample count) comes from the
+    actual RIFF header via :func:`parse_wav_header`; malformed
+    payloads fingerprint to ``None`` (null), which downstream
+    equi-joins drop — same skip-don't-crash contract as
+    :func:`ahash_bmp`. Only FULL frames participate, so a trailing
+    partial frame can't make equal audio fingerprint unequal.
+    """
+    hdr = parse_wav_header(payload)
+    if hdr is None or hdr["bits"] != 16 or hdr["channels"] != 1:
+        return None
+    data = payload[44 : 44 + 2 * hdr["n_samples"]]
+    n_frames = len(data) // (2 * frame)
+    if n_frames < 2:
+        return None
+    energies = []
+    for k in range(n_frames):
+        e = 0
+        for j in range(frame):
+            off = (k * frame + j) * 2
+            v = int.from_bytes(data[off : off + 2], "little", signed=True)
+            e += v if v >= 0 else -v
+        energies.append(e)
+    h = 0
+    for i in range(min(n_bits, n_frames - 1)):
+        if energies[i + 1] > energies[i]:
+            h |= 1 << i
+    return h
+
+
+def audio_fingerprint_batch(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, afp): Arrow-batched fingerprinting;
+    one int64 out per clip, so the dup-pair join moves 8-byte
+    fingerprints, never samples."""
+
+    @pandas_udf("bigint")
+    def _afp(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [audio_fingerprint(bytes(p)) for p in payload],
+            dtype="object",
+        )
+
+    return df.select("doc_id", _afp(F.col("payload")).alias("afp"))

@@ -4219,3 +4219,81 @@ def x05_range_join_binned(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.sum("v").cast("bigint").alias("sum_v"),
     )
+
+
+@_register(
+    "mm_audio_fingerprint_pairs",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1200000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 25
+    ),
+    d AS (SELECT doc_id,
+                 hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS L
+          FROM aug),
+    f AS (SELECT doc_id, hx, (L // 2) // 8 AS nf FROM d),
+    en AS (SELECT doc_id, nf,
+                  list_transform(range(0, nf), k ->
+                      list_sum(list_transform(range(0, 8), j ->
+                          abs(CASE WHEN ('0x' || substr(hx,
+                                       (k * 8 + j) * 4 + 3, 2))::BIGINT >= 128
+                              THEN ('0x' || substr(hx, (k * 8 + j) * 4 + 1, 2))::BIGINT
+                                 + 256 * ('0x' || substr(hx, (k * 8 + j) * 4 + 3, 2))::BIGINT
+                                 - 65536
+                              ELSE ('0x' || substr(hx, (k * 8 + j) * 4 + 1, 2))::BIGINT
+                                 + 256 * ('0x' || substr(hx, (k * 8 + j) * 4 + 3, 2))::BIGINT
+                              END)))) AS es
+           FROM f WHERE nf >= 2),
+    hs AS (SELECT doc_id,
+                  CAST(COALESCE(list_sum(list_transform(
+                      range(0, least(62, nf - 1)),
+                      i -> CASE WHEN es[i + 2] > es[i + 1]
+                                THEN CAST(1 AS BIGINT) << i
+                                ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+                    AS afp
+           FROM en)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.afp
+    FROM hs a JOIN hs b ON a.afp = b.afp AND a.doc_id < b.doc_id
+    """,
+    survey_ids=("X14", "X11"),
+)
+def mm_audio_fingerprint_pairs(spark, sf_dir):
+    """Audio near-duplicate detection by ENERGY-DELTA FINGERPRINT (the
+    audio half of X11's multimodal dedup, next to
+    mm_image_phash_pairs): every document's PCM WAV payload is
+    fingerprinted (one bit per frame boundary, set when the next
+    8-sample frame is louder — integer-exact, no FFT dependency) and
+    dup pairs emerge from an equi-join on the 8-byte fingerprint;
+    samples never shuffle. Planted fixtures (every 50th doc at offset
+    25 re-ingested under id+1,200,000 — WAV geometry depends only on
+    the text, so any twin offset preserves the signal) guarantee a
+    non-empty dup set; the oracle re-derives every int16 sample from
+    the UTF-8 bytes (little-endian pair, sign-folded at 2^15) and
+    replays the same frame-energy arithmetic, so natural fingerprint
+    collisions match too.
+    operators/multimodal.py::audio_fingerprint."""
+    from .operators.multimodal import (
+        audio_fingerprint_batch,
+        build_wav_payload,
+    )
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (
+        docs.filter(F.col("doc_id") % 50 == 25)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1200000))
+    )
+    aug = docs.unionByName(twins)
+    hs = audio_fingerprint_batch(build_wav_payload(aug))
+    a, b = hs.alias("a"), hs.alias("b")
+    return a.join(
+        b,
+        (F.col("a.afp") == F.col("b.afp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.afp").alias("afp"),
+    )

@@ -327,3 +327,29 @@ def test_ahash_corrupt_payload_is_null_not_bucketed(spark):
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     assert pairs.count() == 0
+
+
+def test_audio_fingerprint_twin_and_corrupt_contract(spark):
+    """Same samples → same fingerprint; louder-next-frame bit rule
+    matches a hand computation; malformed/short payloads are null."""
+    import struct
+
+    from echem_dft_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        wav_bytes,
+    )
+
+    # hand-built: frame0 quiet (8 samples of +1), frame1 loud (+100),
+    # frame2 quiet again -> bits = [1 (louder), 0] -> hash 0b01 = 1
+    samples = [1] * 8 + [100] * 8 + [1] * 8
+    payload = wav_bytes(struct.pack("<24h", *samples))
+    assert audio_fingerprint(payload) == 1
+
+    text = b"alpha beta gamma delta epsilon zeta eta theta!"
+    assert audio_fingerprint(wav_bytes(text)) == audio_fingerprint(
+        wav_bytes(bytes(text))
+    )
+    assert audio_fingerprint(b"") is None
+    assert audio_fingerprint(b"RIFFxxxxWAVEgarbage") is None
+    # fewer than 2 full frames (3 samples) -> no delta bits -> null
+    assert audio_fingerprint(wav_bytes(struct.pack("<3h", 1, 2, 3))) is None
