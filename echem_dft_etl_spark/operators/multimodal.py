@@ -598,6 +598,11 @@ def parse_wav_header(payload: bytes) -> dict | None:
                 "channels": channels,
                 "bits": bits,
                 "n_samples": size // bytes_per_sample,
+                # Byte offset of the first sample. NOT always 44: the
+                # chunk walk accepts WAVs with extra chunks (LIST, fact)
+                # before 'data', and consumers that read samples must
+                # start here or they fingerprint chunk metadata as audio.
+                "data_offset": pos + 8,
             }
         pos += 8 + size + (size & 1)
     return None
@@ -898,7 +903,13 @@ def ahash_batch(df: DataFrame) -> DataFrame:
 
     @pandas_udf("bigint")
     def _ahash(payload: pd.Series) -> pd.Series:
-        return pd.Series([ahash_bmp(bytes(p)) for p in payload])
+        # dtype='object' is load-bearing: a batch mixing valid hashes
+        # with a None (corrupt payload) would otherwise coerce to
+        # float64 and silently round 62-bit hashes (same contract as
+        # audio_fingerprint_batch).
+        return pd.Series(
+            [ahash_bmp(bytes(p)) for p in payload], dtype="object"
+        )
 
     return df.select("doc_id", _ahash(F.col("payload")).alias("ahash"))
 
@@ -923,7 +934,8 @@ def audio_fingerprint(payload: bytes, frame: int = 8, n_bits: int = 62) -> int |
     hdr = parse_wav_header(payload)
     if hdr is None or hdr["bits"] != 16 or hdr["channels"] != 1:
         return None
-    data = payload[44 : 44 + 2 * hdr["n_samples"]]
+    off = hdr["data_offset"]
+    data = payload[off : off + 2 * hdr["n_samples"]]
     n_frames = len(data) // (2 * frame)
     if n_frames < 2:
         return None

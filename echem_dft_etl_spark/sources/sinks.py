@@ -640,20 +640,38 @@ def compact_dv(
     until the next dv delete. This is the maintenance op that keeps
     read amplification bounded — run it when sidecar count or deleted
     fraction crosses a threshold, not per delete."""
-    cleaned = read_with_dv(spark, table_root)
     snaps = _committed_snapshots(spark, table_root)
-    version, _head = snaps[-1]
+    if not snaps:
+        raise ValueError(f"no committed snapshot under {table_root!r}")
+    version, head = snaps[-1]
+    # List the sidecars ONCE and fold + vacuum exactly that list. A
+    # second listing after the fold would also sweep any sidecar a
+    # concurrent delete_keys_dv committed in between — deleting a
+    # delete that was never folded. With the single captured list, such
+    # a racer's sidecar survives on disk; it names the old version, so
+    # a real multi-writer deployment must re-apply it against the new
+    # snapshot (or take a table lock around compaction — the
+    # optimistic-concurrency conflict Delta/Iceberg abort on).
+    dvs = _committed_dvs(spark, table_root, version)
+    current = spark.read.parquet(head)
+    if dvs:
+        doomed = spark.read.parquet(*[p for _i, p in dvs]).distinct()
+        cleaned = current.join(
+            F.broadcast(doomed), doomed.columns, "left_anti"
+        )
+    else:
+        cleaned = current
     new_path = f"{table_root}/snap_{version + 1:010d}"
     cleaned.write.parquet(new_path)  # _SUCCESS written last = commit
     _prune_snapshots(spark, table_root, keep_snapshots)
-    # vacuum the folded sidecars: they are orphaned the instant the new
-    # snapshot commits (they name the old version), and nothing else
-    # ever deletes them — without this, every compaction cycle leaks
-    # its delete history onto the filesystem.
+    # vacuum ONLY the sidecars folded above: they are orphaned the
+    # instant the new snapshot commits, and nothing else ever deletes
+    # them — without this, every compaction cycle leaks its delete
+    # history onto the filesystem.
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(table_root).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    for _i, dv_path in _committed_dvs(spark, table_root, version):
+    for _i, dv_path in dvs:
         fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
     return spark.read.parquet(new_path)

@@ -327,3 +327,50 @@ def test_compact_dv_vacuums_folded_sidecars(spark, tmp_path):
     assert _rows(folded) == {"b": 2.0}
     assert _committed_dvs(spark, root, 1) == []
     assert not list(pathlib.Path(root).glob("dv_*")), "sidecar dirs leaked"
+
+
+def test_compact_dv_spares_concurrently_committed_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """A sidecar committed by a concurrent delete_keys_dv AFTER
+    compaction captured its fold list must NOT be vacuumed — sweeping
+    it would silently destroy a delete that was never folded. The
+    surviving sidecar names the old version (an OCC conflict a
+    multi-writer deployment must re-apply or abort on), but the delete
+    record itself is preserved."""
+    import pathlib
+
+    from echem_dft_etl_spark.sources import sinks
+
+    root = str(tmp_path / "tbl")
+    merge_parquet(
+        _mk(spark, [("a", 1.0), ("b", 2.0), ("c", 3.0)]),
+        root, ["MP_id"], "pzc",
+    )
+    sinks.delete_keys_dv(
+        spark.createDataFrame([("a",)], "MP_id string"), root, ["MP_id"]
+    )
+
+    real_listing = sinks._committed_dvs
+    fired = {"done": False}
+
+    def race_listing(spk, table_root, version):
+        out = real_listing(spk, table_root, version)
+        if not fired["done"]:
+            # interleave: a concurrent writer commits a v1 sidecar
+            # after compact_dv captured its fold list.
+            fired["done"] = True
+            spark.createDataFrame([("b",)], "MP_id string").write.parquet(
+                f"{root}/dv_{version:010d}_0002"
+            )
+        return out
+
+    monkeypatch.setattr(sinks, "_committed_dvs", race_listing)
+    folded = sinks.compact_dv(spark, root)
+    monkeypatch.undo()
+
+    # the folded snapshot reflects only the captured sidecar ...
+    assert _rows(folded) == {"b": 2.0, "c": 3.0}
+    # ... the captured sidecar was vacuumed, the racer's was NOT
+    leftover = sorted(p.name for p in pathlib.Path(root).glob("dv_*"))
+    assert leftover == ["dv_0000000001_0002"], leftover

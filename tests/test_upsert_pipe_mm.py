@@ -102,7 +102,13 @@ def test_multimodal_wav_roundtrip():
     )
 
     hdr = parse_wav_header(wav_bytes(b"0123456789a"))  # 11 bytes -> 5 samples
-    assert hdr == {"rate": 16000, "channels": 1, "bits": 16, "n_samples": 5}
+    assert hdr == {
+        "rate": 16000,
+        "channels": 1,
+        "bits": 16,
+        "n_samples": 5,
+        "data_offset": 44,
+    }
     assert parse_wav_header(b"RIFFxxxxJUNK") is None
 
 
@@ -353,3 +359,63 @@ def test_audio_fingerprint_twin_and_corrupt_contract(spark):
     assert audio_fingerprint(b"RIFFxxxxWAVEgarbage") is None
     # fewer than 2 full frames (3 samples) -> no delta bits -> null
     assert audio_fingerprint(wav_bytes(struct.pack("<3h", 1, 2, 3))) is None
+
+
+def test_ahash_mixed_valid_corrupt_batch_keeps_precision(spark):
+    """A batch mixing a valid image with a corrupt payload must not
+    alter the valid image's hash: without dtype='object' pandas
+    coerces [int, None] to float64 and 62-bit hashes lose low bits."""
+    from echem_dft_etl_spark.operators.multimodal import (
+        ahash_batch,
+        ahash_bmp,
+        bmp_bytes,
+    )
+
+    # pixels chosen so the hash is 2**61 + 1: above float64's 53-bit
+    # integer window AND with a low bit set, so any float round-trip
+    # changes the value.
+    px = bytearray(192)
+    px[0] = 255
+    px[61] = 255
+    payload = bmp_bytes(8, 8, bytes(px))
+    expect = ahash_bmp(payload)
+    assert expect == (1 << 61) | 1
+    assert float(expect) != expect or int(float(expect)) != expect
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"garbage"))],
+        "doc_id bigint, payload binary",
+    ).coalesce(1)  # one Arrow batch: the mixed case under test
+    vals = {r["doc_id"]: r["ahash"] for r in ahash_batch(df).collect()}
+    assert vals == {1: expect, 2: None}
+
+
+def test_wav_extra_chunk_before_data_fingerprints_samples(spark):
+    """A WAV with a LIST chunk between fmt and data is valid RIFF; the
+    fingerprint must read samples at the data chunk's real offset, not
+    byte 44 — otherwise chunk metadata is fingerprinted as audio."""
+    import struct
+
+    from echem_dft_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        parse_wav_header,
+        wav_bytes,
+    )
+
+    samples = [1] * 8 + [100] * 8 + [1] * 8
+    data = struct.pack("<24h", *samples)
+    plain = wav_bytes(data)
+    # splice a LIST chunk between 'fmt ' (ends at byte 36) and 'data'
+    list_chunk = struct.pack("<4sI", b"LIST", 10) + b"INFOartist"
+    extra = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(list_chunk) + len(data), b"WAVE")
+        + plain[12:36]          # fmt chunk unchanged
+        + list_chunk
+        + plain[36:]            # data chunk header + samples
+    )
+
+    hdr = parse_wav_header(extra)
+    assert hdr is not None and hdr["n_samples"] == 24
+    assert hdr["data_offset"] == 44 + len(list_chunk)
+    assert parse_wav_header(plain)["data_offset"] == 44
+    assert audio_fingerprint(extra) == audio_fingerprint(plain) == 1
