@@ -1522,21 +1522,29 @@ def s01_sink_roundtrip(spark, sf_dir):
     # result, values held in the plan itself), then drop the sink
     # files: nothing the session does later can invalidate the rows.
     result = _literal_result(spark, result)
-    # Per-invocation evidence dump: the exact sorted tuples this call
-    # returned, so any cross-engine hash divergence is diffable against
-    # the oracle instead of guessed at.
-    try:
-        import json
-        import os
+    # Optional per-invocation evidence dump (diagnostic only, OFF by
+    # default so bench runs stay side-effect-free): the exact sorted
+    # tuples this call returned, so any cross-engine hash divergence
+    # is diffable against the oracle instead of guessed at. Enable
+    # with SPARK_GRAFT_EVIDENCE_DIR=/some/dir.
+    import os
 
-        dump = sorted(tuple(r) for r in result.collect())
-        # One fixed file per process (pid suffix avoids concurrent
-        # clobbering); overwritten per invocation so repeated bench
-        # runs cannot grow /tmp unboundedly.
-        with open(f"/tmp/s01_evidence_{os.getpid()}.json", "w") as fh:
-            json.dump(dump, fh)
-    except Exception:
-        pass  # evidence is best-effort; never fail the query over it
+    evidence_dir = os.environ.get("SPARK_GRAFT_EVIDENCE_DIR")
+    if evidence_dir:
+        try:
+            import json
+
+            dump = sorted(tuple(r) for r in result.collect())
+            # One fixed file per process (pid suffix avoids concurrent
+            # clobbering); overwritten per invocation so repeated runs
+            # cannot grow the dir unboundedly.
+            path = os.path.join(
+                evidence_dir, f"s01_evidence_{os.getpid()}.json"
+            )
+            with open(path, "w") as fh:
+                json.dump(dump, fh)
+        except Exception:
+            pass  # evidence is best-effort; never fail the query over it
     shutil.rmtree(out, ignore_errors=True)
     return result
 

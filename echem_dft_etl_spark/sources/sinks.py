@@ -24,6 +24,8 @@ The reference writes one POSCAR per material/slab in a Python loop
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -129,6 +131,47 @@ def write_jdbc(
     writer.save()
 
 
+#: Unquoted-safe identifier: lowercase regular identifiers pass through
+#: bare (byte-compatible with the reference's unquoted table spelling);
+#: anything else — mixed case, reserved words, punctuation — is quoted.
+_SAFE_IDENT = re.compile(r"^[a-z_][a-z0-9_]*$")
+
+#: Words that are reserved in at least one target dialect: even though
+#: they match the safe-identifier shape, emitting them bare would be a
+#: syntax error (Postgres) or bind to the wrong thing.
+_RESERVED_WORDS = frozenset(
+    """all and any as asc between by case check column constraint create
+    cross current_date current_time current_timestamp default delete
+    desc distinct drop else end exists foreign from full group having
+    in inner insert intersect into is join key left like merge natural
+    not null on or order outer primary references right select set
+    some table then to union unique update user using values when
+    where with""".split()
+)
+
+#: SQL type expressions are caller-supplied text that cannot be quoted;
+#: restrict them to the charset real type expressions need so a hostile
+#: "type" cannot smuggle statement text into the DDL.
+_SAFE_TYPE = re.compile(
+    r"^[A-Za-z][A-Za-z0-9_ ]*(\(\s*\d+(\s*,\s*\d+)?\s*\))?$"
+)
+
+
+def _qident(name: str, bare_ok: bool = False) -> str:
+    """ANSI-quote an SQL identifier, injection-safe by construction:
+    embedded double quotes are doubled (the one escape the standard
+    defines), empty/NUL/newline-bearing names are rejected outright
+    (no quoting convention makes them portable). With ``bare_ok``,
+    lowercase regular non-reserved identifiers pass through unquoted —
+    preserving the reference's unquoted table spelling
+    (my_dag.py:199-202) for the common case."""
+    if not name or "\x00" in name or "\n" in name or "\r" in name:
+        raise ValueError(f"unrepresentable SQL identifier: {name!r}")
+    if bare_ok and _SAFE_IDENT.match(name) and name not in _RESERVED_WORDS:
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
 def upsert_sql(
     table: str,
     key_cols: list[str],
@@ -166,28 +209,32 @@ def upsert_sql(
     missing = [k for k in key_cols if k not in names]
     if missing:
         raise ValueError(f"key_cols not in cols: {missing}")
-    col_defs = ", ".join(f'"{n}" {t}' for n, t in cols)
-    col_list = ", ".join(f'"{n}"' for n in names)
-    keys = ", ".join(f'"{k}"' for k in key_cols)
-    staging = f"{table}_staging"
+    bad_types = [t for _n, t in cols if not _SAFE_TYPE.match(t)]
+    if bad_types:
+        raise ValueError(f"unsafe SQL type expressions: {bad_types}")
+    col_defs = ", ".join(f"{_qident(n)} {t}" for n, t in cols)
+    col_list = ", ".join(_qident(n) for n in names)
+    keys = ", ".join(_qident(k) for k in key_cols)
+    tbl = _qident(table, bare_ok=True)
+    staging = _qident(f"{table}_staging", bare_ok=True)
     if dialect == "postgres":
         return [
-            f"CREATE TABLE IF NOT EXISTS {table} "
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
             f"(id SERIAL PRIMARY KEY, {col_defs}, UNIQUE ({keys}))",
-            f"INSERT INTO {table} ({col_list}) "
+            f"INSERT INTO {tbl} ({col_list}) "
             f"SELECT {col_list} FROM {staging} "
             f"ON CONFLICT ({keys}) DO NOTHING",
             f"DROP TABLE {staging}",
         ]
     # Derby: no IF NOT EXISTS, no ON CONFLICT — surrogate id via
     # GENERATED ALWAYS, conflict-skip via MERGE WHEN NOT MATCHED.
-    on = " AND ".join(f't."{k}" = s."{k}"' for k in key_cols)
-    src_vals = ", ".join(f's."{n}"' for n in names)
+    on = " AND ".join(f"t.{_qident(k)} = s.{_qident(k)}" for k in key_cols)
+    src_vals = ", ".join(f"s.{_qident(n)}" for n in names)
     return [
-        f"CREATE TABLE {table} "
+        f"CREATE TABLE {tbl} "
         f"(id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, "
         f"{col_defs}, UNIQUE ({keys}))",
-        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"MERGE INTO {tbl} t USING {staging} s ON {on} "
         f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_vals})",
         f"DROP TABLE {staging}",
     ]

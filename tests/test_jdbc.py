@@ -199,3 +199,146 @@ def test_upsert_sql_executes_against_derby(spark, derby_url):
         "mp-2": (0.7, 50.0),
         "mp-3": (0.9, 60.0),
     }
+
+
+def test_upsert_sql_quotes_hostile_identifiers():
+    """Mixed-case, reserved-word and quote-bearing identifiers must be
+    ANSI-quoted with doubled embedded quotes in EVERY emitted statement
+    — injection-safe by construction, both dialects."""
+    from echem_dft_etl_spark.sources.sinks import upsert_sql
+
+    for dialect in ("postgres", "derby"):
+        stmts = upsert_sql(
+            'Dft"Echem',                       # embedded quote + case
+            ["Order"],                          # reserved + mixed case
+            [("Order", "VARCHAR(10)"), ('val"ue', "DOUBLE")],
+            dialect=dialect,
+        )
+        joined = "\n".join(stmts)
+        assert '"Dft""Echem"' in joined
+        assert '"Dft""Echem_staging"' in joined
+        assert '"Order"' in joined
+        assert '"val""ue"' in joined
+        # no statement may contain the raw names outside a quoted span
+        unquoted = "\n".join(
+            __import__("re").sub(r'"(?:[^"]|"")*"', "", s) for s in stmts
+        )
+        assert 'Dft"Echem' not in unquoted
+        assert 'val"ue' not in unquoted
+
+    # reserved-word table is quoted; plain lowercase stays bare
+    pg = upsert_sql("select", ["k"], [("k", "INT")], dialect="postgres")
+    assert pg[0].startswith('CREATE TABLE IF NOT EXISTS "select" ')
+    # the staging suffix de-reserves the name: bare is legal and kept
+    assert "FROM select_staging " in pg[1]
+    plain = upsert_sql("dft_echem", ["k"], [("k", "INT")], dialect="postgres")
+    assert "CREATE TABLE IF NOT EXISTS dft_echem " in plain[0]
+    assert "FROM dft_echem_staging " in plain[1]
+
+
+def test_upsert_sql_rejects_unrepresentable_names_and_types():
+    import pytest as _pytest
+
+    from echem_dft_etl_spark.sources.sinks import upsert_sql
+
+    for bad in ("", "a\x00b", "a\nb", "a\rb"):
+        with _pytest.raises(ValueError, match="identifier"):
+            upsert_sql(bad, ["k"], [("k", "INT")], dialect="postgres")
+        if bad:  # empty key would fail the key_cols-subset check first
+            with _pytest.raises(ValueError, match="identifier"):
+                upsert_sql(
+                    "t", [bad], [(bad, "INT"), ("k", "INT")],
+                    dialect="derby",
+                )
+    with _pytest.raises(ValueError, match="unsafe SQL type"):
+        upsert_sql(
+            "t", ["k"], [("k", "INT); DROP TABLE users;--")],
+            dialect="postgres",
+        )
+
+
+def test_upsert_sql_identifier_quoting_properties():
+    """Property test over hostile identifier alphabets: quoting must
+    round-trip (unquoting the emitted form recovers the name) and the
+    statement stripped of quoted spans must never leak a special-char
+    name into bare SQL text."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from echem_dft_etl_spark.sources.sinks import _qident, upsert_sql
+
+    ident = st.text(
+        alphabet='abcXYZ019_ "\'-;()%$.',
+        min_size=1,
+        max_size=18,
+    ).filter(lambda s: "\x00" not in s and "\n" not in s and "\r" not in s)
+
+    @settings(max_examples=200, deadline=None)
+    @given(table=ident, key=ident, extra=ident)
+    def check(table, key, extra):
+        q = _qident(key)
+        assert q[0] == '"' and q[-1] == '"'
+        assert q[1:-1].replace('""', '"') == key  # round-trip
+        cols = [(key, "INT")]
+        if extra != key:
+            cols.append((extra, "DOUBLE"))
+        for dialect in ("postgres", "derby"):
+            stmts = upsert_sql(table, [key], cols, dialect=dialect)
+            for s in stmts:
+                assert s.count('"') % 2 == 0, s  # quotes always balanced
+                bare = re.sub(r'"(?:[^"]|"")*"', "", s)
+                assert '"' not in bare, s
+                for name in (table, key, extra):
+                    # letters/digits also occur inside SQL keywords
+                    # (EXISTS contains X) and '.' inside alias refs —
+                    # only names carrying a character the emitted SQL
+                    # text can never contain bare are leak-checkable
+                    if re.search(r"['\";%$]", name):
+                        assert name not in bare, (name, s)
+
+    check()
+
+
+def test_upsert_sql_hostile_identifiers_execute_on_derby(spark, derby_url):
+    """The hardened quoting is not just string-shaped: the emitted
+    Derby sequence executes for real against identifiers that are
+    mixed-case, reserved, and quote-bearing, and the MERGE still
+    applies conflict-skip semantics."""
+    from echem_dft_etl_spark.sources.sinks import (
+        execute_jdbc_statements,
+        upsert_sql,
+    )
+
+    table = 'Up"sert Target'
+    stmts = upsert_sql(
+        table,
+        ["Order"],
+        [("Order", "VARCHAR(10)"), ('val"ue', "DOUBLE")],
+        dialect="derby",
+    )
+    staging = '"Up""sert Target_staging"'
+    setup = [
+        f'CREATE TABLE {staging} ("Order" VARCHAR(10), "val""ue" DOUBLE)',
+        f"INSERT INTO {staging} VALUES ('a', 1.0), ('b', 2.0)",
+    ]
+    execute_jdbc_statements(spark, derby_url, setup + stmts)
+    # second batch: conflicting 'a' must be skipped, fresh 'c' inserted
+    setup2 = [
+        f'CREATE TABLE {staging} ("Order" VARCHAR(10), "val""ue" DOUBLE)',
+        f"INSERT INTO {staging} VALUES ('a', 9.0), ('c', 3.0)",
+    ]
+    execute_jdbc_statements(
+        spark, derby_url, setup2 + stmts, ignore_errors=("X0Y32",)
+    )
+    got = {
+        (r[0], r[1])
+        for r in spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("query", 'SELECT "Order", "val""ue" FROM "Up""sert Target"')
+        .option("driver", DRIVER)
+        .load()
+        .collect()
+    }
+    assert got == {("a", 1.0), ("b", 2.0), ("c", 3.0)}
