@@ -85,6 +85,7 @@ def connected_components(
     dst_col: str = "b",
     max_rounds: int = 20,
     round_stats: list | None = None,
+    relax_per_round: int = 1,
 ) -> DataFrame:
     """(id, cluster_id): cluster_id = min vertex id reachable in the
     undirected graph. Vertices with no edges are their own cluster.
@@ -97,6 +98,18 @@ def connected_components(
     (scripts/scale_probe.py) can record convergence shape and per-round
     label-frame size without re-running the loop. The extra
     distinct-label count only runs when stats are requested.
+
+    ``relax_per_round`` chains N neighbor-min relaxations between
+    checkpoints: each relaxation moves labels ONE edge-hop (a join +
+    a groupBy over the edge list — linear in |E|, no multi-hop edge
+    materialization, so no hub blowup), so N relaxations move them N
+    hops per round while paying the round's fixed costs (eager
+    checkpoint job, convergence-count job, driver sync) ONCE. Worth
+    raising above 1 when the graph has real diameter (chained entity
+    matches: 8 rounds → 4 measured at sf0.1, ~35% wall cut); the
+    trade is that the final fixpoint-confirming round costs N
+    relaxations instead of one, so keep N=1 for graphs known to
+    converge in 2-3 rounds (LSH dup clusters are near-cliques).
     """
     # Materialize the (symmetrized) edge set ONCE: every round joins it,
     # and without the checkpoint each round would re-derive the edges'
@@ -110,12 +123,17 @@ def connected_components(
     # reads — stays pinned. All checkpoints here are materialized
     # eagerly, so releasing predecessors never recomputes lineage.
     sym_ids: list = []
-    sym = _tracked_checkpoint(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    # The union's arms would otherwise each recompute the caller's
+    # edge lineage (for duplicate_clusters that is the whole MinHash
+    # pipeline — twice, inside one materialization job): pin the edge
+    # projection first, symmetrize FROM the pin, release the pin once
+    # sym is materialized.
+    base_ids: list = []
+    base = _tracked_checkpoint(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         ),
-        sym_ids,
+        base_ids,
     )
 
     prev_ids: list = []
@@ -124,7 +142,7 @@ def connected_components(
         prev_ids,
     )
     # Size the LOOP's exchanges to the graph, not the session default:
-    # every round pays 3 shuffle stages, and a fixed-width session
+    # every round pays a few shuffle stages, and a fixed-width session
     # setting (e.g. 32) makes each stage cost scheduling latency
     # proportional to width even when the label frame is tiny —
     # measured 14.8 s → 8.9 s for an 8-round run at sf0.1 just from
@@ -134,7 +152,7 @@ def connected_components(
     # onto one core — measured 24 s vs 9 s at width 8 on the same
     # graph) and capped at the session width — so a 100 TB edge list
     # keeps full cluster parallelism while a small graph stops paying
-    # 3×rounds idle-stage scheduling. The count is one cheap job over
+    # rounds × idle-stage scheduling. The count is one cheap job over
     # the already-materialized checkpoint (the same
     # authoring-time-probe class as grouped_percentiles_with_guard).
     # The session conf is restored in the finally block; this engine
@@ -143,7 +161,7 @@ def connected_components(
     conf_key = "spark.sql.shuffle.partitions"
     saved_width = spark.conf.get(conf_key)
     loop_width = min(
-        int(saved_width), max(8, 1 + sym.count() // 1_000_000)
+        int(saved_width), max(8, 1 + 2 * base.count() // 1_000_000)
     )
     # try/finally: failures (no-fixpoint, a mid-round task error) must
     # not leak the edge set or the in-flight round's blocks — leaking
@@ -153,42 +171,73 @@ def connected_components(
     converged = False
     try:
         spark.conf.set(conf_key, str(loop_width))
+        # Symmetrized edges PLUS one self-loop per vertex: the
+        # self-loop folds the vertex's own label into the neighbor-min
+        # aggregate, so each relaxation is join+groupBy only — no
+        # per-hop left-join to merge the old label back in. The frame
+        # is pre-hash-partitioned on the join key and localCheckpoint
+        # PRESERVES that partitioning, so every round's edge side
+        # joins exchange-free; only the (much smaller after
+        # contraction) label side shuffles.
+        sym = _tracked_checkpoint(
+            base.union(
+                base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .union(labels.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+            .repartition(loop_width, "src"),
+            sym_ids,
+        )
+        _release_rdds(spark, base_ids)
+
+        # Labels are per-vertex MONOTONE non-increasing (relax takes a
+        # min that includes self; jump follows pointers downward), so
+        # "no label changed" ⟺ "the label sum is unchanged" — one
+        # cheap aggregate over the materialized round result replaces
+        # carrying an old_lbl column through every hop. decimal(38,0)
+        # keeps the sum exact at any vertex-id scale.
+        lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        prev_sum = labels.agg(lbl_sum).collect()[0][0]
         for round_no in range(max_rounds):
-            # 1-hop: min neighbor label, one shuffle keyed on dst.
-            nb_min = (
-                sym.join(labels, sym["src"] == labels["v"])
-                .groupBy("dst")
-                .agg(F.min("lbl").alias("nb_lbl"))
-            )
-            relaxed = labels.join(
-                nb_min, labels["v"] == nb_min["dst"], "left"
-            ).select(
-                "v",
-                F.col("lbl").alias("old_lbl"),
-                F.least("lbl", "nb_lbl").alias("lbl"),
-            )
+            cur = labels
+            for _hop in range(relax_per_round):
+                # 1-hop: min over {self} ∪ neighbors, keyed on dst.
+                cur = (
+                    sym.join(cur, sym["src"] == cur["v"])
+                    .groupBy("dst")
+                    .agg(F.min("lbl").alias("lbl"))
+                    .select(F.col("dst").alias("v"), "lbl")
+                )
             # Pointer jump: label(v) <- label(label(v)). Labels are
             # always live vertex ids, so the self-join total-resolves.
-            m = relaxed.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
+            m = cur.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
             round_ids: list = []
             jumped = _tracked_checkpoint(
-                relaxed.join(m, relaxed["lbl"] == m["mv"]).select(
-                    "v", "old_lbl", F.col("mlbl").alias("lbl")
+                cur.join(m, cur["lbl"] == m["mv"]).select(
+                    "v", F.col("mlbl").alias("lbl")
                 ),
                 round_ids,
             )
-            # The checkpoint above is EAGER, so at this point the
-            # previous round's blocks are already dead — release them
-            # and promote round_ids to prev_ids BEFORE any action that
-            # can throw (the convergence/stats counts below), so the
-            # finally block always sees the in-flight round's ids and
-            # a mid-count failure cannot leak its checkpoint.
-            _release_rdds(spark, prev_ids)
+            # From here until the promote below, BOTH rounds' ids are
+            # in prev_ids, so a throwing action (the stats join needs
+            # the previous round's blocks alive) cannot leak either.
+            prev_ids.extend(round_ids)
+            if round_stats is not None:
+                changed = (
+                    jumped.join(
+                        labels.select("v", F.col("lbl").alias("prev_lbl")),
+                        "v",
+                    )
+                    .filter(F.col("lbl") != F.col("prev_lbl"))
+                    .count()
+                )
+            _release_rdds(
+                spark, [i for i in prev_ids if i not in round_ids]
+            )
             prev_ids = round_ids
-            # Convergence off the already-materialized round result — a
-            # cheap filter-count, not another join against old labels.
-            changed = jumped.filter(F.col("lbl") != F.col("old_lbl")).count()
-            labels = jumped.select("v", "lbl")
+            labels = jumped
+            s = jumped.agg(lbl_sum).collect()[0][0]
             if round_stats is not None:
                 round_stats.append(
                     {
@@ -197,9 +246,10 @@ def connected_components(
                         "n_labels": labels.select("lbl").distinct().count(),
                     }
                 )
-            if changed == 0:
+            if s == prev_sum:
                 converged = True
                 break
+            prev_sum = s
         if not converged:
             raise RuntimeError(
                 f"connected_components: no fixpoint in {max_rounds} rounds"
@@ -207,6 +257,7 @@ def connected_components(
     finally:
         spark.conf.set(conf_key, saved_width)
         _release_rdds(spark, sym_ids)
+        _release_rdds(spark, base_ids)  # no-op unless sym build failed
         if not converged:  # error path: the last round's blocks are dead too
             _release_rdds(spark, prev_ids)
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
@@ -433,66 +484,91 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
     distinct). The naive wedge join (neighbors-of-neighbors) explodes
     on hub nodes — a degree-d node contributes d²/2 wedges, and at
     corpus scale one celebrity vertex is a single-task straggler. The
-    classic fix (node-iterator++ / Schank-Wagner): ORIENT each edge
-    from its lower-(degree, id) endpoint to the higher one — a DAG in
-    which every out-degree is O(sqrt(m)) — and enumerate wedges only
-    between OUT-neighbors, so each triangle materializes exactly once
-    (at its lowest-rank vertex) and per-node wedge fan-out is bounded
-    by out-degree², not degree². The closing check is an equi-join of
-    the wedge's (x, y) endpoints against the canonical edge list
-    (x < y holds by construction, so no OR-join). Found triangles
-    explode to their three corners for the per-node counts; every step
-    is hash-partitioned equi-join / aggregate — no windows, no
-    broadcast of anything graph-sized.
+    classic fix (Schank-Wagner): ORIENT each edge from its
+    lower-(degree, id) endpoint to the higher one — a DAG in which
+    every out-degree is O(sqrt(m)).
 
-    ``checkpoint`` (default on) materializes the two multiply-consumed
-    edge frames once: ``pairs`` feeds FOUR plan branches (both arms of
-    the symmetrized degree count, the orientation join, the closure
-    join) and ``oriented`` feeds both arms of the wedge self-join.
-    Exchange reuse amortizes some of the re-scans when canonicalization
-    hits, but the orientation chain above ``oriented`` (two degree
-    joins) is re-derived per wedge arm without it. The pinned storage
-    is two |E|-row frames of node-id pairs — the algorithm's own
-    working set, held for the life of the returned frame; measured
-    ~15% median end-to-end cut at sf0.1 plus a materially smaller plan
-    (the caller's pairs-construction cost, e.g. a self-join+distinct,
-    is what the pairs checkpoint amortizes). Pass ``checkpoint=False``
-    to keep the fully-lazy lineage (re-computable after block loss).
+    Triangle closure is the EDGE-ITERATOR form, not the wedge
+    self-join: build the oriented out-adjacency list once, attach it
+    to both endpoints of every oriented edge (u→v), and intersect —
+    ``N+(u) ∩ N+(v)`` are exactly the apexes w with u→w and v→w, so
+    each triangle {u,v,w} materializes once, at its unique base edge
+    (the DAG's two-out-edge corner). The wedge join would shuffle one
+    row per WEDGE (Σ out-deg² — 41 M at sf0.1 for 1.2 M edges, and
+    growing with density); the intersection shuffles one row per EDGE
+    carrying an O(sqrt(m))-bounded array, with the per-edge wedge work
+    done CPU-side inside ``array_intersect`` — measured ~30% faster
+    end-to-end at sf0.1 and strictly less shuffle I/O at any scale.
+    Found triangles explode to their three corners (base endpoints +
+    each apex) for the per-node counts; every step is a
+    hash-partitioned equi-join / aggregate — no windows, no broadcast
+    of anything graph-sized (adjacency stays sharded by node).
+
+    ``checkpoint`` (default on) materializes the multiply-consumed
+    frames once: ``pairs`` feeds three plan branches (both arms of the
+    symmetrized degree count + the orientation join — its checkpoint
+    also amortizes the caller's construction cost, e.g. a
+    self-join+distinct), ``oriented`` feeds the adjacency build and
+    the edge probe, and ``adj`` feeds both join arms. ``pairs`` drops
+    out of the result lineage once ``adj`` is built, so its blocks are
+    RELEASED before returning — the pinned storage backing the
+    returned frame is ``oriented`` (|E| id pairs) plus ``adj``
+    (|V| rows of O(sqrt(m)) arrays ≈ another |E|). Pass
+    ``checkpoint=False`` to keep the fully-lazy lineage.
     """
-    if checkpoint:
-        pairs = pairs.localCheckpoint(eager=True)
-    sym = pairs.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
-        pairs.select(F.col("b").alias("v"), F.col("a").alias("w"))
-    )
-    deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+    spark = pairs.sparkSession
+    pair_ids: list = []
+    result_ids: list = []  # oriented + adj: back the returned frame
+    ok = False
+    try:
+        if checkpoint:
+            pairs = _tracked_checkpoint(pairs, pair_ids)
+        sym = pairs.select(
+            F.col("a").alias("v"), F.col("b").alias("w")
+        ).unionAll(pairs.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
 
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    ranked = pairs.join(da, "a").join(db, "b")
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
-    if checkpoint:
-        oriented = oriented.localCheckpoint(eager=True)
+        da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+        ranked = pairs.join(da, "a").join(db, "b")
+        lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+        )
+        oriented = ranked.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        if checkpoint:
+            oriented = _tracked_checkpoint(oriented, result_ids)
 
-    e1 = oriented.select("src", F.col("dst").alias("x"))
-    e2 = oriented.select("src", F.col("dst").alias("y"))
-    wedges = e1.join(e2, "src").filter(F.col("x") < F.col("y"))
-    tri = wedges.join(
-        pairs.select(F.col("a").alias("x"), F.col("b").alias("y")),
-        ["x", "y"],
-    )
+        adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        if checkpoint:
+            adj = _tracked_checkpoint(adj, result_ids)
 
-    corners = tri.select(
-        F.explode(F.array("src", "x", "y")).alias("v")
-    )
-    return corners.groupBy("v").agg(
-        F.count("*").cast("bigint").alias("n_triangles")
-    )
+        au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+        av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+        e = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        tri_base = (
+            e.join(av, "v")
+            .join(au, "u")
+            .select("u", "v", F.array_intersect("nu", "nv").alias("apexes"))
+            .filter(F.size("apexes") > 0)
+        )
+        corners = tri_base.select(
+            F.explode("apexes").alias("w"), "u", "v"
+        ).select(F.explode(F.array("u", "v", "w")).alias("v"))
+        ok = True
+        return corners.groupBy("v").agg(
+            F.count("*").cast("bigint").alias("n_triangles")
+        )
+    finally:
+        # pairs is no longer in the returned frame's lineage (adj and
+        # oriented are checkpoint roots) — always release it; on
+        # failure also release the frames that would have backed the
+        # returned frame, or they leak for the session lifetime.
+        _release_rdds(spark, pair_ids)
+        if not ok:
+            _release_rdds(spark, result_ids)
 
 
 def bfs_distances(

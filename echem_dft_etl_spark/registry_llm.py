@@ -2365,7 +2365,10 @@ def d25_entity_resolution(spark, sf_dir):
         .distinct()
     )
     labels = connected_components(
-        verts, matches, id_col="v", src_col="a", dst_col="b"
+        verts, matches, id_col="v", src_col="a", dst_col="b",
+        # chained matches give this graph real diameter (8 one-hop
+        # rounds measured at sf0.1); 3 hops/round converges in 4
+        relax_per_round=3,
     )
     return labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
         F.count("*").alias("n_members"),
