@@ -71,65 +71,71 @@ def _register(name, oracle, survey_ids=()):
 #: primary query per operator family, redundant variants after the
 #: window. tests/test_registry_order.py asserts the invariant: the
 #: survey-id union of the first 50 equals the union over all queries.
+#: The driver value-checks the FIRST 50 registered queries. The window
+#: ROTATES per round (VERDICT r7 item 6): each slot is filled by a
+#: same-SURVEY-id variant that has not yet had driver-grade evidence,
+#: while `tests/test_registry_order.py` enforces that every in-scope
+#: SURVEY §2 id keeps at least one claimant inside the window. Round-8
+#: rotation: 27 slots swapped to first-time occupants (the r1-r7
+#: window was identical every round; its members all carry seven
+#: rounds of driver evidence already).
 PRIORITY: tuple[str, ...] = (
     # reference core (Q1-Q22) + the e2e / pipe / serializer surfaces
     "echem_flagship",
     "q01_pushdown_scan",
-    "q02_keylist_scan",
+    "q02_keylist_semijoin",
     "q04_string_to_digits",
-    "q05_last_match_per_key",
+    "s02_custom_datasource",
     "q08_scalar_arithmetic",
     "q09_path_strings",
     "q10_serializer_expr",
-    "q11_det_sample",
+    "q11_stratified_sample",
     "q12_det_pick_one",
-    "q13_generate_grid",
+    "pipeline_reference_e2e",
     "q14_group_index",
-    "q16_upsert_first_wins",
-    "q17_multi_join",
-    "q21_pricing_summary",
-    # S1/S4 value-checked read-back (the e2e composition of the same
-    # sinks stays registered behind the window, rows-only)
-    "s01_sink_roundtrip",
+    "s03_deletion_vectors",
+    "sql_surface_revenue_by_nation",
+    "sql_surface_pricing",
+    "s04_custom_sink",
     "pipe_external_solver",
     "d01_nested_sites",
     # relational extensions (X1-X9)
-    "x01_group_topk",
-    "x02_set_ops",
-    "x03_rollup",
+    "x01_global_rownum",
+    "x02_set_ops_all",
+    "x03_grouping_sets",
     "x03_time_rollup",
-    "x04_analytic_windows",
-    "x05_left_outer_agg",
-    "x05_semi_anti",
-    "x05_range_join",
+    "x04_rolling_wau",
+    "x05_full_outer",
+    "x05_nullsafe_join",
+    "x05_range_join_binned",
     "s16_asof_join",
     "s15_salted_join",
-    "x06_percentiles_distinct",
-    "x07_datetime",
-    "x08_json_extract",
-    "x09_sessionize",
+    "s18_outlier_mad",
+    "x07_cohort_retention",
+    "x08_variant_shred",
+    "x09_dynamic_gap_sessions",
     # streaming (X10)
     "x10_stream_tumbling",
-    "x10_stream_sessions",
+    "x10_stream_trending",
     "x10_stream_stateful_profile",
     "x10_stream_stream_join",
     # dedup (X11)
     "d11_dedup_exact",
-    "d12_minhash_lsh",
+    "d12_minhash_lsh_prod",
     "d12_dup_clusters",
-    "d13_simhash_pairs",
-    "d14_ngram_jaccard",
+    "d13_simhash",
+    "d26_containment_pairs",
     # similarity (X12)
-    "s12_cosine_topk",
+    "s12_pq_topk",
     "s12_cosine_near_pairs",
     "s12_near_pairs_pruned",
     "s12_ann_lsh_multiprobe",
-    "s12_ivf_topk",
+    "s12_ivfpq_topk",
     "s12_kmeans_refine",
     # text analysis (X13) / UDF surfaces (X14) / multimodal
-    "t13_token_stats",
+    "t13_language_id",
     "x14_grouped_fit_pandas",
-    "mm_decode_features",
+    "mm_image_phash_pairs",
 )
 
 

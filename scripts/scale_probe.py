@@ -170,12 +170,37 @@ def _binned_range_probe(spark, k: int, stride: int = 10_000_000):
     return binned_range_join(pts, itv, "v", "lo", "hi", bin_width=8)
 
 
-def build_probes(spark, k: int, cc_stats: list):
+def _stream_fixture(spark, k: int, tmpdir: str) -> str:
+    """Write the K-scaled events corpus as a parquet dir ONCE (outside
+    the timed section) so the streaming probes measure replay cost,
+    not fixture construction."""
+    import os
+
+    from echem_dft_etl_spark.sources import load_table
+
+    path = os.path.join(tmpdir, f"events_k{k}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        scaled(load_table(spark, BASE, "events"), "user_id", k).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
+                 families: set | None = None):
     """(family, name, build_fn) triples over K-scaled corpora. Every
-    probe returns a DataFrame whose count() forces full execution."""
+    probe returns a DataFrame whose count() forces full execution.
+    ``families`` restricts which probe families are constructed (extra
+    ladder rungs probe one family without paying fixture costs for the
+    rest)."""
     from pyspark.sql import functions as F
 
-    from echem_dft_etl_spark.operators import dedup, retrieval, similarity
+    from echem_dft_etl_spark.operators import (
+        dedup,
+        multimodal,
+        retrieval,
+        similarity,
+    )
     from echem_dft_etl_spark.operators.components import (
         bfs_distances,
         duplicate_clusters,
@@ -186,6 +211,31 @@ def build_probes(spark, k: int, cc_stats: list):
     docs = scaled(load_table(spark, BASE, "documents"), "doc_id", k)
     emb = scaled(load_table(spark, BASE, "embeddings"), "vec_id", k)
     events = scaled(load_table(spark, BASE, "events"), "user_id", k)
+
+    def stream_tumbling():
+        from echem_dft_etl_spark.streaming.windows import (
+            run_to_memory,
+            tumbling_counts,
+        )
+
+        path = _stream_fixture(spark, k, tmpdir)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        return run_to_memory(
+            tumbling_counts(stream, "1 hour", "2 hours"), spark,
+            mode="complete",
+        )
+
+    def stream_trending():
+        from pyspark.sql.window import Window
+
+        counts = stream_tumbling()
+        rk = F.row_number().over(
+            Window.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), "event_type"
+            )
+        )
+        return counts.withColumn("rk", rk).filter(F.col("rk") <= 3)
 
     def coorder_edges():
         # disjoint K copies of the co-order part graph (both ids shifted)
@@ -224,7 +274,7 @@ def build_probes(spark, k: int, cc_stats: list):
         )
         return bfs_distances(edges, seeds, max_hops=4)
 
-    return [
+    probes = [
         # --- LSH / fuzzy dedup family ---
         (
             "lsh",
@@ -291,7 +341,29 @@ def build_probes(spark, k: int, cc_stats: list):
                 docs, ("spark", "merge", "window", "vector", "stream"), 25
             ),
         ),
+        # --- streaming replay (state store + micro-batch commits) ---
+        ("stream", "x10_stream_tumbling", stream_tumbling),
+        ("stream", "x10_stream_trending", stream_trending),
+        # --- multimodal decode (Arrow-batched pandas UDF over real
+        # BMP bytes; payload built in the same job so the probe times
+        # the encode+decode pipeline, not a file-sink fixture) ---
+        (
+            "mm",
+            "mm_decode_features",
+            lambda: multimodal.decode_batch(
+                multimodal.build_bmp_payload(docs)
+            ),
+        ),
     ]
+    if families is not None:
+        probes = [p for p in probes if p[0] in families]
+    return probes
+
+
+#: Extra ladder rung for the join family only (r7 item 7: tighten the
+#: exponent fit with a 4th point) — joins are cheap enough to probe at
+#: K=8 without doubling the whole run.
+JOIN_EXTRA_K = 8
 
 
 def main() -> None:
@@ -309,34 +381,53 @@ def main() -> None:
     except Exception:
         load0 = []
 
+    import shutil
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="scale_probe_")
     results: dict[str, dict] = {}
     cc_rounds: dict[int, list] = {}
-    for k in ks:
-        cc_stats: list = []
-        for family, name, build in build_probes(spark, k, cc_stats):
-            t0 = time.perf_counter()
-            n = build().count()
-            dt = round(time.perf_counter() - t0, 2)
-            print(f"K={k} {name}: {n} rows in {dt}s", flush=True)
-            slot = results.setdefault(
-                name, {"family": family, "seconds": {}, "rows": {}}
-            )
-            slot["seconds"][str(k)] = dt
-            slot["rows"][str(k)] = n
-        if cc_stats:
-            cc_rounds[k] = cc_stats
-            print(f"K={k} d12 per-round label frames: {cc_stats}", flush=True)
+    # main ladder runs every family; the join family gets one extra
+    # high rung to tighten its exponent fit.
+    rungs = [(k, None) for k in ks]
+    if JOIN_EXTRA_K not in ks:
+        rungs.append((JOIN_EXTRA_K, {"join"}))
+    try:
+        for k, families in rungs:
+            cc_stats: list = []
+            for family, name, build in build_probes(
+                spark, k, cc_stats, tmpdir, families
+            ):
+                t0 = time.perf_counter()
+                n = build().count()
+                dt = round(time.perf_counter() - t0, 2)
+                print(f"K={k} {name}: {n} rows in {dt}s", flush=True)
+                slot = results.setdefault(
+                    name, {"family": family, "seconds": {}, "rows": {}}
+                )
+                slot["seconds"][str(k)] = dt
+                slot["rows"][str(k)] = n
+            if cc_stats:
+                cc_rounds[k] = cc_stats
+                print(
+                    f"K={k} d12 per-round label frames: {cc_stats}",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
     for name, slot in results.items():
-        secs = [slot["seconds"][str(k)] for k in ks]
-        rows = [float(slot["rows"][str(k)]) for k in ks]
-        slot["time_exponent"] = _fit_exponent(ks, secs)
-        slot["rows_exponent"] = _fit_exponent(ks, rows)
+        slot_ks = sorted(int(k) for k in slot["seconds"])
+        secs = [slot["seconds"][str(k)] for k in slot_ks]
+        rows = [float(slot["rows"][str(k)]) for k in slot_ks]
+        slot["time_exponent"] = _fit_exponent(slot_ks, secs)
+        slot["rows_exponent"] = _fit_exponent(slot_ks, rows)
 
     artifact = {
         "generated_by": "scripts/scale_probe.py",
         "base": BASE,
         "k_values": ks,
+        "join_extra_k": JOIN_EXTRA_K,
         "loadavg_start": load0,
         "cpus": os.cpu_count(),
         "probes": results,

@@ -55,30 +55,42 @@ def test_window_retains_every_canonical_survey_id():
     )
 
 
-def test_previously_unchecked_surfaces_in_window():
-    """The five SURVEY ids flagged by VERDICT r1 (Q10, S1, S2, S4, X10)
-    must have their primary queries inside the window."""
+#: Every name that has occupied a driver-window slot in a PAST round
+#: (the r1-r7 window was the same 50 names each round). The rotation
+#: policy (VERDICT r7 item 6) requires each round's window to give
+#: driver-grade evidence to queries that never had it.
+PREVIOUS_WINDOW_MEMBERS = frozenset(
+    {
+        "echem_flagship", "q01_pushdown_scan", "q02_keylist_scan",
+        "q04_string_to_digits", "q05_last_match_per_key",
+        "q08_scalar_arithmetic", "q09_path_strings",
+        "q10_serializer_expr", "q11_det_sample", "q12_det_pick_one",
+        "q13_generate_grid", "q14_group_index", "q16_upsert_first_wins",
+        "q17_multi_join", "q21_pricing_summary", "s01_sink_roundtrip",
+        "pipe_external_solver", "d01_nested_sites", "x01_group_topk",
+        "x02_set_ops", "x03_rollup", "x03_time_rollup",
+        "x04_analytic_windows", "x05_left_outer_agg", "x05_semi_anti",
+        "x05_range_join", "s16_asof_join", "s15_salted_join",
+        "x06_percentiles_distinct", "x07_datetime", "x08_json_extract",
+        "x09_sessionize", "x10_stream_tumbling", "x10_stream_sessions",
+        "x10_stream_stateful_profile", "x10_stream_stream_join",
+        "d11_dedup_exact", "d12_minhash_lsh", "d12_dup_clusters",
+        "d13_simhash_pairs", "d14_ngram_jaccard", "s12_cosine_topk",
+        "s12_cosine_near_pairs", "s12_near_pairs_pruned",
+        "s12_ann_lsh_multiprobe", "s12_ivf_topk", "s12_kmeans_refine",
+        "t13_token_stats", "x14_grouped_fit_pandas", "mm_decode_features",
+    }
+)
+
+
+def test_window_rotation_gives_fresh_driver_evidence():
+    """≥15 of this round's window slots must be occupied by queries
+    that never had driver-grade evidence before (VERDICT r7 item 6) —
+    and the never-checked e2e composition must be among them."""
     specs = _ordered_specs()
     window = {s.name for s in specs[:DRIVER_WINDOW]}
-    for required in (
-        "q10_serializer_expr",
-        # r3: S1/S4 value-checked read-back replaces the rows-only e2e
-        # slot; the pruned near-pairs variant is the VERDICT r2 ask
-        "s01_sink_roundtrip",
-        "s12_near_pairs_pruned",
-        "pipe_external_solver",
-        "x10_stream_tumbling",
-        "x10_stream_sessions",
-        "mm_decode_features",
-        "s12_ann_lsh_multiprobe",
-        "s16_asof_join",
-        "s15_salted_join",
-        "x03_time_rollup",
-        "x14_grouped_fit_pandas",
-        "d01_nested_sites",
-        # r2 promotions: the transitive dedup clusters and the
-        # value-checked stream-stream interval join
-        "d12_dup_clusters",
-        "x10_stream_stream_join",
-    ):
-        assert required in window, f"{required} outside driver window"
+    fresh = window - PREVIOUS_WINDOW_MEMBERS
+    assert len(fresh) >= 15, (
+        f"only {len(fresh)} first-time window members: {sorted(fresh)}"
+    )
+    assert "pipeline_reference_e2e" in window
