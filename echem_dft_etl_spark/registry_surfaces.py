@@ -4305,3 +4305,133 @@ def mm_audio_fingerprint_pairs(spark, sf_dir):
         F.col("b.doc_id").alias("id_b"),
         F.col("a.afp").alias("afp"),
     )
+
+
+#: Disjunctive bracket predicates across a join (TPC-H Q19 shape),
+#: dialect-portable: same text runs in Spark and DuckDB. Revenue is
+#: summed in integer cents (per-row ROUND before SUM) so cross-engine
+#: float summation order cannot move the hash.
+_DISJUNCT_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@_register(
+    "sql_surface_disjunct_revenue",
+    oracle=_DISJUNCT_REVENUE_SQL,
+    survey_ids=("Q17", "Q21", "Q1"),
+)
+def sql_surface_disjunct_revenue(spark, sf_dir):
+    """Disjunctive-bracket revenue report (TPC-H Q19 shape): three
+    OR'd conjunction brackets spanning BOTH join sides. The optimizer
+    test is predicate FACTORING: the common ``p_partkey = l_partkey``
+    must stay a hash-join key (an OR across join inputs naively forces
+    a nested loop), and the per-side residuals should split so each
+    scan prunes locally — Catalyst extracts the brand/size brackets to
+    the part scan and the quantity brackets to the lineitem scan
+    before the join (CNF conversion of the disjunction's common
+    factors), leaving the cross-side OR as a post-join residual. At
+    100 TB the difference is a broadcast hash join over pruned scans
+    vs a cartesian disaster. Revenue in integer cents keeps the
+    value-hash engine-stable. Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DISJUNCT_REVENUE_SQL)
+
+
+#: Global-average threshold + anti-join (TPC-H Q22 shape),
+#: dialect-portable. The AVG appears only in a comparison (never
+#: emitted), so cross-engine float summation cannot change the row set
+#: unless a balance sits within one ulp of the mean — impossible for
+#: 2-decimal balances at this cardinality (same argument as
+#: sql_correlated_subquery).
+_GLOBAL_AVG_ANTI_SQL = """
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 150000)
+GROUP BY c_nationkey
+"""
+
+
+@_register(
+    "sql_surface_global_avg_anti",
+    oracle=_GLOBAL_AVG_ANTI_SQL,
+    survey_ids=("X5", "Q21", "X6"),
+)
+def sql_surface_global_avg_anti(spark, sf_dir):
+    """Dormant-high-value-customer report (TPC-H Q22 shape): an
+    UNCORRELATED scalar subquery (global average balance — one row,
+    broadcast to every comparison) gates the scan, and a correlated
+    NOT EXISTS prunes customers who ever placed a large urgent order.
+    Catalyst plans the scalar subquery as a one-row broadcast (no
+    per-row re-execution) and rewrites NOT EXISTS into a LEFT ANTI
+    hash join on ``o_custkey`` — the two subquery decorrelations a
+    migrating SQL user relies on most. The EXISTS-side predicates
+    (priority + price) push to the orders scan BEFORE the anti join,
+    so at 100 TB the anti-join build side is the filtered sliver, not
+    the orders table. Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GLOBAL_AVG_ANTI_SQL)
+
+
+@_register(
+    "x06_sketch_mergeable",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    survey_ids=("X6", "Q21"),
+)
+def x06_sketch_mergeable(spark, sf_dir):
+    """MERGEABLE distinct-count sketches (X6's scale path): per-bucket
+    partial HLL sketches (Apache DataSketches via ``hll_sketch_agg``,
+    lgK=12) are UNIONED per segment (``hll_union_agg``) and estimated
+    — the two-level shape every 100 TB metrics pipeline uses (Druid/
+    Pinot/BigQuery pattern: maintain a few-KB sketch per partition or
+    per day at ingest, answer "distinct over any partition subset" at
+    query time by merging sketches, never by re-scanning the fact
+    table; approx_count_distinct alone cannot do this because its
+    intermediate is not a storable column). The row count rides the
+    same partial frame, proving partials compose for mixed aggregates.
+
+    The oracle is the EXACT distinct count: at the tested
+    cardinalities (≤25 distinct nations per segment) the DataSketches
+    estimator is still in sparse/coupon mode, where the estimate IS
+    the exact coupon count (verified sf0.001/0.01/0.1) — so parity
+    proves the merge path bit-correct, not approximately right. At
+    production cardinalities the same plan returns ~1.6% RSE
+    estimates; that trade is the operator's documented contract.
+    """
+    c = _ld(spark, sf_dir, "customer")
+    partial = c.groupBy(
+        "c_mktsegment", (F.col("c_custkey") % 8).alias("bucket")
+    ).agg(
+        F.expr("hll_sketch_agg(c_nationkey, 12)").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return partial.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_nations"),
+        F.sum("n").alias("n_customers"),
+    )

@@ -514,3 +514,30 @@ def test_pipe_syntax_lowers_to_classic_plan(spark):
     assert any("o_orderdate" in f for f in s["pushed_filters"]), s
     assert s["shuffle_exchanges"] == 1, s
     assert s["cartesian_products"] == 0, s
+
+
+def test_disjunct_revenue_factors_predicates_to_both_scans(spark):
+    """TPC-H Q19 shape: the OR of three conjunction brackets must not
+    break the equi-join (no nested loop / cartesian), and the common
+    factors must split per side — quantity brackets pushed to the
+    lineitem scan, brand/size brackets to the part scan — leaving only
+    the cross-side OR as a post-join residual."""
+    df = all_queries()["sql_surface_disjunct_revenue"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(plans.inspect.pushed_filters(df))
+    assert "l_quantity" in pushed, "quantity brackets not pushed to lineitem"
+    assert "p_brand" in pushed, "brand brackets not pushed to part"
+
+
+def test_global_avg_anti_decorrelates(spark):
+    """TPC-H Q22 shape: the uncorrelated scalar subquery must appear
+    as a one-shot subquery (pushed into the customer scan filter, not
+    re-executed per row) and NOT EXISTS must plan as a LEFT ANTI
+    join."""
+    df = all_queries()["sql_surface_global_avg_anti"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "LeftAnti" in plan
+    pushed = " ".join(plans.inspect.pushed_filters(df))
+    assert "ScalarSubquery" in pushed, "global-avg gate not pushed to scan"
