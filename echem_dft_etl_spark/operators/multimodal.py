@@ -543,6 +543,66 @@ def sample_y4m_frames(df: DataFrame, stride: int = 2) -> DataFrame:
     return df.mapInPandas(gen, VIDEO_FRAME_SCHEMA)
 
 
+def y4m_scene_cuts(df: DataFrame, min_mean_delta: int = 5) -> DataFrame:
+    """Scene-change detection over Y4M video payloads: decode EVERY
+    frame's full luma plane (Arrow-batched ``mapInPandas``, bytes never
+    leave the executor), then flag frames whose mean-luma jump from the
+    previous frame is at least ``min_mean_delta`` gray levels — the
+    classic luma-difference shot-boundary detector (the first stage of
+    any video-training-data curation pipeline: segment on cuts, then
+    sample/caption per shot). Composition shape: decoded per-frame
+    features enter a per-video ``lag`` window, so the shuffle carries
+    only ``(doc_id, frame_index, luma_sum, plane)`` — a few dozen bytes
+    per frame regardless of resolution; at 100 TB decode dominates and
+    is embarrassingly parallel. The threshold comparison is exact
+    integer arithmetic (``|Δsum| ≥ delta·plane``), so the cut set is
+    engine-stable for the DuckDB oracle. Malformed payloads contribute
+    zero rows (same degrade contract as every decoder here)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_index": [],
+                "luma_sum": [],
+                "plane": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = parse_y4m(bytes(payload))
+                if v is None:
+                    continue
+                plane = v["width"] * v["height"]
+                for i, frame in enumerate(v["frames"]):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(i)
+                    rows["luma_sum"].append(int(sum(frame)))
+                    rows["plane"].append(plane)
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.window import Window
+
+    feats = df.mapInPandas(
+        gen, "doc_id bigint, frame_index int, luma_sum bigint, plane int"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    return (
+        feats.withColumn("prev_luma", F.lag("luma_sum").over(w))
+        .filter(F.col("prev_luma").isNotNull())
+        .withColumn(
+            "delta_abs", F.abs(F.col("luma_sum") - F.col("prev_luma"))
+        )
+        .filter(
+            F.col("delta_abs") >= F.lit(min_mean_delta) * F.col("plane")
+        )
+        .select(
+            "doc_id",
+            "frame_index",
+            F.col("luma_sum").cast("bigint").alias("luma_sum"),
+            F.col("delta_abs").cast("bigint").alias("delta_abs"),
+        )
+    )
+
+
 #: One row per analysis window — the audio STFT-framing shape.
 AUDIO_CHUNK_SCHEMA = (
     "doc_id bigint, chunk_index int, start_sample int, n_chunk_samples int, "

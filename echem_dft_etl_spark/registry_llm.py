@@ -2343,10 +2343,15 @@ def d25_entity_resolution(spark, sf_dir):
     from .operators.fuzzy import fuzzy_match_pairs
 
     part = _ld(spark, sf_dir, "part")
+    # Both sides feed THREE consumers each (segment/probe generation,
+    # name re-attach for the verify, vertex set) — checkpoint once so
+    # the catalog groupBy and the typo projection execute once instead
+    # of three times (r8 trim; same discipline as d20's stage pins).
     catalog = (
         part.groupBy("p_name")
         .agg(F.min("p_partkey").alias("name_id"))
         .select("name_id", F.col("p_name").alias("cname"))
+        .localCheckpoint(eager=True)
     )
     queries = part.select(
         (F.col("p_partkey") + _ER_OFFSET).alias("qid"),
@@ -2354,7 +2359,7 @@ def d25_entity_resolution(spark, sf_dir):
             f"substr(p_name, 1, {_TYPO_POS} - 1)"
             f" || substr(p_name, {_TYPO_POS} + 1)"
         ).alias("qname"),
-    )
+    ).localCheckpoint(eager=True)
     matches = fuzzy_match_pairs(
         catalog, queries, "name_id", "cname", "qid", "qname", k=2
     ).select(F.col("qid").alias("a"), F.col("cat_id").alias("b"))

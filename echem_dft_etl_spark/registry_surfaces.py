@@ -4435,3 +4435,268 @@ def x06_sketch_mergeable(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_nations"),
         F.sum("n").alias("n_customers"),
     )
+
+
+#: Correlated scalar-aggregate subquery (TPC-H Q17 shape),
+#: dialect-portable: the per-part average is compared, never emitted.
+#: Quantities are integral (stored as double), so SUM/AVG are exact in
+#: IEEE double at any summation order and the strict ``<`` gate is
+#: engine-stable; revenue emits in integer cents.
+_SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS small_qty_revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2' AND p_size < 15
+  AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@_register(
+    "sql_surface_small_qty_revenue",
+    oracle=_SMALL_QTY_REVENUE_SQL,
+    survey_ids=("Q17", "Q21", "X6"),
+)
+def sql_surface_small_qty_revenue(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): a CORRELATED
+    scalar AGGREGATE subquery — each lineitem row compares its quantity
+    against half the average quantity OF ITS OWN PART. The optimizer
+    test is aggregate decorrelation: Catalyst must rewrite the per-row
+    subquery into one grouped aggregate over lineitem (one row per
+    partkey) joined back on the correlation key — executed ONCE, not
+    per outer row (naively this is O(|lineitem|²)). At 100 TB the
+    rewritten form is two scans + one shuffle on partkey; the naive
+    form never finishes. Quantities are integral so the average is
+    IEEE-exact at any summation order, making the strict ``<`` gate
+    engine-stable (same argument as sql_correlated_subquery). Same
+    text is the DuckDB oracle; the plan test pins the decorrelated
+    aggregate + join shape."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_REVENUE_SQL)
+
+
+#: Double-correlated EXISTS / NOT EXISTS self-joins (TPC-H Q21 shape),
+#: dialect-portable. "Late" is shipdate > orderdate + 60 days (this
+#: corpus carries no commit/receipt dates); the strict ``>`` on exact
+#: timestamps is engine-stable (33 rows sit exactly ON the boundary at
+#: sf0.01 and are excluded identically by both engines).
+_WAITING_SUPPLIER_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+@_register(
+    "sql_surface_waiting_supplier",
+    oracle=_WAITING_SUPPLIER_SQL,
+    survey_ids=("X5", "Q17", "Q21"),
+)
+def sql_surface_waiting_supplier(spark, sf_dir):
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape — the
+    benchmark's hardest decorrelation): a 4-table join where each
+    surviving row must ALSO satisfy a correlated EXISTS (some OTHER
+    supplier contributed to the same order — multi-supplier orders
+    only) and a correlated NOT EXISTS (no OTHER supplier was late on
+    it — the blame is exclusive). The NOT EXISTS correlates on TWO
+    outer relations (l1's orderkey, o's orderdate), so Catalyst must
+    rewrite both subqueries into LEFT SEMI and LEFT ANTI self-joins of
+    lineitem on orderkey with the supplier-inequality and lateness
+    residuals as join conditions — at 100 TB that is two shuffles on
+    orderkey instead of per-row rescans of the fact table. Same text
+    is the DuckDB oracle; the plan test pins one semi + one anti join
+    and zero nested loops."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WAITING_SUPPLIER_SQL)
+
+
+@_register(
+    "mm_scene_cuts",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L,
+                      ((doc_id % 4) + 1) * 4 AS w,
+                      ((doc_id % 3) + 1) * 4 AS h,
+                      (doc_id % 4) + 2 AS nf
+               FROM documents),
+    f AS (SELECT doc_id, w, h, nf, hx, L,
+                 unnest(range(0, nf)) AS fi
+          FROM d),
+    s AS (SELECT doc_id, CAST(fi AS INTEGER) AS frame_index, w * h AS plane,
+                 CAST(list_sum(list_transform(range(0, w * h),
+                      j -> ('0x' || substr(hx, ((fi * w * h + j) % L) * 2 + 1,
+                                           2))::BIGINT)) AS BIGINT)
+                     AS luma_sum
+          FROM f),
+    dlt AS (SELECT doc_id, frame_index, luma_sum, plane,
+                   luma_sum - LAG(luma_sum) OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_index)
+                       AS delta
+            FROM s)
+    SELECT doc_id, frame_index, luma_sum,
+           CAST(ABS(delta) AS BIGINT) AS delta_abs
+    FROM dlt
+    WHERE delta IS NOT NULL AND ABS(delta) >= 5 * plane
+    """,
+    survey_ids=("X14", "X4"),
+)
+def mm_scene_cuts(spark, sf_dir):
+    """Shot-boundary (scene-cut) detection over real Y4M video bytes:
+    decode EVERY frame's full luma plane in an Arrow-batched
+    ``mapInPandas``, then flag frames whose mean-luma jump from the
+    previous frame is ≥ 5 gray levels via a per-video ``lag`` window —
+    the luma-difference detector that fronts video training-data
+    curation (segment on cuts, then sample/caption per shot). The
+    composition is the point: decoded per-frame features flow straight
+    into a window function, and the shuffle carries only the narrow
+    feature rows, never pixels. The oracle re-derives every full-plane
+    luma sum from first principles (hex byte extraction over the
+    contiguously-cycled text bytes) and replays the lag + threshold in
+    SQL. operators/multimodal.py::y4m_scene_cuts."""
+    from .operators.multimodal import build_y4m_payload, y4m_scene_cuts
+
+    docs = _ld(spark, sf_dir, "documents")
+    return y4m_scene_cuts(build_y4m_payload(docs), min_mean_delta=5)
+
+
+@_register(
+    "t13_keyword_extract",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCKDB_TOKENS.format(col='text')} AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    idf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY token),
+    r AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+                 CAST(ROW_NUMBER() OVER (
+                      PARTITION BY tf.doc_id
+                      ORDER BY tf.tf DESC, idf.df ASC, tf.token ASC)
+                   AS INTEGER) AS rnk
+          FROM tf JOIN idf USING (token))
+    SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3
+    """,
+    survey_ids=("X13", "X1"),
+)
+def t13_keyword_extract(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens ranked by
+    (term frequency DESC, global document frequency ASC, token ASC) —
+    the integer-exact core of TF-IDF ranking (monotone in tf and in
+    1/df) with zero float arithmetic, so the keyword set is
+    engine-stable by construction instead of by ulp argument. Plan
+    shape: one explode → per-(doc, token) hash agg (map-side combine)
+    → vocabulary-sized df agg → shuffled equi-join on token → per-doc
+    top-k window. At 100 TB both aggregates are partial-combinable,
+    the join key is the token (uniform unless the vocabulary is
+    Zipf-skewed — exactly what the df side measures, feeding the
+    salting helper if needed), and the window partitions by doc_id —
+    no global sort anywhere."""
+    from pyspark.sql.window import Window
+
+    from .functions.text import tokens
+
+    docs = _ld(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "rnk")
+    )
+
+
+@_register(
+    "x04_hampel_outliers",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+    w AS (SELECT event_id, user_id, cents,
+                 list_sort(list(cents) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS win
+          FROM e),
+    m AS (SELECT event_id, user_id, cents,
+                 win[3] AS med,
+                 list_sort(list_transform(win, x -> abs(x - win[3])))[3]
+                     AS mad
+          FROM w WHERE len(win) = 5)
+    SELECT event_id, user_id, cents, med, mad
+    FROM m WHERE ABS(cents - med) > 3 * mad
+    """,
+    survey_ids=("X4", "X6"),
+)
+def x04_hampel_outliers(spark, sf_dir):
+    """Hampel outlier filter (X4 robust-analytics axis): flag events
+    whose value deviates from the CENTERED rolling median of their
+    user's 5-event window by more than 3 rolling MADs — the robust
+    time-series despiking filter (median/MAD shrug off the very
+    outliers that poison mean/stddev control charts). Exactness is the
+    point: the window is 5 rows, so median and MAD are rank selections
+    on a sorted 5-array in integer cents — no percentile
+    approximation, no float accumulation, engine-stable by
+    construction. Plan shape: one shuffle on user_id, then per-row
+    O(w log w) array work inside the window projection; at 100 TB the
+    state per task is 5 bigints per in-flight row — the same
+    bounded-frame discipline as x04_rolling_range."""
+    from pyspark.sql.window import Window
+
+    e = _ld(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return (
+        e.withColumn(
+            "win", F.sort_array(F.collect_list("cents").over(w))
+        )
+        .filter(F.size("win") == 5)
+        .withColumn("med", F.element_at("win", 3))
+        .withColumn(
+            "mad",
+            F.element_at(
+                F.sort_array(
+                    F.transform(
+                        F.col("win"), lambda x: F.abs(x - F.col("med"))
+                    )
+                ),
+                3,
+            ),
+        )
+        .filter(F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"))
+        .select("event_id", "user_id", "cents", "med", "mad")
+    )

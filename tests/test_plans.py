@@ -541,3 +541,31 @@ def test_global_avg_anti_decorrelates(spark):
     assert "LeftAnti" in plan
     pushed = " ".join(plans.inspect.pushed_filters(df))
     assert "ScalarSubquery" in pushed, "global-avg gate not pushed to scan"
+
+
+def test_small_qty_revenue_decorrelates_to_grouped_avg(spark):
+    """TPC-H Q17 shape: the correlated scalar AVG subquery must be
+    rewritten into ONE grouped aggregate over lineitem (keyed on the
+    correlation column) joined back on partkey — never a per-row
+    re-scan (nested loop) of the fact table."""
+    df = all_queries()["sql_surface_small_qty_revenue"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "avg(l_quantity" in plan, "no decorrelated grouped average"
+    # the threshold must survive as a JOIN residual on the aggregate's
+    # output, proving the subquery executes once, not per outer row
+    assert "0.5 * avg(l_quantity)" in plan, plan
+
+
+def test_waiting_supplier_plans_semi_plus_anti(spark):
+    """TPC-H Q21 shape: the correlated EXISTS must lower to a LEFT
+    SEMI self-join of lineitem on orderkey and the doubly-correlated
+    NOT EXISTS to a LEFT ANTI self-join — zero nested loops, so at
+    scale both are orderkey shuffles instead of per-row rescans."""
+    df = all_queries()["sql_surface_waiting_supplier"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -419,3 +419,33 @@ def test_wav_extra_chunk_before_data_fingerprints_samples(spark):
     assert hdr["data_offset"] == 44 + len(list_chunk)
     assert parse_wav_header(plain)["data_offset"] == 44
     assert audio_fingerprint(extra) == audio_fingerprint(plain) == 1
+
+
+def test_scene_cuts_flags_exact_threshold_and_skips_below(spark):
+    """y4m_scene_cuts must fire on |Δsum| == delta*plane (inclusive
+    bound), stay silent below it, and never emit frame 0 (no previous
+    frame). Hand-built 2x2 mono videos pin the integer arithmetic."""
+    import struct
+
+    from echem_dft_etl_spark.operators.multimodal import y4m_scene_cuts
+
+    def mono_y4m(frames):
+        head = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+        return head + b"".join(b"FRAME\n" + bytes(f) for f in frames)
+
+    plane = 4
+    videos = [
+        # doc 1: jump of exactly 5*plane=20 between frames 1->2 (cut),
+        # jump of 19 between 0->1 (below threshold, silent)
+        (1, mono_y4m([[0, 0, 0, 0], [19, 0, 0, 0], [19, 20, 0, 0]])),
+        # doc 2: constant luma — zero cuts
+        (2, mono_y4m([[7, 7, 7, 7]] * 3)),
+        # doc 3: malformed payload — degrades to zero rows
+        (3, b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n\x00"),
+    ]
+    df = spark.createDataFrame(videos, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_index): r.delta_abs
+        for r in y4m_scene_cuts(df, min_mean_delta=5).collect()
+    }
+    assert got == {(1, 2): 20}
