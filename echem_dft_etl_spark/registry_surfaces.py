@@ -4700,3 +4700,108 @@ def x04_hampel_outliers(spark, sf_dir):
         .filter(F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"))
         .select("event_id", "user_id", "cents", "med", "mad")
     )
+
+
+@_register(
+    "s05_chart_sink",
+    oracle="""
+    WITH m AS (SELECT n_name, date_trunc('month', o_orderdate) AS ym,
+                      COUNT(*) AS cnt
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name, ym),
+    v AS (SELECT n_name, cnt,
+                 MAX(cnt) OVER (PARTITION BY n_name) AS vmax,
+                 COUNT(*) OVER (PARTITION BY n_name) AS n_bars
+          FROM m)
+    SELECT n_name,
+           CAST(n_bars AS INTEGER) AS n_bars,
+           CAST(n_bars * 4 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(3 * SUM((cnt * 31) // vmax + 1) AS BIGINT) AS ink_px
+    FROM v GROUP BY n_name, n_bars
+    """,
+    survey_ids=("S1", "X14"),
+)
+def s05_chart_sink(spark, sf_dir):
+    """Image SINK end-to-end (the reference's S5 behavior — per-entity
+    plot files, my_dag.py:173-183 — re-expressed engine-shaped): one
+    monthly-order-volume bar chart PER NATION is RENDERED on the
+    executors (grouped applyInPandas → from-scratch 8-bit RGB PNG,
+    operators/plotting.py), WRITTEN through a partitioned parquet sink
+    as an ordinary binary column, READ BACK, and DECODED — the result
+    row's width/height/ink-pixel count comes from pixels reconstructed
+    out of the written file, never from the renderer's bookkeeping.
+    The rasterizer is integer-exact (bar height = (v*(H-1))//vmax + 1,
+    BAR_W=3 ink columns per bar), so the DuckDB oracle replays the
+    whole chart's ink budget from the orders table with integer
+    arithmetic: a green row proves render → encode → sink → scan →
+    decode bit-level correct. At 100 TB the render stage is
+    embarrassingly parallel and pixels never enter a shuffle (the
+    grouped exchange carries only (nation, month, count) rows).
+    Reentrant via the s01 scratch-dir pattern."""
+    import shutil
+
+    import pandas as pd
+
+    from .operators.plotting import encode_png_rgb, png_ink_stats, render_bar_chart
+
+    orders = _ld(spark, sf_dir, "orders")
+    customer = _ld(spark, sf_dir, "customer")
+    nation = _ld(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("ym"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ym")
+        w, h, pixels = render_bar_chart([int(c) for c in pdf["cnt"]])
+        return pd.DataFrame(
+            {
+                "n_name": [pdf["n_name"].iloc[0]],
+                "n_bars": [len(pdf)],
+                "png": [encode_png_rgb(w, h, pixels)],
+            }
+        )
+
+    charts = monthly.groupBy("n_name").applyInPandas(
+        render, "n_name string, n_bars int, png binary"
+    )
+    out = _scratch_dir("echem_chart_sink_")
+    try:
+        charts.write.mode("overwrite").parquet(out)
+        back = spark.read.parquet(out)
+
+        def decode(batches):
+            for pdf in batches:
+                rows = {
+                    "n_name": [],
+                    "n_bars": [],
+                    "width": [],
+                    "height": [],
+                    "ink_px": [],
+                }
+                for name, nb, png in zip(
+                    pdf["n_name"], pdf["n_bars"], pdf["png"]
+                ):
+                    st = png_ink_stats(bytes(png))
+                    if st is None:
+                        continue
+                    rows["n_name"].append(name)
+                    rows["n_bars"].append(nb)
+                    rows["width"].append(st["width"])
+                    rows["height"].append(st["height"])
+                    rows["ink_px"].append(st["ink_px"])
+                yield pd.DataFrame(rows)
+
+        decoded = back.mapInPandas(
+            decode,
+            "n_name string, n_bars int, width int, height int, ink_px bigint",
+        )
+        return _literal_result(spark, decoded)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
