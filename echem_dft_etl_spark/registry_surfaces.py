@@ -4805,3 +4805,47 @@ def s05_chart_sink(spark, sf_dir):
         return _literal_result(spark, decoded)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+#: Scalar MAX over a reused aggregated view (TPC-H Q15 shape),
+#: dialect-portable. Revenue is in integer cents, so the MAX-equality
+#: gate is exact and ties (if any) surface identically in both
+#: engines.
+_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS total_revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+"""
+
+
+@_register(
+    "sql_surface_top_supplier",
+    oracle=_TOP_SUPPLIER_SQL,
+    survey_ids=("Q17", "Q21", "X1"),
+)
+def sql_surface_top_supplier(spark, sf_dir):
+    """Top-revenue supplier (TPC-H Q15 shape): a quarterly revenue
+    aggregate is consumed TWICE from one CTE — once as the join input
+    and once inside a scalar MAX subquery gating it. The optimizer
+    contract pinned by the plan test: the scalar gate executes as a
+    ONE-SHOT subquery (a single global max over the grouped
+    aggregate), never a per-row re-aggregation, and the quarter
+    window pushes to every lineitem scan. Catalyst 4.1 inlines the
+    CTE into both consumers rather than reusing one exchange — both
+    instances scan WITH the pushed date filter, so the cost is two
+    pruned scans, not a correctness or blow-up risk (CTE
+    materialization is the engine's own trade to revisit, not this
+    query's). Revenue is integer cents so the MAX-equality is
+    tie-exact; the same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL)

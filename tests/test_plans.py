@@ -569,3 +569,17 @@ def test_waiting_supplier_plans_semi_plus_anti(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_supplier_scalar_max_is_one_shot_subquery(spark):
+    """TPC-H Q15 shape: the MAX gate must plan as a single scalar
+    Subquery over the grouped revenue aggregate (one global max,
+    executed once) — never a per-row re-aggregation or nested loop —
+    and the quarter window must push to the lineitem scans."""
+    df = all_queries()["sql_surface_top_supplier"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "Subquery" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(plans.inspect.pushed_filters(df))
+    assert "l_shipdate" in pushed, "quarter window not pushed to scan"

@@ -1444,3 +1444,39 @@ def test_ahash_reference_implementation(w4, h4, pixel_src):
     assert got == want
     assert 0 <= got < (1 << 62)
     assert ahash_bmp(bytes(payload)) == got
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=24)
+)
+@settings(max_examples=60, deadline=None)
+def test_bar_chart_ink_roundtrip_matches_integer_formula(values):
+    """For ANY non-negative integer series, the ink-pixel count
+    recovered by DECODING the encoded PNG must equal the closed-form
+    integer arithmetic the s05_chart_sink oracle replays in SQL:
+    ink = BAR_W * Σ ((v*(H-1))//vmax + 1 for v > 0). This is the
+    whole verification chain (rasterize → deflate → unfilter → count)
+    pinned pixel-exact, no Spark involved."""
+    from echem_dft_etl_spark.operators.plotting import (
+        BAR_GAP,
+        BAR_HEIGHT,
+        BAR_W,
+        encode_png_rgb,
+        png_ink_stats,
+        render_bar_chart,
+    )
+
+    w, h, pixels = render_bar_chart(values)
+    st_ = png_ink_stats(encode_png_rgb(w, h, pixels))
+    vmax = max(values)
+    expected = (
+        0
+        if vmax == 0
+        else BAR_W
+        * sum((v * (BAR_HEIGHT - 1)) // vmax + 1 for v in values if v > 0)
+    )
+    assert st_ == {
+        "width": len(values) * (BAR_W + BAR_GAP),
+        "height": BAR_HEIGHT,
+        "ink_px": expected,
+    }
