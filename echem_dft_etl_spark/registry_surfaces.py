@@ -4849,3 +4849,65 @@ def sql_surface_top_supplier(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+@_register(
+    "x05_spatial_near_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid,
+        (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':x'), 1, 12))
+            ::BIGINT) % 100000 AS x,
+        (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':y'), 1, 12))
+            ::BIGINT) % 100000 AS y
+      FROM events),
+    b AS (SELECT pid AS id_b, x AS xb, y AS yb,
+                 x // 250 AS cx, y // 250 AS cy FROM p),
+    pr AS (SELECT pid AS id_a, x AS xa, y AS ya,
+                  x // 250 + dx.d AS cx, y // 250 + dy.d AS cy
+           FROM p, (VALUES (-1), (0), (1)) dx(d),
+                   (VALUES (-1), (0), (1)) dy(d))
+    SELECT id_a, id_b,
+           CAST((xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) AS BIGINT) AS dist_sq
+    FROM pr JOIN b USING (cx, cy)
+    WHERE id_a < id_b
+      AND (xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) <= 62500
+    """,
+    survey_ids=("X5", "X12"),
+)
+def x05_spatial_near_join(spark, sf_dir):
+    """Spatial near-pair join (X5's planar θ-join axis): all event
+    pairs within Euclidean distance 250 on a 100k×100k integer grid —
+    points-of-interest dedup / contact-tracing shape — WITHOUT a
+    cross join: grid blocking snaps each point to a 250-px cell, each
+    point probes its 3×3 cell neighborhood (constant 9× fan-out), and
+    candidates meet on a plain shuffled equi-join over the cell key;
+    the exact bigint distance check keeps true pairs. Exactly one
+    probe offset matches per pair, so the join emits no duplicate
+    candidates — no distinct pass anywhere. Coordinates derive from
+    the md5-based det_hash_str convention so every x/y (and therefore
+    every pair) is replayable in SQL; the oracle replicates the SAME
+    blocking, which is provably exact (any pair within r sits in
+    adjacent cells when cell >= r). At 100 TB the shuffle carries
+    (id, x, y, cell) only, per-cell work tracks local density, and a
+    hot cell is the standard AQE skew-join split case.
+    operators/spatial.py::grid_near_join."""
+    from .functions.hashing import det_hash_str
+    from .operators.spatial import grid_near_join
+
+    e = _ld(spark, sf_dir, "events").select("event_id")
+    pts = e.select(
+        F.col("event_id").alias("pid"),
+        (
+            det_hash_str(
+                F.concat(F.col("event_id").cast("string"), F.lit(":x"))
+            )
+            % 100000
+        ).alias("x"),
+        (
+            det_hash_str(
+                F.concat(F.col("event_id").cast("string"), F.lit(":y"))
+            )
+            % 100000
+        ).alias("y"),
+    )
+    return grid_near_join(pts, "pid", "x", "y", radius=250)

@@ -501,3 +501,53 @@ def test_bloom_prefilter_bitmap_broadcasts_one_row(spark):
     # aggregate over the ≤ n_bits/64-row word frame (metadata-sized).
     # The PROBE side must reach the membership filter shuffle-free.
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_grid_near_join_exact_pairs_and_boundaries(spark):
+    """grid_near_join must be EXACT: inclusive at dist == r, correct
+    across cell boundaries and for negative coordinates (floor-div
+    cells), one row per unordered pair, no duplicates from the 3x3
+    probe stencil."""
+    import pytest
+
+    from echem_dft_etl_spark.operators.spatial import grid_near_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 0),
+            (2, 10, 0),        # dist 10 from p1 — in (r=10, inclusive)
+            (3, 11, 0),        # dist 11 from p1 — out; dist 1 from p2 — in
+            (4, -3, -4),       # dist 5 from p1 — in, negative coords
+            (5, 100, 100),     # isolated
+            (6, 19, 0),        # dist 9 from p2's cell-neighbor probe — in
+        ],
+        "pid long, x long, y long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist_sq
+        for r in grid_near_join(pts, "pid", "x", "y", radius=10).collect()
+    }
+    assert got == {
+        (1, 2): 100,   # exactly r² — inclusive bound
+        (2, 3): 1,
+        (1, 4): 25,
+        (3, 6): 64,
+        (2, 6): 81,
+    }
+
+    with pytest.raises(ValueError):
+        grid_near_join(pts, "pid", "x", "y", radius=10, cell=5)
+
+
+def test_spatial_near_join_plan_is_equi_join(spark):
+    """The θ-join must lower to a shuffled/broadcast EQUI-join on the
+    cell key — never a nested loop or cartesian — with the distance
+    check as a post-join filter."""
+    from echem_dft_etl_spark import plans
+    from echem_dft_etl_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["x05_spatial_near_join"].fn(spark, SF_SMOKE)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
