@@ -2603,3 +2603,110 @@ def t13_rare_bigram_score(spark, sf_dir):
             F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double")
         ).alias("rare_frac"),
     )
+
+
+@_register(
+    "d27_matcher_eval",
+    oracle=f"""
+    WITH cat AS (
+      SELECT MIN(p_partkey) AS name_id, p_name AS cname
+      FROM part GROUP BY p_name
+    ),
+    q AS (
+      SELECT p_partkey AS qid, p_name,
+             substr(p_name, 1, {_TYPO_POS} - 1)
+               || substr(p_name, {_TYPO_POS} + 1) AS qname
+      FROM part
+    ),
+    gold AS (
+      SELECT q.qid, c.name_id AS gold_id
+      FROM q JOIN cat c ON c.cname = q.p_name
+    ),
+    pred AS (
+      SELECT q.qid, c.name_id AS cat_id
+      FROM q CROSS JOIN cat c
+      WHERE levenshtein(q.qname, c.cname) <= 2
+    ),
+    labeled AS (
+      SELECT p.qid,
+             CASE WHEN p.cat_id = g.gold_id THEN 1 ELSE 0 END AS is_tp
+      FROM pred p JOIN gold g ON g.qid = p.qid
+    )
+    SELECT CAST((SELECT COUNT(*) FROM gold) AS BIGINT) AS n_queries,
+           CAST(SUM(is_tp) AS BIGINT) AS tp,
+           CAST(SUM(1 - is_tp) AS BIGINT) AS fp,
+           CAST((SELECT COUNT(*) FROM gold) - SUM(is_tp) AS BIGINT) AS fn,
+           CAST(SUM(is_tp) * 1000000 // COUNT(*) AS BIGINT)
+               AS precision_ppm,
+           CAST(SUM(is_tp) * 1000000
+                // (SELECT COUNT(*) FROM gold) AS BIGINT) AS recall_ppm
+    FROM labeled
+    """,
+    survey_ids=("X11", "X6"),
+)
+def d27_matcher_eval(spark, sf_dir):
+    """Matcher-quality evaluation (the missing half of every entity-
+    resolution deployment: measure the matcher against labeled truth,
+    at scale, before trusting its merges). The planted-typo corpus
+    gives an exact gold standard — every query string was derived
+    from a known catalog name — so precision/recall are computable
+    without sampling: TP = predicted pairs that hit the query's own
+    gold name, FP = the rest (typo collisions with OTHER names within
+    distance 2 — real, the corpus has near-identical part names), and
+    FN counts queries whose gold pair was missed, which the PassJoin
+    recall proof guarantees to be ZERO (a one-character deletion is
+    distance 1 <= k; the blocking is exact-recall by pigeonhole) — a
+    property this query VERIFIES against live execution every round
+    rather than asserts. Ratios are emitted in integer parts-per-
+    million (floor division), so the whole row is engine-exact.
+    Composes the registered matcher (operators/fuzzy.py) with a
+    broadcast-sized gold join; at 100 TB gold joins shuffle on qid
+    like any fact-dimension join. The oracle replays matching as the
+    naive quadratic cross join."""
+    from .operators.fuzzy import fuzzy_match_pairs
+
+    part = _ld(spark, sf_dir, "part")
+    catalog = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+        .select("name_id", F.col("p_name").alias("cname"))
+        .localCheckpoint(eager=True)
+    )
+    queries = part.select(
+        F.col("p_partkey").alias("qid"),
+        F.col("p_name"),
+        F.expr(
+            f"substr(p_name, 1, {_TYPO_POS} - 1)"
+            f" || substr(p_name, {_TYPO_POS} + 1)"
+        ).alias("qname"),
+    ).localCheckpoint(eager=True)
+    gold = queries.join(
+        catalog, queries.p_name == catalog.cname
+    ).select("qid", F.col("name_id").alias("gold_id"))
+    pred = fuzzy_match_pairs(
+        catalog,
+        queries.select("qid", "qname"),
+        "name_id",
+        "cname",
+        "qid",
+        "qname",
+        k=2,
+    ).select("qid", "cat_id")
+    labeled = pred.join(gold, "qid").select(
+        F.when(F.col("cat_id") == F.col("gold_id"), 1)
+        .otherwise(0)
+        .alias("is_tp")
+    )
+    n_queries = gold.count()
+    return labeled.agg(
+        F.lit(n_queries).cast("bigint").alias("n_queries"),
+        F.sum("is_tp").cast("bigint").alias("tp"),
+        F.sum(1 - F.col("is_tp")).cast("bigint").alias("fp"),
+        (F.lit(n_queries) - F.sum("is_tp")).cast("bigint").alias("fn"),
+        F.floor(F.sum("is_tp") * 1000000 / F.count("*"))
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.floor(F.sum("is_tp") * 1000000 / F.lit(n_queries))
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
