@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["grid_near_join"]
+__all__ = ["grid_near_join", "grid_contact_join"]
 
 
 def grid_near_join(
@@ -101,5 +101,91 @@ def grid_near_join(
             F.col("id_a_").alias("id_a"),
             F.col("id_b_").alias("id_b"),
             F.col("dist_sq").cast("bigint").alias("dist_sq"),
+        )
+    )
+
+
+def grid_contact_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    t_col: str,
+    radius: int,
+    t_radius: int,
+    cell: int | None = None,
+) -> DataFrame:
+    """Spatio-TEMPORAL contact pairs: ``dist² <= radius²`` AND
+    ``|t_a - t_b| <= t_radius`` — the contact-tracing / sensor
+    cross-matching shape. Same pigeonhole as :func:`grid_near_join`
+    with time as a third blocking axis: cells are
+    ``(x div cell, y div cell, t div t_radius)`` and each point
+    probes the 3×3×3 neighborhood (constant 27× fan-out, still
+    exactly one matching offset per pair, so no dedup pass). Output
+    ``(id_a, id_b, dist_sq, dt)`` with ``id_a < id_b``; all math is
+    bigint-exact. The time axis is usually the great filter at scale
+    (a day of data only joins against adjacent time cells), which is
+    why the composite key keeps the shuffle bounded no matter how
+    large the spatial extent grows."""
+    if cell is None:
+        cell = radius
+    if cell < radius:
+        raise ValueError("cell must be >= radius for a 3x3 probe stencil")
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("bigint").alias("px"),
+        F.col(y_col).cast("bigint").alias("py"),
+        F.col(t_col).cast("bigint").alias("pt"),
+    )
+    build = pts.select(
+        F.col("pid").alias("id_b_"),
+        F.col("px").alias("xb"),
+        F.col("py").alias("yb"),
+        F.col("pt").alias("tb"),
+        F.floor(F.col("px") / cell).alias("cx"),
+        F.floor(F.col("py") / cell).alias("cy"),
+        F.floor(F.col("pt") / t_radius).alias("ct"),
+    )
+    offsets = F.expr(
+        "explode(flatten(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), "
+        "dy -> transform(sequence(-1, 1), "
+        "dt -> struct(dx, dy, dt)))))))"
+    )
+    probe = pts.select(
+        F.col("pid").alias("id_a_"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+        F.col("pt").alias("ta"),
+        F.floor(F.col("px") / cell).alias("pcx"),
+        F.floor(F.col("py") / cell).alias("pcy"),
+        F.floor(F.col("pt") / t_radius).alias("pct"),
+        offsets.alias("o"),
+    ).select(
+        "id_a_",
+        "xa",
+        "ya",
+        "ta",
+        (F.col("pcx") + F.col("o.dx")).alias("cx"),
+        (F.col("pcy") + F.col("o.dy")).alias("cy"),
+        (F.col("pct") + F.col("o.dt")).alias("ct"),
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, on=["cx", "cy", "ct"])
+        .filter(F.col("id_a_") < F.col("id_b_"))
+        .withColumn("dist_sq", dist_sq)
+        .withColumn("dt", F.abs(F.col("ta") - F.col("tb")))
+        .filter(
+            (F.col("dist_sq") <= radius * radius)
+            & (F.col("dt") <= t_radius)
+        )
+        .select(
+            F.col("id_a_").alias("id_a"),
+            F.col("id_b_").alias("id_b"),
+            F.col("dist_sq").cast("bigint").alias("dist_sq"),
+            F.col("dt").cast("bigint").alias("dt"),
         )
     )

@@ -2586,3 +2586,72 @@ def x04_rolling_wau(spark, sf_dir):
     return votes.groupBy("day").agg(
         F.count_distinct(F.col("user_id")).alias("wau")
     )
+
+
+@_register(
+    "x06_equidepth_hist",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey,
+             NTILE(8) OVER (
+               ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                        o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           MIN(cents) AS lo,
+           MAX(cents) AS hi
+    FROM r GROUP BY bucket
+    """,
+    survey_ids=("X6", "X1", "X4"),
+)
+def x06_equidepth_hist(spark, sf_dir):
+    """Exact equi-depth histogram (X6's exact-quantile axis: 8 buckets
+    of near-equal row count with true value boundaries — what
+    optimizer statistics, drift monitors and calibration tables need)
+    WITHOUT the single-task global window: ``NTILE(8) OVER (ORDER BY
+    ...)`` with no PARTITION BY is the same 100 TB scale-killer as
+    global ROW_NUMBER, so this reuses x01_global_rownum's two-phase
+    decomposition (monotone range bucketing -> partition-local
+    row_number -> tiny offset broadcast) and then maps each global
+    rank to its NTILE bucket with the exact integer arithmetic of the
+    SQL-standard definition (first N mod B buckets take one extra
+    row). The order key (cents, o_orderkey) is total, so bucket
+    assignment is deterministic and the oracle — the single-task
+    NTILE form — proves the decomposition exact, tie-handling
+    included."""
+    from .operators.scale import _monotone_pid
+
+    o = _ld(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    n_total = o.count()
+    n_buckets = 8
+    q, r = n_total // n_buckets, n_total % n_buckets
+    part = o.withColumn("pid", _monotone_pid(o, "cents", 32))
+    wp = Window.partitionBy("pid").orderBy("cents", "o_orderkey")
+    local = part.withColumn("local_rn", F.row_number().over(wp))
+    counts = part.groupBy("pid").agg(F.count("*").alias("n"))
+    wo = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("offset")
+    )
+    rn = (F.col("local_rn") + F.col("offset")).cast("bigint")
+    # SQL-standard NTILE: the first r buckets hold q+1 rows, the rest q
+    bucket = F.when(
+        rn <= r * (q + 1), (rn - 1) / (q + 1)
+    ).otherwise(r + (rn - r * (q + 1) - 1) / q if q else F.lit(0))
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("bucket", (F.floor(bucket) + 1).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )

@@ -4911,3 +4911,86 @@ def x05_spatial_near_join(spark, sf_dir):
         ).alias("y"),
     )
     return grid_near_join(pts, "pid", "x", "y", radius=250)
+
+
+@_register(
+    "x05_contact_pairs",
+    oracle="""
+    WITH p0 AS (SELECT event_id AS pid,
+        (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':x'), 1, 12))
+            ::BIGINT) % 100000 AS x,
+        (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':y'), 1, 12))
+            ::BIGINT) % 100000 AS y,
+        CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      FROM events),
+    p AS (SELECT * FROM p0
+          UNION ALL
+          SELECT pid + 1000000000, x + 300, y + 400, t + 30
+          FROM p0 WHERE pid % 50 = 0),
+    b AS (SELECT pid AS id_b, x AS xb, y AS yb, t AS tb,
+                 x // 5000 AS cx, y // 5000 AS cy, t // 600 AS ct FROM p),
+    pr AS (SELECT pid AS id_a, x AS xa, y AS ya, t AS ta,
+                  x // 5000 + dx.d AS cx, y // 5000 + dy.d AS cy,
+                  t // 600 + dt.d AS ct
+           FROM p, (VALUES (-1), (0), (1)) dx(d),
+                   (VALUES (-1), (0), (1)) dy(d),
+                   (VALUES (-1), (0), (1)) dt(d))
+    SELECT id_a, id_b,
+           CAST((xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) AS BIGINT) AS dist_sq,
+           CAST(ABS(ta - tb) AS BIGINT) AS dt
+    FROM pr JOIN b USING (cx, cy, ct)
+    WHERE id_a < id_b
+      AND (xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) <= 25000000
+      AND ABS(ta - tb) <= 600
+    """,
+    survey_ids=("X5", "X7"),
+)
+def x05_contact_pairs(spark, sf_dir):
+    """Spatio-temporal contact pairs (X5 + X7 composed): event pairs
+    within 5000 grid units AND 10 minutes of each other — the
+    contact-tracing / sensor-cross-matching shape. Time becomes a
+    third blocking axis on top of the spatial grid: the equi-join key
+    is (x-cell, y-cell, t-bucket) with a constant 27× probe stencil,
+    so a year of data never joins beyond adjacent 10-minute buckets —
+    the property that keeps this bounded at 100 TB no matter how the
+    spatial extent grows. Timestamps convert by the engine's
+    unix_timestamp ↔ FLOOR(epoch()) convention (x09 precedent); all
+    filters are bigint-exact. Every 50th event gets a planted twin
+    (+300, +400, +30 s — distance 500, guaranteed in-contact),
+    identically in the oracle, so the pair path is non-empty at EVERY
+    scale (the natural corpus is contact-sparse below sf0.01); the
+    blocked result was also validated equal to the naive quadratic
+    join on the natural corpus. The oracle replicates the exact same
+    3-axis blocking (provably lossless: any qualifying pair differs
+    by ≤1 cell on every axis). operators/spatial.py::grid_contact_join."""
+    from .functions.hashing import det_hash_str
+    from .operators.spatial import grid_contact_join
+    from .sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    base = e.select(
+        F.col("event_id").alias("pid"),
+        (
+            det_hash_str(
+                F.concat(F.col("event_id").cast("string"), F.lit(":x"))
+            )
+            % 100000
+        ).alias("x"),
+        (
+            det_hash_str(
+                F.concat(F.col("event_id").cast("string"), F.lit(":y"))
+            )
+            % 100000
+        ).alias("y"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    twins = base.filter(F.col("pid") % 50 == 0).select(
+        (F.col("pid") + 1000000000).alias("pid"),
+        (F.col("x") + 300).alias("x"),
+        (F.col("y") + 400).alias("y"),
+        (F.col("t") + 30).alias("t"),
+    )
+    pts = base.unionByName(twins)
+    return grid_contact_join(
+        pts, "pid", "x", "y", "t", radius=5000, t_radius=600
+    )

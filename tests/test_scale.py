@@ -551,3 +551,41 @@ def test_spatial_near_join_plan_is_equi_join(spark):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_contact_join_time_axis_blocks_and_bounds(spark):
+    """The spatio-temporal variant must be inclusive at dt == t_radius,
+    exclude pairs that are near in space but far in time (and vice
+    versa), and find pairs straddling a time-bucket boundary via the
+    third stencil axis."""
+    from echem_dft_etl_spark.operators.spatial import grid_contact_join
+
+    pts = spark.createDataFrame(
+        [
+            # (pid, x, y, t)
+            (1, 0, 0, 1000),
+            (2, 6, 8, 1010),    # dist 10, dt 10 — in
+            (3, 0, 0, 1100),    # dt 100 == t_radius — inclusive bound
+            (4, 0, 0, 1101),    # dt 101 — out (time)
+            (5, 11, 0, 1000),   # dist 11 — out (space), dt 0
+            (6, 0, 5, 1199),    # vs p3: dist 5, dt 99 — in, crosses the
+                                # t//100 bucket boundary (11 vs 10)
+        ],
+        "pid long, x long, y long, t long",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.dist_sq, r.dt)
+        for r in grid_contact_join(
+            pts, "pid", "x", "y", "t", radius=10, t_radius=100
+        ).collect()
+    }
+    assert got == {
+        (1, 2): (100, 10),
+        (1, 3): (0, 100),    # exactly t_radius — inclusive
+        (2, 3): (100, 90),   # exactly radius² — inclusive
+        (2, 4): (100, 91),
+        (2, 5): (89, 10),
+        (3, 4): (0, 1),
+        (3, 6): (25, 99),    # crosses the t//100 bucket boundary
+        (4, 6): (25, 98),
+    }
