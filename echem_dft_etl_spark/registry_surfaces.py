@@ -4994,3 +4994,86 @@ def x05_contact_pairs(spark, sf_dir):
     return grid_contact_join(
         pts, "pid", "x", "y", "t", radius=5000, t_radius=600
     )
+
+@_register(
+    "x04_cusum_drift",
+    oracle="""
+    WITH e0 AS (SELECT event_id AS pid, user_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                FROM events),
+    e AS (SELECT * FROM e0
+          UNION ALL
+          SELECT 1000000000 + pid * 4 + i.i, user_id, t + i.i + 1, 20000
+          FROM e0, (VALUES (0), (1), (2)) i(i)
+          WHERE pid % 500 = 0),
+    p AS (SELECT pid, user_id, t, cents,
+                 SUM(cents - 8000) OVER (PARTITION BY user_id
+                                         ORDER BY t, pid
+                                         ROWS UNBOUNDED PRECEDING) AS pref
+          FROM e),
+    m AS (SELECT pid, user_id, cents, pref,
+                 MIN(pref) OVER (PARTITION BY user_id ORDER BY t, pid
+                                 ROWS UNBOUNDED PRECEDING) AS run_min
+          FROM p),
+    c AS (SELECT pid, user_id, cents,
+                 pref - LEAST(0, run_min) AS cusum FROM m)
+    SELECT pid AS event_id, user_id, cents, CAST(cusum AS BIGINT) AS cusum
+    FROM c WHERE cusum > 30000
+    """,
+    survey_ids=("X4", "X6"),
+)
+def x04_cusum_drift(spark, sf_dir):
+    """CUSUM drift/burst detection (X4's sequential-analysis axis):
+    flag events where the per-user one-sided cumulative sum
+    S_i = max(0, S_{i-1} + cents_i - k) exceeds h (k=8000, h=30000) —
+    the classic control-chart detector for sustained upward drift
+    that point thresholds miss. The recursion is NOT window-expressible
+    directly, but the reflection identity
+    ``S_i = P_i - min(0, min_{j<=i} P_j)`` (P = running sum of the
+    drift-adjusted deltas) turns it into two stock running windows —
+    running sum, then running min — all in exact integer cents, which
+    is what makes it BOTH scale-sane (two per-user window passes, no
+    UDF, no iteration) and engine-stable (the identity was validated
+    against the direct Python recursion on the full corpus). Every
+    500th event plants a 3-event 200.00-value burst (identically in
+    the oracle) so the alarm path is non-empty at every scale.
+    Ordering is total via (epoch, event_id)."""
+    from pyspark.sql.window import Window
+
+    from .sources import load_table
+
+    e0 = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    burst = (
+        e0.filter(F.col("pid") % 500 == 0)
+        .select(
+            "pid", "user_id", "t", F.explode(F.expr("sequence(0, 2)")).alias("i")
+        )
+        .select(
+            (F.lit(1000000000) + F.col("pid") * 4 + F.col("i")).alias("pid"),
+            "user_id",
+            (F.col("t") + F.col("i") + 1).alias("t"),
+            F.lit(20000).cast("bigint").alias("cents"),
+        )
+    )
+    e = e0.unionByName(burst)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = e.withColumn("pref", F.sum(F.col("cents") - 8000).over(w))
+    c = p.withColumn("run_min", F.min("pref").over(w)).withColumn(
+        "cusum", F.col("pref") - F.least(F.lit(0), F.col("run_min"))
+    )
+    return c.filter(F.col("cusum") > 30000).select(
+        F.col("pid").alias("event_id"),
+        "user_id",
+        "cents",
+        F.col("cusum").cast("bigint").alias("cusum"),
+    )

@@ -1480,3 +1480,30 @@ def test_bar_chart_ink_roundtrip_matches_integer_formula(values):
         "height": BAR_HEIGHT,
         "ink_px": expected,
     }
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_cusum_reflection_identity(deltas):
+    """The windowed form x04_cusum_drift runs —
+    ``S_i = P_i - min(0, running_min(P))`` — must equal the direct
+    control-chart recursion ``S_i = max(0, S_{i-1} + d_i)`` for every
+    delta sequence (the identity that makes CUSUM two stock window
+    passes instead of an iterative UDF)."""
+    s, direct = 0, []
+    for d in deltas:
+        s = max(0, s + d)
+        direct.append(s)
+    pref, prefs = 0, []
+    for d in deltas:
+        pref += d
+        prefs.append(pref)
+    run_min, windowed = 0, []
+    for pv in prefs:
+        run_min = min(run_min, pv)
+        windowed.append(pv - min(0, run_min))
+    assert windowed == direct
