@@ -2710,3 +2710,47 @@ def d27_matcher_eval(spark, sf_dir):
         .cast("bigint")
         .alias("recall_ppm"),
     )
+
+
+@_register(
+    "s18_k_anonymity",
+    oracle="""
+    WITH g AS (SELECT lang, source, n_chars // 500 AS len_bucket,
+                      COUNT(*) AS n
+               FROM documents GROUP BY lang, source, len_bucket)
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS INTEGER) AS risky
+    FROM g
+    """,
+    survey_ids=("X6", "X13"),
+)
+def s18_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (the data-governance gate an LLM training
+    corpus needs before release): group documents by their
+    quasi-identifier tuple — language, source, 500-char length bucket
+    — and flag every group smaller than k=5, whose members are
+    re-identifiable by exactly the attributes a release would publish.
+    The output is the full equivalence-class census (group sizes +
+    risk flag), which is what a suppression/generalization pass
+    consumes: suppress risky groups, or coarsen len_bucket until none
+    remain. Plan shape: one partial-combinable aggregate over the QI
+    columns — the audit costs one shuffle at any corpus size, and the
+    QI columns prune the scan to three columns. Exact integers
+    throughout."""
+    docs = _ld(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 500).cast("bigint").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "n",
+            F.when(F.col("n") < 5, 1).otherwise(0).cast("int").alias("risky"),
+        )
+    )
