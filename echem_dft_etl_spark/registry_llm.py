@@ -2754,3 +2754,85 @@ def s18_k_anonymity(spark, sf_dir):
             F.when(F.col("n") < 5, 1).otherwise(0).cast("int").alias("risky"),
         )
     )
+
+
+@_register(
+    "d28_split_leakage_audit",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, replace(upper(text), ' ', '  ')
+      FROM documents WHERE doc_id % 37 = 0
+    ),
+    n AS (SELECT doc_id, {{norm}} AS norm_key,
+                 CASE WHEN {{b}} % 100 < 80 THEN 'train'
+                      WHEN {{b}} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM aug),
+    g AS (SELECT norm_key, MIN(doc_id) AS survivor_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_train,
+                 CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_val,
+                 CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_test,
+                 COUNT(DISTINCT split) AS n_splits
+          FROM n GROUP BY norm_key)
+    SELECT survivor_id, n_members, n_train, n_val, n_test
+    FROM g WHERE n_members > 1 AND n_splits > 1
+    """.format(
+        norm=_NORM.replace("text", "text"),
+        b=duckdb_det_hash_i64("doc_id", 7),
+    ),
+    survey_ids=("X11", "Q11"),
+)
+def d28_split_leakage_audit(spark, sf_dir):
+    """Train/test split-leakage audit (the evaluation-integrity gate
+    every LLM data pipeline needs and most skip): find duplicate
+    groups whose members landed in DIFFERENT splits — the leak that
+    silently inflates eval scores, because the model sees the test
+    document's twin during training. Composes two registered
+    primitives end-to-end: normalized exact-dup grouping (d11's
+    norm_key) × deterministic hash split assignment (q11's seed-7
+    80/10/10), then one aggregate per group filtered to
+    multi-member, multi-split groups. Every 37th document plants a
+    normalized twin (uppercased, double-spaced — raw-distinct but
+    normalized-equal, exercising the normalization for real),
+    identically in the oracle; the twin's independent hash puts it in
+    a different split ~1/3 of the time, so the audit path is
+    non-empty at every scale. Plan: one shuffle on norm_key; at
+    100 TB this is the same hash-agg as exact dedup — the audit is
+    free relative to the dedup pass it extends."""
+    from .functions.text import norm_text
+    from .pipeline import split_assign
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+    )
+    aug = docs.unionByName(twins)
+    keyed = split_assign(
+        aug.select("doc_id", norm_text(F.col("text")).alias("norm_key")),
+        "doc_id",
+        seed=7,
+    )
+    g = keyed.groupBy("norm_key").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    return g.filter(
+        (F.col("n_members") > 1) & (F.col("n_splits") > 1)
+    ).select("survivor_id", "n_members", "n_train", "n_val", "n_test")

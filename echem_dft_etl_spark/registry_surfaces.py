@@ -5077,3 +5077,72 @@ def x04_cusum_drift(spark, sf_dir):
         "cents",
         F.col("cusum").cast("bigint").alias("cusum"),
     )
+
+
+#: Weekdays in [0, d) for epoch-day d, Monday-aligned closed form —
+#: pure integer arithmetic, identical in Spark and DuckDB (validated
+#: against a calendar loop over ±20k days; hypothesis-tested).
+_WDAYS_SPARK = "(5 * CAST(floor(({d} + 3) / 7) AS BIGINT) + least(pmod({d} + 3, 7), 5) - 3)"
+_WDAYS_DUCK = "(5 * (({d} + 3) // 7) + LEAST((({d} + 3) % 7 + 7) % 7, 5) - 3)"
+
+
+@_register(
+    "x07_business_days",
+    oracle=f"""
+    WITH l AS (SELECT o_orderpriority,
+                      CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400
+                          AS d0,
+                      CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400
+                          AS d1
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    b AS (SELECT o_orderpriority,
+                 {_WDAYS_DUCK.format(d='d1')}
+                   - {_WDAYS_DUCK.format(d='d0')} AS bdays
+          FROM l)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+           CAST(SUM(CASE WHEN bdays > 60 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_slow
+    FROM b GROUP BY o_orderpriority
+    """,
+    survey_ids=("X7", "Q21"),
+)
+def x07_business_days(spark, sf_dir):
+    """Business-day (weekday) ship-lag accounting per order priority
+    (X7's calendar-arithmetic axis): the number of WEEKDAYS between
+    order date and ship date — the metric every SLA report needs and
+    naive date subtraction gets wrong. No calendar UDF, no generated
+    date spine: the count of weekdays in [0, d) has a Monday-aligned
+    closed form ``5*((d+3)//7) + min((d+3)%7, 5) - 3`` in epoch days,
+    so the lag is a difference of two integer expressions — exact,
+    engine-stable, whole-stage-codegen'd, and O(0) extra state at any
+    scale (compare: the date-spine join approach shuffles |orders| ×
+    avg-lag rows). Validated against a calendar loop over ±20k days
+    and hypothesis-tested. Aggregated per priority with a slow-order
+    (>60 business days) count."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH l AS (SELECT o_orderpriority,
+                          CAST(floor(unix_timestamp(o_orderdate) / 86400)
+                               AS BIGINT) AS d0,
+                          CAST(floor(unix_timestamp(l_shipdate) / 86400)
+                               AS BIGINT) AS d1
+                   FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        b AS (SELECT o_orderpriority,
+                     {_WDAYS_SPARK.format(d='d1')}
+                       - {_WDAYS_SPARK.format(d='d0')} AS bdays
+              FROM l)
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+               CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+               CAST(SUM(CASE WHEN bdays > 60 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_slow
+        FROM b GROUP BY o_orderpriority
+        """
+    )

@@ -1507,3 +1507,21 @@ def test_cusum_reflection_identity(deltas):
         run_min = min(run_min, pv)
         windowed.append(pv - min(0, run_min))
     assert windowed == direct
+
+
+@given(
+    st.integers(min_value=-30000, max_value=30000),
+    st.integers(min_value=0, max_value=1200),
+)
+@settings(max_examples=80, deadline=None)
+def test_business_day_closed_form_matches_calendar(start, span):
+    """The Monday-aligned closed form x07_business_days uses —
+    W(d) = 5*((d+3)//7) + min((d+3)%7, 5) - 3 weekdays in [0, d) —
+    must equal a literal calendar walk for any epoch-day interval
+    (epoch day 0 = Thursday 1970-01-01)."""
+    def w(d):
+        e = d + 3
+        return 5 * (e // 7) + min(e % 7, 5) - 3
+
+    walked = sum(1 for d in range(start, start + span) if (d + 3) % 7 < 5)
+    assert w(start + span) - w(start) == walked
