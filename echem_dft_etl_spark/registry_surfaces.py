@@ -5146,3 +5146,72 @@ def x07_business_days(spark, sf_dir):
         FROM b GROUP BY o_orderpriority
         """
     )
+
+
+@_register(
+    "s02_fixed_width",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_sup,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+    FROM supplier GROUP BY s_nationkey
+    """,
+    survey_ids=("S2", "Q9"),
+)
+def s02_fixed_width(spark, sf_dir):
+    """Fixed-width text round-trip (S2's mainframe-interchange lane —
+    COBOL copybook / FTP-drop files have no delimiters, only column
+    positions): suppliers are SERIALIZED to a real fixed-width layout
+    (suppkey 10, name 25 space-padded, nationkey 4, balance 12 as
+    offset-shifted cents so negatives stay digit-only), written
+    through the text sink, READ BACK as raw lines, and PARSED by
+    column position (substring + trim + cast — all codegen'd JVM
+    expressions, the production shape for multi-TB fixed-width drops:
+    one narrow scan, no Python, no regex). The grouped result is
+    assembled ONLY from the parsed read-back, and the oracle
+    recomputes it from the supplier view — a green row proves
+    serialize → sink → scan → positional-parse end-to-end, including
+    sign handling and pad/trim inverses. Reentrant via the s01
+    scratch-dir pattern."""
+    import shutil
+
+    sup = _ld(spark, sf_dir, "supplier")
+    # offset keeps the cents field unsigned so lpad-with-zeros parses
+    off = 1000000000
+    lines = sup.select(
+        F.concat(
+            F.lpad(F.col("s_suppkey").cast("string"), 10, "0"),
+            F.rpad(F.col("s_name"), 25, " "),
+            F.lpad(F.col("s_nationkey").cast("string"), 4, "0"),
+            F.lpad(
+                (
+                    F.round(F.col("s_acctbal") * 100, 0).cast("bigint")
+                    + F.lit(off)
+                ).cast("string"),
+                12,
+                "0",
+            ),
+        ).alias("value")
+    )
+    out = _scratch_dir("echem_fixed_width_")
+    try:
+        lines.write.mode("overwrite").text(out)
+        raw = spark.read.text(out)
+        parsed = raw.select(
+            F.substring("value", 1, 10).cast("int").alias("s_suppkey"),
+            F.rtrim(F.substring("value", 11, 25)).alias("s_name"),
+            F.substring("value", 36, 4).cast("int").alias("s_nationkey"),
+            (
+                F.substring("value", 40, 12).cast("bigint") - F.lit(off)
+            ).alias("cents"),
+        )
+        result = parsed.groupBy("s_nationkey").agg(
+            F.count("*").cast("bigint").alias("n_sup"),
+            F.sum("cents").cast("bigint").alias("bal_cents"),
+            F.sum(F.length("s_name")).cast("bigint").alias("name_chars"),
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
