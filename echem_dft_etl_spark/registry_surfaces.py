@@ -4910,7 +4910,11 @@ def x05_spatial_near_join(spark, sf_dir):
             % 100000
         ).alias("y"),
     )
-    return grid_near_join(pts, "pid", "x", "y", radius=250)
+    # pts feeds both the probe and build sides — checkpoint so the md5
+    # coordinate derivation runs once (same trim as x05_contact_pairs)
+    return grid_near_join(
+        pts.localCheckpoint(eager=True), "pid", "x", "y", radius=250
+    )
 
 
 @_register(
@@ -4984,6 +4988,10 @@ def x05_contact_pairs(spark, sf_dir):
         ).alias("y"),
         F.unix_timestamp("ts").alias("t"),
     )
+    # base feeds FOUR consumers (twins + the join's probe and build
+    # sides, each via the union) — checkpoint so the md5 coordinate
+    # derivation runs once, not four times (6.5 s → 4.6 s at sf0.1)
+    base = base.localCheckpoint(eager=True)
     twins = base.filter(F.col("pid") % 50 == 0).select(
         (F.col("pid") + 1000000000).alias("pid"),
         (F.col("x") + 300).alias("x"),
