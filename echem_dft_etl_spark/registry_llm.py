@@ -2836,3 +2836,70 @@ def d28_split_leakage_audit(spark, sf_dir):
     return g.filter(
         (F.col("n_members") > 1) & (F.col("n_splits") > 1)
     ).select("survivor_id", "n_members", "n_train", "n_val", "n_test")
+
+
+#: The fixed BPE merge table (rank order matters — each merge applies
+#: to the output of all earlier merges, exactly as learned BPE does).
+_BPE_MERGES = (
+    ("t h", "th"), ("h e", "he"), ("i n", "in"), ("e r", "er"),
+    ("a n", "an"), ("r e", "re"), ("o n", "on"), ("e n", "en"),
+    ("th e", "the"), ("o r", "or"), ("a t", "at"), ("e s", "es"),
+    ("a r", "ar"), ("o u", "ou"), ("in g", "ing"),
+)
+
+
+def _bpe_sql(word_expr: str) -> str:
+    """DuckDB: apply the merge chain to one word (space-joined chars,
+    sentinel spaces at both ends so merges only see symbol boundaries).
+    """
+    e = f"' ' || array_to_string(string_split({word_expr}, ''), ' ') || ' '"
+    for a, b in _BPE_MERGES:
+        e = f"replace({e}, ' {a} ', ' {b} ')"
+    return e
+
+
+@_register(
+    "t13_bpe_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT unnest(toks) AS word FROM t),
+    s AS (SELECT unnest(string_split(trim({_bpe_sql('word')}), ' '))
+              AS symbol
+          FROM w),
+    c AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY symbol)
+    SELECT symbol, n FROM c ORDER BY n DESC, symbol LIMIT 25
+    """,
+    survey_ids=("X13", "X1"),
+)
+def t13_bpe_tokens(spark, sf_dir):
+    """REAL byte-pair-encoding application (X13's subword axis,
+    upgrading the whitespace/regex token counters): each word is
+    exploded to space-joined characters and a fixed 15-merge table is
+    applied IN RANK ORDER — each merge rewrites the output of all
+    earlier merges, exactly the inference path of a learned BPE
+    tokenizer (the table here is hand-fixed; swapping in a learned
+    one changes constants, not the plan). The whole merge chain
+    compiles to 15 chained ``replace`` expressions inside one
+    codegen'd projection — no UDF, no per-merge pass over the corpus,
+    the shape that tokenizes 100 TB at scan speed. Both engines'
+    ``replace`` resumes scanning AFTER the substituted region
+    (verified on the overlapping-merge case 'thethe' → 'the th e'),
+    so symbol streams are byte-identical and the oracle replays the
+    chain verbatim. Output: top-25 subword symbols by corpus count."""
+    from .functions.text import tokens
+
+    docs = _ld(spark, sf_dir, "documents")
+    word = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    e = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("word"), ""), " "), F.lit(" ")
+    )
+    for a, b in _BPE_MERGES:
+        e = F.replace(e, F.lit(f" {a} "), F.lit(f" {b} "))
+    return (
+        word.select(F.explode(F.split(F.trim(e), " ")).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "symbol")
+        .limit(25)
+    )

@@ -5223,3 +5223,74 @@ def s02_fixed_width(spark, sf_dir):
         return _literal_result(spark, result)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@_register(
+    "x10_stream_cusum",
+    oracle="""
+    WITH e AS (SELECT event_id AS pid, user_id,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+    p AS (SELECT pid, user_id, t, cents,
+                 SUM(cents - 8000) OVER (PARTITION BY user_id
+                                         ORDER BY t, pid
+                                         ROWS UNBOUNDED PRECEDING) AS pref
+          FROM e),
+    m AS (SELECT pid, user_id, t, cents, pref,
+                 MIN(pref) OVER (PARTITION BY user_id ORDER BY t, pid
+                                 ROWS UNBOUNDED PRECEDING) AS run_min
+          FROM p),
+    c AS (SELECT pid, user_id, t,
+                 pref - LEAST(0, run_min) AS cusum,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY t DESC, pid DESC) AS rn
+          FROM m),
+    agg AS (SELECT user_id,
+                   CAST(SUM(CASE WHEN cusum > 30000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarms,
+                   CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+                   CAST(MAX(CASE WHEN rn = 1 THEN cusum END) AS BIGINT)
+                       AS cusum_final
+            FROM c GROUP BY user_id)
+    SELECT user_id, n_alarms, max_cusum, cusum_final
+    FROM agg WHERE n_alarms > 0
+    """,
+    survey_ids=("X10", "X4"),
+)
+def x10_stream_cusum(spark, sf_dir):
+    """Streaming CUSUM control chart (X10 × X4 — the streaming twin of
+    x04_cusum_drift, and the shape that HAS to be streaming-stateful
+    in production: the accumulator has no bounded window, so windowed
+    aggregation cannot express it and batch recomputation over an
+    unbounded log is exactly what the 3-integer per-user state
+    avoids). applyInPandasWithState carries (sum, alarm count,
+    high-water mark) across micro-batches; the fold is batch-split
+    invariant given in-order per-key arrival (the keyed-log contract;
+    property-pinned in tests), so bounded replay's final emission per
+    user equals the batch reflection-identity computation — which is
+    the oracle, alarm counts, high-water mark and final value all
+    value-checked. streaming/stateful.py::user_cusum_alarms."""
+    from pyspark.sql.window import Window as W
+
+    from .streaming.stateful import user_cusum_alarms
+    from .streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    out = run_to_memory(user_cusum_alarms(ev), spark, mode="update")
+    w = W.partitionBy("user_id").orderBy(F.col("version").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("n_alarms") > 0))
+        .select(
+            "user_id",
+            "n_alarms",
+            "max_cusum",
+            F.col("cusum").alias("cusum_final"),
+        )
+    )

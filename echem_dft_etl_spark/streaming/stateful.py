@@ -189,3 +189,92 @@ def user_activity_profile_tws(events: DataFrame) -> DataFrame:
 # two state APIs are asserted value-identical, and where it doesn't the
 # applyInPandasWithState row (x10_stream_stateful_profile) remains the
 # driver-checked arbitrary-state evidence.
+
+
+#: Emitted per (user, micro-batch): the running CUSUM alarm profile.
+CUSUM_OUT_SCHEMA = (
+    "user_id bigint, cusum bigint, n_alarms bigint, max_cusum bigint, "
+    "version bigint"
+)
+#: Kept per user across batches: the control-chart accumulator.
+CUSUM_STATE_SCHEMA = (
+    "cusum bigint, n_alarms bigint, max_cusum bigint, version bigint"
+)
+
+
+def fold_cusum(
+    cusum: int, n_alarms: int, max_cusum: int, cents, k: int, h: int
+) -> tuple:
+    """One CUSUM fold over an in-order value sequence:
+    ``S = max(0, S + c - k)``, alarm when ``S > h``. Pure function of
+    (state, ordered batch) — batch-split invariant by construction
+    (folding [a,b,c,d] equals folding [a,b] then [c,d]), which is the
+    property that makes the streaming operator's emission independent
+    of micro-batch boundaries given in-order per-key arrival
+    (tests/test_streaming.py pins it)."""
+    for c in cents:
+        cusum = max(0, cusum + int(c) - k)
+        if cusum > h:
+            n_alarms += 1
+        if cusum > max_cusum:
+            max_cusum = cusum
+    return cusum, n_alarms, max_cusum
+
+
+def user_cusum_alarms(
+    events: DataFrame, k: int = 8000, h: int = 30000
+) -> DataFrame:
+    """(user_id, t, pid, cents) stream → running one-sided CUSUM
+    control chart per user (the streaming twin of x04_cusum_drift):
+    state is the 3-integer accumulator (current sum, alarm count,
+    high-water mark) — O(1) per user forever, the canonical
+    cheap-state/long-horizon detector that windowed aggregation cannot
+    express (the sum has no bounded window; it resets on drops and
+    accumulates over arbitrary spans).
+
+    Ordering contract: CUSUM is path-dependent, so correctness
+    requires in-order per-key arrival across batches — the guarantee a
+    keyed Kafka partition (or any log replay) provides. Within each
+    batch rows are sorted by (t, pid); across batches the fold is
+    split-invariant (see :func:`fold_cusum`), so ANY batching of an
+    in-order stream yields identical final emissions — checked against
+    the batch reflection-identity oracle on bounded replay."""
+
+    def track(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cusum, n_alarms, max_cusum, version = state.get
+        else:
+            cusum, n_alarms, max_cusum, version = 0, 0, 0, 0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["t", "pid"])
+            cusum, n_alarms, max_cusum = fold_cusum(
+                cusum, n_alarms, max_cusum, batch["cents"], k, h
+            )
+            version += 1
+            state.update((cusum, n_alarms, max_cusum, version))
+        elif version == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "cusum": [cusum],
+                "n_alarms": [n_alarms],
+                "max_cusum": [max_cusum],
+                "version": [version],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1525,3 +1525,24 @@ def test_business_day_closed_form_matches_calendar(start, span):
 
     walked = sum(1 for d in range(start, start + span) if (d + 3) % 7 < 5)
     assert w(start + span) - w(start) == walked
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=25000), min_size=1, max_size=60
+    ),
+    st.integers(min_value=0, max_value=59),
+)
+@settings(max_examples=80, deadline=None)
+def test_stream_cusum_fold_is_batch_split_invariant(cents, cut):
+    """x10_stream_cusum's correctness under ANY micro-batching of an
+    in-order stream rests on fold_cusum being split-invariant: folding
+    the whole sequence equals folding any prefix, carrying the state,
+    then folding the suffix."""
+    from echem_dft_etl_spark.streaming.stateful import fold_cusum
+
+    cut = min(cut, len(cents))
+    whole = fold_cusum(0, 0, 0, cents, 8000, 30000)
+    s1 = fold_cusum(0, 0, 0, cents[:cut], 8000, 30000)
+    split = fold_cusum(s1[0], s1[1], s1[2], cents[cut:], 8000, 30000)
+    assert whole == split
