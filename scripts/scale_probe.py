@@ -103,6 +103,41 @@ def _fit_exponent(ks: list[int], ys: list[float]) -> float | None:
     return round(sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den, 2)
 
 
+def _spatial_probe(spark, k: int):
+    """Grid near-pair join over K spatially-DISJOINT bands: each copy
+    keeps the base corpus's md5 coordinates but shifts its y-range by
+    200k per copy (more data covers more area — how spatial corpora
+    actually grow), so per-band pair density is constant, cross-band
+    pairs are impossible, and the honest null is time ~ K. Growing
+    DENSITY in a fixed area instead would make the output itself
+    quadratic (every near-pair op is Omega(output)); that regime is
+    the ann family's exact-grid baseline, not this probe."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.functions.hashing import det_hash_str
+    from echem_dft_etl_spark.operators.spatial import grid_near_join
+    from echem_dft_etl_spark.sources import load_table
+
+    ids = scaled(
+        load_table(spark, BASE, "events").select("event_id"), "event_id", k
+    )
+    base_id = F.pmod(F.col("event_id"), F.lit(10_000_000))
+    band = F.floor(F.col("event_id") / 10_000_000)
+    pts = ids.select(
+        F.col("event_id").alias("pid"),
+        (
+            det_hash_str(F.concat(base_id.cast("string"), F.lit(":x")))
+            % 100000
+        ).alias("x"),
+        (
+            det_hash_str(F.concat(base_id.cast("string"), F.lit(":y")))
+            % 100000
+            + band * 200000
+        ).alias("y"),
+    ).localCheckpoint(eager=True)
+    return grid_near_join(pts, "pid", "x", "y", radius=250)
+
+
 def _bloom_probe(spark, k: int):
     """Bloom prune + exact semi-join over K disjoint copies: build keys
     and probe rows both grow K-fold with aligned shifts (same stride),
@@ -323,6 +358,11 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
             "join",
             "x05_range_join_binned",
             lambda: _binned_range_probe(spark, k),
+        ),
+        (
+            "join",
+            "x05_spatial_near_join",
+            lambda: _spatial_probe(spark, k),
         ),
         # --- sessionization (windowed per-key state) ---
         (
