@@ -78,3 +78,23 @@ def test_render_rejects_negative_and_handles_empty():
 def test_encode_rejects_wrong_buffer_size():
     with pytest.raises(ValueError):
         encode_png_rgb(2, 2, b"\x00" * 11)
+
+
+def test_png_encode_is_byte_deterministic():
+    """encode_png_rgb promises deterministic bytes (fixed zlib level,
+    no timestamps, no ancillary chunks) — the property that makes
+    chart artifacts content-addressable and sink writes idempotent."""
+    w, h, pixels = render_bar_chart([3, 9, 1, 7])
+    a = encode_png_rgb(w, h, pixels)
+    b = encode_png_rgb(w, h, bytes(pixels))
+    assert a == b
+    # structural sanity: exactly the three critical chunks, in order
+    tags = []
+    pos = 8
+    while pos + 8 <= len(a):
+        import struct as _s
+
+        (ln,) = _s.unpack_from(">I", a, pos)
+        tags.append(a[pos + 4 : pos + 8])
+        pos += 12 + ln
+    assert tags == [b"IHDR", b"IDAT", b"IEND"]
