@@ -1546,3 +1546,16 @@ def test_stream_cusum_fold_is_batch_split_invariant(cents, cut):
     s1 = fold_cusum(0, 0, 0, cents[:cut], 8000, 30000)
     split = fold_cusum(s1[0], s1[1], s1[2], cents[cut:], 8000, 30000)
     assert whole == split
+
+
+def test_cusum_alarm_bound_is_strict():
+    """fold_cusum counts an alarm only when S EXCEEDS h (strict >,
+    matching the batch oracle's WHERE cusum > h): landing exactly ON
+    the threshold is not an alarm."""
+    from echem_dft_etl_spark.streaming.stateful import fold_cusum
+
+    # k=0 so S accumulates the raw values: 30000 exactly, then 30001
+    s, n, m = fold_cusum(0, 0, 0, [30000], 0, 30000)
+    assert (s, n, m) == (30000, 0, 30000)
+    s, n, m = fold_cusum(s, n, m, [1], 0, 30000)
+    assert (s, n, m) == (30001, 1, 30001)

@@ -589,3 +589,19 @@ def test_grid_contact_join_time_axis_blocks_and_bounds(spark):
         (3, 6): (25, 99),    # crosses the t//100 bucket boundary
         (4, 6): (25, 98),
     }
+
+
+def test_grid_contact_join_rejects_undersized_cell(spark):
+    """cell < radius would need a wider-than-3x3 stencil — the guard
+    must refuse rather than silently lose pairs."""
+    import pytest
+
+    from echem_dft_etl_spark.operators.spatial import grid_contact_join
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0, 0)], "pid long, x long, y long, t long"
+    )
+    with pytest.raises(ValueError):
+        grid_contact_join(
+            pts, "pid", "x", "y", "t", radius=10, t_radius=100, cell=5
+        )
