@@ -130,10 +130,14 @@ def png_ink_stats(payload: bytes) -> dict | None:
             tag = payload[pos + 4 : pos + 8]
             body = payload[pos + 8 : pos + 8 + ln]
             if tag == b"IHDR":
-                width, height, depth, ctype = struct.unpack_from(
-                    ">IIBB", body
+                width, height, depth, ctype, comp, filt, inter = (
+                    struct.unpack_from(">IIBBBBB", body)
                 )
-                if depth != 8 or ctype != 2:
+                # encode_png_rgb emits 8-bit truecolor, zlib/0 filter
+                # method, non-interlaced; an Adam7 stream of the right
+                # length would otherwise be mis-unfiltered instead of
+                # degrading to None
+                if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
                     return None
             elif tag == b"IDAT":
                 idat += body

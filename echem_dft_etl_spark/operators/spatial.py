@@ -34,9 +34,21 @@ shuffled equi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["grid_near_join", "grid_contact_join"]
+
+
+def _cell_of(colname: str, size: int) -> Column:
+    """Bigint-EXACT floor division ``colname div size`` for cell keys.
+
+    ``F.floor(col / size)`` goes through double-precision division, so
+    for |coord| beyond ~2^53 the floor can land one cell off near a
+    boundary and silently drop pairs. Instead subtract the
+    non-negative ``pmod`` remainder (making an exact multiple of
+    ``size``) and integer-``div`` it — every step stays in bigint, so
+    the cell key is exact over the full 64-bit coordinate range."""
+    return F.expr(f"({colname} - pmod({colname}, {size})) div {size}")
 
 
 def grid_near_join(
@@ -58,18 +70,21 @@ def grid_near_join(
         cell = radius
     if cell < radius:
         raise ValueError("cell must be >= radius for a 3x3 probe stencil")
+    if cell < 1:
+        # div-by-zero cell keys are NULL in Spark: the join would
+        # silently emit zero pairs instead of erroring
+        raise ValueError("cell must be >= 1")
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("bigint").alias("px"),
         F.col(y_col).cast("bigint").alias("py"),
     )
-    # floor division keeps negative coordinates on the correct cell
     build = pts.select(
         F.col("pid").alias("id_b_"),
         F.col("px").alias("xb"),
         F.col("py").alias("yb"),
-        F.floor(F.col("px") / cell).alias("cx"),
-        F.floor(F.col("py") / cell).alias("cy"),
+        _cell_of("px", cell).alias("cx"),
+        _cell_of("py", cell).alias("cy"),
     )
     offsets = F.expr(
         "explode(flatten(transform(sequence(-1, 1), "
@@ -79,8 +94,8 @@ def grid_near_join(
         F.col("pid").alias("id_a_"),
         F.col("px").alias("xa"),
         F.col("py").alias("ya"),
-        F.floor(F.col("px") / cell).alias("pcx"),
-        F.floor(F.col("py") / cell).alias("pcy"),
+        _cell_of("px", cell).alias("pcx"),
+        _cell_of("py", cell).alias("pcy"),
         offsets.alias("o"),
     ).select(
         "id_a_",
@@ -131,6 +146,12 @@ def grid_contact_join(
         cell = radius
     if cell < radius:
         raise ValueError("cell must be >= radius for a 3x3 probe stencil")
+    if cell < 1:
+        raise ValueError("cell must be >= 1")
+    if t_radius < 1:
+        # div-by-zero in the time-cell key would yield NULL cells and a
+        # silently empty join rather than an error
+        raise ValueError("t_radius must be >= 1 for the time blocking axis")
     pts = points.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("bigint").alias("px"),
@@ -142,9 +163,9 @@ def grid_contact_join(
         F.col("px").alias("xb"),
         F.col("py").alias("yb"),
         F.col("pt").alias("tb"),
-        F.floor(F.col("px") / cell).alias("cx"),
-        F.floor(F.col("py") / cell).alias("cy"),
-        F.floor(F.col("pt") / t_radius).alias("ct"),
+        _cell_of("px", cell).alias("cx"),
+        _cell_of("py", cell).alias("cy"),
+        _cell_of("pt", t_radius).alias("ct"),
     )
     offsets = F.expr(
         "explode(flatten(flatten(transform(sequence(-1, 1), "
@@ -157,9 +178,9 @@ def grid_contact_join(
         F.col("px").alias("xa"),
         F.col("py").alias("ya"),
         F.col("pt").alias("ta"),
-        F.floor(F.col("px") / cell).alias("pcx"),
-        F.floor(F.col("py") / cell).alias("pcy"),
-        F.floor(F.col("pt") / t_radius).alias("pct"),
+        _cell_of("px", cell).alias("pcx"),
+        _cell_of("py", cell).alias("pcy"),
+        _cell_of("pt", t_radius).alias("pct"),
         offsets.alias("o"),
     ).select(
         "id_a_",

@@ -80,18 +80,44 @@ def _register(name, oracle, survey_ids=()):
 #: window was identical every round; its members all carry seven
 #: rounds of driver evidence already).
 PRIORITY: tuple[str, ...] = (
-    # reference core (Q1-Q22) + the e2e / pipe / serializer surfaces
+    # --- round-9 rotation: 20 first-time window members (never had
+    # driver-grade evidence in r1-r8), headed by the round-8 additions
+    # the judge spot-verified (VERDICT r8 item 4) ---
+    "s05_chart_sink",
+    "x04_cusum_drift",
+    "x05_spatial_near_join",
+    "x05_contact_pairs",
+    "x06_equidepth_hist",
+    "t13_bpe_tokens",
+    "d28_split_leakage_audit",
+    "s18_k_anonymity",
+    "x10_stream_cusum",
+    "s02_fixed_width",
+    "x07_business_days",
+    "sql_surface_top_supplier",
+    "mm_scene_cuts",
+    "t13_keyword_extract",
+    "x06_sketch_mergeable",
+    "s17_bucketed_join",
+    "s01_dpp_scan",
+    "s03_merge_upsert",
+    "x03_unpivot",
+    "sql_correlated_subquery",
+    # --- carried core: every SURVEY §2 id keeps >=1 claimant in the
+    # 50-slot window (tests/test_registry_order.py) ---
+    "pipeline_reference_e2e",
     "echem_flagship",
     "q01_pushdown_scan",
+    "s02_custom_datasource",
     "q02_keylist_semijoin",
     "q04_string_to_digits",
-    "s02_custom_datasource",
     "q08_scalar_arithmetic",
-    "q09_path_strings",
     "q10_serializer_expr",
+    "x03_time_rollup",
+    "x08_variant_shred",
+    "q09_path_strings",
     "q11_stratified_sample",
     "q12_det_pick_one",
-    "pipeline_reference_e2e",
     "q14_group_index",
     "s03_deletion_vectors",
     "sql_surface_revenue_by_nation",
@@ -99,43 +125,16 @@ PRIORITY: tuple[str, ...] = (
     "s04_custom_sink",
     "pipe_external_solver",
     "d01_nested_sites",
-    # relational extensions (X1-X9)
     "x01_global_rownum",
     "x02_set_ops_all",
     "x03_grouping_sets",
-    "x03_time_rollup",
     "x04_rolling_wau",
     "x05_full_outer",
-    "x05_nullsafe_join",
+    "x09_dynamic_gap_sessions",
     "x05_range_join_binned",
     "s16_asof_join",
     "s15_salted_join",
     "s18_outlier_mad",
-    "x07_cohort_retention",
-    "x08_variant_shred",
-    "x09_dynamic_gap_sessions",
-    # streaming (X10)
-    "x10_stream_tumbling",
-    "x10_stream_trending",
-    "x10_stream_stateful_profile",
-    "x10_stream_stream_join",
-    # dedup (X11)
-    "d11_dedup_exact",
-    "d12_minhash_lsh_prod",
-    "d12_dup_clusters",
-    "d13_simhash",
-    "d26_containment_pairs",
-    # similarity (X12)
-    "s12_pq_topk",
-    "s12_cosine_near_pairs",
-    "s12_near_pairs_pruned",
-    "s12_ann_lsh_multiprobe",
-    "s12_ivfpq_topk",
-    "s12_kmeans_refine",
-    # text analysis (X13) / UDF surfaces (X14) / multimodal
-    "t13_language_id",
-    "x14_grouped_fit_pandas",
-    "mm_image_phash_pairs",
 )
 
 

@@ -2762,7 +2762,7 @@ def s18_k_anonymity(spark, sf_dir):
     WITH aug AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 3000000, replace(upper(text), ' ', '  ')
+      SELECT doc_id + 1000000000, replace(upper(text), ' ', '  ')
       FROM documents WHERE doc_id % 37 = 0
     ),
     n AS (SELECT doc_id, {{norm}} AS norm_key,
@@ -2810,7 +2810,7 @@ def d28_split_leakage_audit(spark, sf_dir):
 
     docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
     twins = docs.filter(F.col("doc_id") % 37 == 0).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
         F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
     )
     aug = docs.unionByName(twins)

@@ -4722,7 +4722,7 @@ def x04_hampel_outliers(spark, sf_dir):
            CAST(3 * SUM((cnt * 31) // vmax + 1) AS BIGINT) AS ink_px
     FROM v GROUP BY n_name, n_bars
     """,
-    survey_ids=("S1", "X14"),
+    survey_ids=("S5", "S1", "X14"),
 )
 def s05_chart_sink(spark, sf_dir):
     """Image SINK end-to-end (the reference's S5 behavior — per-entity

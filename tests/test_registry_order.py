@@ -34,14 +34,15 @@ def test_first_window_covers_every_survey_id():
     )
 
 
-#: Canonical SURVEY §2 ids (S5 is out of scope per §2.1). The window
-#: must keep ≥ 1 query claiming each — this is the guard that fails if
-#: a future registration change evicts an id's LAST in-window query
-#: (the union test below cannot catch the case where the id's only
-#: claimants were all inside the window).
+#: Canonical SURVEY §2 ids — all 41, including S5 since round 8 gave
+#: it an engine-shaped query (`s05_chart_sink`). The window must keep
+#: ≥ 1 query claiming each — this is the guard that fails if a future
+#: registration change evicts an id's LAST in-window query (the union
+#: test below cannot catch the case where the id's only claimants were
+#: all inside the window).
 CANONICAL_SURVEY_IDS = frozenset(
     [f"Q{i}" for i in range(1, 23)]
-    + ["S1", "S2", "S3", "S4"]
+    + ["S1", "S2", "S3", "S4", "S5"]
     + [f"X{i}" for i in range(1, 15)]
 )
 
@@ -56,11 +57,25 @@ def test_window_retains_every_canonical_survey_id():
 
 
 #: Every name that has occupied a driver-window slot in a PAST round
-#: (the r1-r7 window was the same 50 names each round). The rotation
-#: policy (VERDICT r7 item 6) requires each round's window to give
-#: driver-grade evidence to queries that never had it.
+#: (r1-r7 shared one 50-name window; r8 rotated 27 fresh names in —
+#: its window is the second block, == CORRECTNESS_r08.json's keys).
+#: The rotation policy (VERDICT r7 item 6) requires each round's
+#: window to give driver-grade evidence to queries that never had it.
 PREVIOUS_WINDOW_MEMBERS = frozenset(
     {
+        # round-8 window (CORRECTNESS_r08.json)
+        "s02_custom_datasource", "q11_stratified_sample",
+        "pipeline_reference_e2e", "s03_deletion_vectors",
+        "sql_surface_revenue_by_nation", "sql_surface_pricing",
+        "s04_custom_sink", "x01_global_rownum", "x02_set_ops_all",
+        "x03_grouping_sets", "x04_rolling_wau", "x05_full_outer",
+        "x05_nullsafe_join", "x05_range_join_binned",
+        "s18_outlier_mad", "x07_cohort_retention",
+        "x08_variant_shred", "x09_dynamic_gap_sessions",
+        "x10_stream_trending", "d12_minhash_lsh_prod", "d13_simhash",
+        "d26_containment_pairs", "s12_pq_topk", "s12_ivfpq_topk",
+        "t13_language_id", "mm_image_phash_pairs",
+        # rounds 1-7 window
         "echem_flagship", "q01_pushdown_scan", "q02_keylist_scan",
         "q04_string_to_digits", "q05_last_match_per_key",
         "q08_scalar_arithmetic", "q09_path_strings",
