@@ -85,7 +85,7 @@ def connected_components(
     dst_col: str = "b",
     max_rounds: int = 20,
     round_stats: list | None = None,
-    relax_per_round: int = 1,
+    relax_per_round: int | tuple = 1,
 ) -> DataFrame:
     """(id, cluster_id): cluster_id = min vertex id reachable in the
     undirected graph. Vertices with no edges are their own cluster.
@@ -106,10 +106,15 @@ def connected_components(
     hops per round while paying the round's fixed costs (eager
     checkpoint job, convergence-count job, driver sync) ONCE. Worth
     raising above 1 when the graph has real diameter (chained entity
-    matches: 8 rounds → 4 measured at sf0.1, ~35% wall cut); the
-    trade is that the final fixpoint-confirming round costs N
-    relaxations instead of one, so keep N=1 for graphs known to
-    converge in 2-3 rounds (LSH dup clusters are near-cliques).
+    matches: 8 one-hop rounds measured at sf0.1); keep N=1 for graphs
+    known to converge in 2-3 rounds (LSH dup clusters are
+    near-cliques). A TUPLE gives a per-round schedule (the last entry
+    repeats): ``(8, 1)`` spends 8 hops on the propagate round, then
+    confirms the fixpoint with ONE relaxation — valid because labels
+    are monotone under relax, so a single relax+jump that changes no
+    label proves the N-hop fixpoint too. That makes the mandatory
+    confirm round cost 1 join instead of N (entity resolution:
+    2-round floor at sf0.1, the confirm round ~8× cheaper).
     """
     # Materialize the (symmetrized) edge set ONCE: every round joins it,
     # and without the checkpoint each round would re-derive the edges'
@@ -199,9 +204,15 @@ def connected_components(
         # keeps the sum exact at any vertex-id scale.
         lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         prev_sum = labels.agg(lbl_sum).collect()[0][0]
+        schedule = (
+            (relax_per_round,)
+            if isinstance(relax_per_round, int)
+            else tuple(relax_per_round)
+        )
         for round_no in range(max_rounds):
             cur = labels
-            for _hop in range(relax_per_round):
+            n_hops = schedule[min(round_no, len(schedule) - 1)]
+            for _hop in range(n_hops):
                 # 1-hop: min over {self} ∪ neighbors, keyed on dst.
                 cur = (
                     sym.join(cur, sym["src"] == cur["v"])

@@ -359,6 +359,31 @@ def test_connected_components_path_graph(spark):
     assert got == want
 
 
+def test_connected_components_relax_schedule(spark):
+    """A tuple relax schedule ((4, 1): multi-hop propagate rounds,
+    then 1-hop fixpoint confirms) must produce exactly the labels the
+    default 1-hop loop does — the monotone-label argument says a
+    single relax+jump that changes nothing proves the N-hop fixpoint,
+    and this pins it on a graph with real diameter."""
+    from echem_dft_etl_spark.operators.components import connected_components
+
+    verts = spark.range(13).selectExpr("id AS doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(10, 11)], "a long, b long"
+    )
+    base = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(verts, edges).collect()
+    }
+    sched = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            verts, edges, relax_per_round=(4, 1)
+        ).collect()
+    }
+    assert sched == base
+
+
 def test_duplicate_clusters_invariants(spark):
     """Every near-dup pair lands in one cluster; cluster_id is the min
     member; clusters partition the corpus; n_members is consistent."""
