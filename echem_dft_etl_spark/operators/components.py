@@ -407,10 +407,12 @@ def integer_pagerank(
     Scale shape: per iteration one equi-join of the mass frame with
     the (static, checkpointed) out-degree-annotated edge list and one
     dst-keyed aggregation — hash-partitioned all the way, AQE splits
-    hub nodes; per-round ``localCheckpoint`` truncates lineage and the
-    previous round's blocks are released as soon as the next is
-    materialized (the same storage discipline as
-    :func:`connected_components`). Overflow bound: the binding
+    hub nodes; an eager ``localCheckpoint`` every SECOND round (plus
+    the final round) truncates lineage while paying half the
+    materialization round-trips — two rounds of join+agg lineage is
+    well inside planner comfort, and the blocks of the superseded
+    checkpoint are released as soon as the next materializes (the
+    same storage discipline as :func:`connected_components`). Overflow bound: the binding
     constraint is the per-share multiply ``mass * damp_num`` — in the
     worst case (a sink-like hub) one node can accumulate nearly ALL
     circulating mass ``N * node_mass``, so bigint safety requires
@@ -422,11 +424,20 @@ def integer_pagerank(
     base = node_mass * (damp_den - damp_num) // damp_den
 
     owned: list = []
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # static per-round probe side: (src, dst, outdeg), checkpointed once
-    ed = _tracked_checkpoint(edges.join(deg, "src"), owned)
+    # static per-round probe side: (src, dst, outdeg), checkpointed
+    # once. outdeg via a window over src — ONE shuffle and one pass
+    # over the (possibly expensive) edge plan, where groupBy+join
+    # would execute that plan twice and shuffle twice.
+    ed = _tracked_checkpoint(
+        edges.withColumn(
+            "outdeg",
+            F.count(F.lit(1)).over(Window.partitionBy("src")),
+        ),
+        owned,
+    )
+    # node set from the checkpointed blocks, not the raw edge plan
     nodes = _tracked_checkpoint(
-        edges.select(F.col("src").alias("v")).distinct(), owned
+        ed.select(F.col("src").alias("v")).distinct(), owned
     )
 
     mass = nodes.select("v", F.lit(node_mass).cast("bigint").alias("mass"))
@@ -440,7 +451,7 @@ def integer_pagerank(
     ok = False
     try:
         spark.conf.set(conf_key, str(loop_width))
-        for _ in range(iterations):
+        for i in range(iterations):
             shares = ed.join(
                 mass, ed["src"] == mass["v"]
             ).select(
@@ -456,26 +467,20 @@ def integer_pagerank(
             incoming = shares.groupBy("v").agg(
                 F.sum("share").alias("inc")
             )
-            round_ids: list = []
-            mass = _tracked_checkpoint(
-                nodes.join(incoming, "v", "left").select(
-                    "v",
-                    (
-                        F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
-                    ).cast("bigint").alias("mass"),
-                ),
-                round_ids,
+            mass = nodes.join(incoming, "v", "left").select(
+                "v",
+                (
+                    F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
+                ).cast("bigint").alias("mass"),
             )
-            try:
-                mass.count()  # eager: prior round's blocks now dead
-            except Exception:
-                # in-flight round pinned but not yet promoted — release
-                # it here or it leaks for the session (the CC error-path
-                # lesson)
-                _release_rdds(spark, round_ids)
-                raise
-            _release_rdds(spark, prev_ids)
-            prev_ids = round_ids
+            # checkpoint every second round + the final round:
+            # localCheckpoint is EAGER, so the blocks of the superseded
+            # checkpoint are dead as soon as this returns
+            if i % 2 == 1 or i == iterations - 1:
+                round_ids: list = []
+                mass = _tracked_checkpoint(mass, round_ids)
+                _release_rdds(spark, prev_ids)
+                prev_ids = round_ids
         ok = True
         return mass
     finally:

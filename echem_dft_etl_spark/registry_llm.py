@@ -2131,12 +2131,22 @@ def x05_pagerank(spark, sf_dir):
     from .operators.components import integer_pagerank
 
     li = _ld(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
-    ).distinct()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # symmetrize in ONE lineitem scan: explode both orientations per
+    # row, then a single distinct — union(fwd, fwd.swap) would execute
+    # the fwd plan (scan + distinct) twice
+    p = F.col("l_partkey").cast("bigint")
+    s = (F.lit(1000000000) + F.col("l_suppkey")).cast("bigint")
+    edges = (
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(p.alias("src"), s.alias("dst")),
+                    F.struct(s.alias("src"), p.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
     )
     return integer_pagerank(edges, iterations=5)
 
