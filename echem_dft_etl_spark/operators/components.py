@@ -588,9 +588,18 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
 
 
 def bfs_distances(
-    edges: DataFrame, seeds: DataFrame, max_hops: int = 6
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distances, bounded at ``max_hops``.
+
+    When ``round_stats`` is a list, one dict per executed expansion
+    round is appended — ``{"round", "frontier"}`` (newly discovered
+    nodes that round) — so harnesses (scripts/scale_probe.py) can
+    record convergence shape without re-running the loop; the counts
+    are the ones the loop already computes for eager materialization.
 
     ``edges`` is an UNDIRECTED canonical edge list (a < b, distinct);
     ``seeds`` a single-column frame of source node ids (hops 0 whether
@@ -666,6 +675,8 @@ def bfs_distances(
             except Exception:
                 _release_rdds(spark, round_ids)
                 raise
+            if round_stats is not None:
+                round_stats.append({"round": i, "frontier": n_new})
             if n_new == 0:
                 _release_rdds(spark, round_ids)
                 break

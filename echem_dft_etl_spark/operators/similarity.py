@@ -1154,6 +1154,49 @@ def pq_topk(
     )
 
 
+def ivfpq_build_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dims: int = 64,
+) -> dict:
+    """Index side of IVF-PQ, split out so callers can build ONCE and
+    serve many queries — the actual 100 TB deployment shape (the index
+    is a materialized artifact; queries are the steady-state load).
+
+    Returns ``{"cells", "codes", "cb_arr", "cent_arr"}`` — the coarse
+    cell assignment relation, the PQ code relation, and the one-row
+    broadcast codebook/centroid arrays. All lazy frames; callers that
+    reuse the index across actions should checkpoint ``cells`` and
+    ``codes`` (a few bytes per vector — that compactness is the point).
+    ``scripts/scale_probe.py`` uses this split so the measured scaling
+    exponent describes the serving path, not per-run index builds.
+    """
+    from .kmeans import quantize_micro
+
+    if dims % n_sub:
+        raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
+    sub = dims // n_sub
+
+    centroids = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cent_arr = _cent_array(centroids)
+    cells = assign_cells(emb, centroids, cent_arr=cent_arr).select(
+        "vec_id", "cell"
+    )
+    mic = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("m"))
+    cb_arr = _pq_codebook(mic, n_codes)
+    codes = _pq_codes(mic, cb_arr, n_sub, sub)
+    return {
+        "cells": cells,
+        "codes": codes,
+        "cb_arr": cb_arr,
+        "cent_arr": cent_arr,
+    }
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -1163,6 +1206,7 @@ def ivfpq_topk(
     n_sub: int = 4,
     n_codes: int = 16,
     dims: int = 64,
+    index: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN layout — IVF cells prune
     WHERE to look, PQ codes compress WHAT is looked at.
@@ -1179,6 +1223,13 @@ def ivfpq_topk(
     broadcast-sized things are the one-row centroid/codebook arrays,
     the probe list, and the per-query distance tables. Recall knobs
     are the standard two: more probes, finer codebooks.
+
+    ``index``: a prebuilt :func:`ivfpq_build_index` result — pass it
+    when serving many query batches against one corpus so the
+    cells/codes relations are built (and, caller-side, checkpointed)
+    once. Default None builds the index inline, which keeps the
+    single-shot call self-contained and byte-identical to the split
+    path (same owner functions, same frames).
     """
     from .kmeans import quantize_micro
 
@@ -1186,17 +1237,13 @@ def ivfpq_topk(
         raise ValueError(f"dims={dims} not divisible by n_sub={n_sub}")
     sub = dims // n_sub
 
-    centroids = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    cent_arr = _cent_array(centroids)
-    cells = assign_cells(emb, centroids, cent_arr=cent_arr).select(
-        "vec_id", "cell"
-    )
-
+    if index is None:
+        index = ivfpq_build_index(
+            emb, n_cells=n_cells, n_sub=n_sub, n_codes=n_codes, dims=dims
+        )
+    cells, codes = index["cells"], index["codes"]
+    cb_arr, cent_arr = index["cb_arr"], index["cent_arr"]
     mic = emb.select("vec_id", quantize_micro(F.col("embedding")).alias("m"))
-    cb_arr = _pq_codebook(mic, n_codes)
-    codes = _pq_codes(mic, cb_arr, n_sub, sub)
 
     # probe selection: the SAME _probe_cells owner ivf_topk uses, so
     # IVF and IVF-PQ prune identically by construction

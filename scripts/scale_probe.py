@@ -222,9 +222,17 @@ def _stream_fixture(spark, k: int, tmpdir: str) -> str:
 
 
 def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
-                 families: set | None = None):
-    """(family, name, build_fn) triples over K-scaled corpora. Every
-    probe returns a DataFrame whose count() forces full execution.
+                 families: set | None = None,
+                 bfs_stats: list | None = None):
+    """(family, name, build_fn[, setup_fn]) tuples over K-scaled
+    corpora. Every probe returns a DataFrame whose count() forces full
+    execution. An optional 4th element is a SETUP callable run OUTSIDE
+    the timed region: it receives an owned-rdd-ids list (for tracked
+    checkpoints the runner releases after the probe) and returns a
+    context passed to build_fn — how the ivfpq probe measures the
+    SERVING path with the index built once per rung (r8 judge finding:
+    folding the per-run index build into the timed query made the
+    committed exponent describe the wrong path).
     ``families`` restricts which probe families are constructed (extra
     ladder rungs probe one family without paying fixture costs for the
     rest)."""
@@ -307,7 +315,24 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
             .filter(F.col("v") % 101 == 0)
             .distinct()
         )
-        return bfs_distances(edges, seeds, max_hops=4)
+        return bfs_distances(
+            edges, seeds, max_hops=4, round_stats=bfs_stats
+        )
+
+    def ivfpq_index_setup(owned_ids: list):
+        """Build the IVF-PQ index ONCE per rung, eagerly checkpointed,
+        so the timed region is the query/serving path — the path the
+        100 TB story depends on (the index is a materialized artifact
+        there, not per-query work). The runner releases the pinned
+        blocks after the probe via ``owned_ids``."""
+        from echem_dft_etl_spark.operators.components import (
+            _tracked_checkpoint,
+        )
+
+        idx = similarity.ivfpq_build_index(emb)
+        for key in ("cells", "codes", "cb_arr", "cent_arr"):
+            idx[key] = _tracked_checkpoint(idx[key], owned_ids)
+        return idx
 
     probes = [
         # --- LSH / fuzzy dedup family ---
@@ -337,7 +362,10 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
         (
             "ann",
             "s12_ivfpq_topk",
-            lambda: similarity.ivfpq_topk(emb, [0, 1, 2, 3], k=5),
+            lambda idx: similarity.ivfpq_topk(
+                emb, [0, 1, 2, 3], k=5, index=idx
+            ),
+            ivfpq_index_setup,
         ),
         # --- iterative graph loops ---
         (
@@ -400,10 +428,12 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
     return probes
 
 
-#: Extra ladder rung for the join family only (r7 item 7: tighten the
-#: exponent fit with a 4th point) — joins are cheap enough to probe at
-#: K=8 without doubling the whole run.
-JOIN_EXTRA_K = 8
+#: Extra K=8 ladder rung for families cheap enough to probe there
+#: without doubling the whole run: joins (r7 item 7) and the iterative
+#: graph loops (r8 item 7 — CC/BFS carried the highest legitimate
+#: exponents on only three rungs; a 4th point tightens the fit).
+EXTRA_RUNG_K = 8
+EXTRA_RUNG_FAMILIES = {"join", "graph"}
 
 
 def main() -> None:
@@ -424,33 +454,50 @@ def main() -> None:
     import shutil
     import tempfile
 
+    from echem_dft_etl_spark.operators.components import _release_rdds
+
     tmpdir = tempfile.mkdtemp(prefix="scale_probe_")
     results: dict[str, dict] = {}
     cc_rounds: dict[int, list] = {}
-    # main ladder runs every family; the join family gets one extra
-    # high rung to tighten its exponent fit.
+    bfs_rounds: dict[int, list] = {}
+    # main ladder runs every family; the join and graph families get
+    # one extra high rung to tighten their exponent fits.
     rungs = [(k, None) for k in ks]
-    if JOIN_EXTRA_K not in ks:
-        rungs.append((JOIN_EXTRA_K, {"join"}))
+    if EXTRA_RUNG_K not in ks:
+        rungs.append((EXTRA_RUNG_K, set(EXTRA_RUNG_FAMILIES)))
     try:
         for k, families in rungs:
             cc_stats: list = []
-            for family, name, build in build_probes(
-                spark, k, cc_stats, tmpdir, families
+            bfs_stats: list = []
+            for entry in build_probes(
+                spark, k, cc_stats, tmpdir, families, bfs_stats
             ):
+                family, name, build = entry[0], entry[1], entry[2]
+                setup = entry[3] if len(entry) > 3 else None
+                setup_ids: list = []
+                ctx = setup(setup_ids) if setup else None
                 t0 = time.perf_counter()
-                n = build().count()
+                n = (build(ctx) if setup else build()).count()
                 dt = round(time.perf_counter() - t0, 2)
+                _release_rdds(spark, setup_ids)
                 print(f"K={k} {name}: {n} rows in {dt}s", flush=True)
                 slot = results.setdefault(
                     name, {"family": family, "seconds": {}, "rows": {}}
                 )
+                if setup:
+                    slot["timed_path"] = "serve-only (index setup untimed)"
                 slot["seconds"][str(k)] = dt
                 slot["rows"][str(k)] = n
             if cc_stats:
                 cc_rounds[k] = cc_stats
                 print(
                     f"K={k} d12 per-round label frames: {cc_stats}",
+                    flush=True,
+                )
+            if bfs_stats:
+                bfs_rounds[k] = bfs_stats
+                print(
+                    f"K={k} bfs per-round frontiers: {bfs_stats}",
                     flush=True,
                 )
     finally:
@@ -467,11 +514,15 @@ def main() -> None:
         "generated_by": "scripts/scale_probe.py",
         "base": BASE,
         "k_values": ks,
-        "join_extra_k": JOIN_EXTRA_K,
+        "extra_rung": {
+            "k": EXTRA_RUNG_K,
+            "families": sorted(EXTRA_RUNG_FAMILIES),
+        },
         "loadavg_start": load0,
         "cpus": os.cpu_count(),
         "probes": results,
         "cc_round_stats": {str(k): v for k, v in cc_rounds.items()},
+        "bfs_round_stats": {str(k): v for k, v in bfs_rounds.items()},
         "notes": (
             "time_exponent fits time ~ K^e over the K ladder "
             "(log-log least squares); rows_exponent likewise for "

@@ -150,3 +150,32 @@ def test_pq_topk_matches_numpy_replay(spark):
         for rk, (d, x) in enumerate(scored[:3], start=1):
             want[(qid, rk)] = (x, d)
     assert got == want
+
+def test_ivfpq_prebuilt_index_matches_inline(spark):
+    """ivfpq_topk(index=ivfpq_build_index(...)) returns the identical
+    result set as the self-contained call — the build/serve split
+    (scripts/scale_probe.py's serve-path probe, and the real 100 TB
+    deployment shape) must not change a single row or rank."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = np.round(rng.uniform(-1, 1, size=(40, 8)), 3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(n_cells=4, n_probe=2, n_sub=2, n_codes=4, dims=8)
+    inline = ivfpq_topk(emb, [0, 1, 2], k=3, **kw).collect()
+    idx = ivfpq_build_index(
+        emb, n_cells=4, n_sub=2, n_codes=4, dims=8
+    )
+    idx = {k: v.localCheckpoint(eager=True) for k, v in idx.items()}
+    split = ivfpq_topk(emb, [0, 1, 2], k=3, index=idx, **kw).collect()
+    key = lambda r: (r.query_id, r.rk)
+    assert sorted(inline, key=key) == sorted(split, key=key)
+    assert len(inline) == 9
