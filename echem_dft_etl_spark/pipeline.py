@@ -270,21 +270,36 @@ def run_reference_pipeline(
     )
     geometry = picked.select("slab_id", "cell00", "cell11")
 
-    # Q18-Q20, Q22: descriptors
-    result = echem.electrochem_descriptors(metrics, geometry)
+    # Q18-Q20, Q22: descriptors. Checkpoint before fan-out to two
+    # consumers (upsert write + report count): without it the whole
+    # upstream pipeline — including the external-solver pipe stage —
+    # executes once PER consumer. Tracked so the pinned blocks are
+    # released once both consumers have run (the returned table is a
+    # parquet read-back, independent of these blocks).
+    from .operators.components import _release_rdds, _tracked_checkpoint
 
-    # Q16/S3: first-wins upsert into the results table
-    table = upsert_parquet(
-        result, f"{out_dir}/dft_echem", key_cols=["MP_id"], order_col="MP_id"
+    ck_ids: list = []
+    result = _tracked_checkpoint(
+        echem.electrochem_descriptors(metrics, geometry), ck_ids
     )
+    try:
+        # Q16/S3: first-wins upsert into the results table
+        table = upsert_parquet(
+            result,
+            f"{out_dir}/dft_echem",
+            key_cols=["MP_id"],
+            order_col="MP_id",
+        )
 
-    # S4: append-only report
-    n = result.count()
-    append_report(
-        spark,
-        f"{out_dir}/report",
-        [f"## run: {n} slab(s) analyzed", "![plot](visualize/echem.png)"],
-    )
+        # S4: append-only report
+        n = result.count()
+        append_report(
+            spark,
+            f"{out_dir}/report",
+            [f"## run: {n} slab(s) analyzed", "![plot](visualize/echem.png)"],
+        )
+    finally:
+        _release_rdds(spark, ck_ids)
     return table
 
 

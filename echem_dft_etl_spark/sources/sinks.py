@@ -417,10 +417,18 @@ def delete_keys_parquet(
 
 
 def append_report(spark: SparkSession, path: str, lines: list[str]) -> None:
-    """S4: append-only markdown report sink (my_dag.py:240-243)."""
-    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(
-        1
-    ).write.mode("append").text(path)
+    """S4: append-only markdown report sink (my_dag.py:240-243).
+
+    One output file per append via ``repartition(1)``, NOT
+    ``coalesce(1)``: createDataFrame parallelizes the rows across
+    defaultParallelism pickled partitions, and coalesce folds all of
+    them into ONE task that pays one serial Python-worker round trip
+    PER PARENT PARTITION — measured 4.5-6 s for a two-line report on
+    local[32] vs 0.4 s for the single post-shuffle task (the shuffle
+    is two rows). JVM-backed frames don't have this failure mode."""
+    spark.createDataFrame(
+        [(l,) for l in lines], "value string"
+    ).repartition(1).write.mode("append").text(path)
 
 
 def write_clustered(
