@@ -342,3 +342,117 @@ def test_upsert_sql_hostile_identifiers_execute_on_derby(spark, derby_url):
         .collect()
     }
     assert got == {("a", 1.0), ("b", 2.0), ("c", 3.0)}
+
+def test_upsert_sql_postgres_parses_and_rejects_malformed_in_duckdb():
+    """Parser-level gate for the Postgres emission (no Postgres server
+    exists in this sandbox): DuckDB's parser implements PostgreSQL's
+    INSERT ... ON CONFLICT grammar, so every emitted statement must
+    survive duckdb.extract_statements — and a deliberately malformed
+    mutation of each statement must be REJECTED, proving the gate can
+    actually fail (a check that accepts everything checks nothing)."""
+    import duckdb
+
+    from echem_dft_etl_spark.sources.sinks import upsert_sql
+
+    for table, keys, cols in [
+        (
+            "dft_echem",
+            ["MP_id"],
+            [("MP_id", "VARCHAR(100)"), ("pzc", "DOUBLE")],
+        ),
+        (  # hostile identifiers: quoting must still parse
+            'Dft"Echem',
+            ["Order"],
+            [("Order", "VARCHAR(10)"), ('val"ue', "DOUBLE")],
+        ),
+    ]:
+        stmts = upsert_sql(table, keys, cols, dialect="postgres")
+        for s in stmts:
+            assert len(duckdb.extract_statements(s)) == 1, s
+        for bad in (
+            stmts[0][:-1],  # truncated: unbalanced parens
+            stmts[1].replace("ON CONFLICT", "ON CONFLICT CONFLICT"),
+            stmts[1] + " NOTHING",
+            stmts[2] + " CASCADE CASCADE",
+        ):
+            with pytest.raises(duckdb.Error):
+                duckdb.extract_statements(bad)
+
+
+def test_upsert_sql_postgres_executes_in_duckdb():
+    """Live-wire execution of the emitted Postgres statements in a
+    Postgres-dialect engine (DuckDB): two staged batches with a
+    conflicting key replay the reference's first-wins semantics
+    (my_dag.py:196-205) through the VERBATIM conflict-skip insert and
+    staging drop. Only the SERIAL surrogate-id shorthand is swapped
+    for a plain INTEGER — DuckDB parses SERIAL but binds no such type;
+    every other byte executes as emitted. Staging batches are
+    within-batch unique, the same precondition write_jdbc guarantees
+    (DuckDB raises on intra-command duplicate conflict keys where
+    Postgres skips them — a documented engine difference that the
+    deduped-staging contract makes unreachable)."""
+    import duckdb
+
+    from echem_dft_etl_spark.sources.sinks import upsert_sql
+
+    stmts = upsert_sql(
+        "dft_echem",
+        ["MP_id"],
+        [
+            ("MP_id", "VARCHAR(100)"),
+            ("pzc", "DOUBLE"),
+            ("capacitance", "DOUBLE"),
+        ],
+        dialect="postgres",
+    )
+    con = duckdb.connect()
+    create = stmts[0].replace("id SERIAL PRIMARY KEY", "id INTEGER")
+    assert create != stmts[0], "SERIAL surrogate expected in emission"
+
+    def apply_batch(rows):
+        con.sql(
+            "CREATE TABLE dft_echem_staging "
+            '("MP_id" VARCHAR(100), "pzc" DOUBLE, "capacitance" DOUBLE)'
+        )
+        con.executemany(
+            "INSERT INTO dft_echem_staging VALUES (?, ?, ?)", rows
+        )
+        con.sql(create)
+        con.sql(stmts[1])  # verbatim INSERT ... ON CONFLICT DO NOTHING
+        con.sql(stmts[2])  # verbatim DROP TABLE dft_echem_staging
+
+    apply_batch([("mp-1", 0.5, 40.0), ("mp-2", 0.7, 50.0)])
+    # conflicting mp-1 re-arrives with different values + a fresh key
+    apply_batch([("mp-1", 9.9, 99.0), ("mp-3", 0.9, 60.0)])
+
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            'SELECT "MP_id", "pzc", "capacitance" FROM dft_echem'
+        ).fetchall()
+    }
+    assert got == {
+        "mp-1": (0.5, 40.0),  # first-wins: the conflicting re-insert skipped
+        "mp-2": (0.7, 50.0),
+        "mp-3": (0.9, 60.0),
+    }
+    # staging really dropped by the verbatim statement
+    assert not con.sql(
+        "SELECT * FROM duckdb_tables() WHERE table_name LIKE '%staging%'"
+    ).fetchall()
+
+
+def test_upsert_sql_derby_malformed_rejected_by_server(spark, derby_url):
+    """Malformed-emission counterpart on the REAL engine: a corrupted
+    MERGE must be rejected by embedded Derby, proving
+    execute_jdbc_statements can't silently pass garbage (the Derby
+    half of the both-dialects malformed gate; the Postgres half is the
+    DuckDB parser test above)."""
+    from echem_dft_etl_spark.sources.sinks import execute_jdbc_statements
+
+    with pytest.raises(Exception, match="(?i)syntax|encountered"):
+        execute_jdbc_statements(
+            spark,
+            derby_url,
+            ["MERGE INTO INTO nowhere USING x ON 1=1"],
+        )
