@@ -5294,3 +5294,197 @@ def x10_stream_cusum(spark, sf_dir):
             F.col("cusum").alias("cusum_final"),
         )
     )
+
+
+#: Correlated MIN subquery + dimension join (TPC-H Q2 shape),
+#: dialect-portable. Prices in integer cents, so the MIN-equality
+#: gate is exact and ties surface identically in both engines.
+_MIN_COST_SUPPLIER_SQL = """
+WITH pl AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01')
+SELECT p.l_partkey AS p_partkey, s_suppkey, s_name, p.price_cents
+FROM pl p JOIN supplier ON s_suppkey = p.l_suppkey
+WHERE p.price_cents = (SELECT MIN(p2.price_cents) FROM pl p2
+                       WHERE p2.l_partkey = p.l_partkey)
+"""
+
+
+@_register(
+    "sql_surface_min_cost_supplier",
+    oracle=_MIN_COST_SUPPLIER_SQL,
+    survey_ids=("Q17", "X5"),
+)
+def sql_surface_min_cost_supplier(spark, sf_dir):
+    """Cheapest-offer supplier per part (TPC-H Q2 shape, reshaped onto
+    the lineitem fact since this corpus has no partsupp): a correlated
+    MIN subquery gates each offer row against its part's minimum 1995
+    price, then joins the surviving rows to the supplier dimension.
+    Catalyst decorrelates the per-row MIN into one grouped aggregate +
+    equi-join on l_partkey (same DecorrelateInnerQuery contract as
+    sql_surface_small_qty_revenue / TPC-H Q17) — no per-row
+    re-aggregation survives in the plan. Prices are integer cents so
+    min-equality ties are exact and ALL tying rows are kept (a
+    deterministic set, no arbitrary pick). Same text is the DuckDB
+    oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MIN_COST_SUPPLIER_SQL)
+
+
+#: Group share vs a global-total scalar subquery (TPC-H Q11 shape),
+#: dialect-portable. The 5% threshold is applied as an integer
+#: cross-multiply (cents * 20 > total), never a float division.
+_VALUE_SHARE_SQL = """
+WITH rev AS (
+    SELECT s_nationkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey)
+SELECT n_name, cents AS revenue_cents
+FROM rev JOIN nation ON n_nationkey = s_nationkey
+WHERE cents * 20 > (SELECT CAST(SUM(cents) AS BIGINT) FROM rev)
+"""
+
+
+@_register(
+    "sql_surface_value_share",
+    oracle=_VALUE_SHARE_SQL,
+    survey_ids=("Q21", "X5", "X6"),
+)
+def sql_surface_value_share(spark, sf_dir):
+    """Nations holding more than 5% of global supplier revenue
+    (TPC-H Q11 shape): one grouped aggregate consumed twice — as the
+    report rows and inside a global-total scalar subquery that gates
+    them. The threshold is an integer cross-multiply (cents * 20 >
+    total_cents), so no float division exists to diverge between
+    engines; the scalar executes as a ONE-SHOT subquery over the
+    grouped frame, not per row. DuckDB's integer SUM widens to
+    HUGEINT, which only feeds the comparison — the emitted
+    revenue_cents stays the grouped BIGINT (the outer-cast
+    discipline of test_oracle_dtypes). Same text is the oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_VALUE_SHARE_SQL)
+
+
+#: Outer-join count distribution (TPC-H Q13 shape), dialect-portable.
+_ORDER_COUNT_DIST_SQL = """
+WITH c_orders AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@_register(
+    "sql_surface_order_count_dist",
+    oracle=_ORDER_COUNT_DIST_SQL,
+    survey_ids=("X5", "X6"),
+)
+def sql_surface_order_count_dist(spark, sf_dir):
+    """Customer distribution by non-urgent order count (TPC-H Q13
+    shape): a LEFT OUTER join whose extra ON predicate must filter the
+    RIGHT side only — customers with zero qualifying orders survive
+    with c_count = 0 (COUNT of the null-extended key), which is the
+    semantics a WHERE clause would silently destroy — then a second
+    aggregation over the first's result (histogram of counts). The
+    two-level aggregate is the classic skew surface: the first
+    groupBy keys on c_custkey (uniform), the second on c_count (tiny
+    domain), and AQE coalesces the second exchange. Same text is the
+    DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORDER_COUNT_DIST_SQL)
+
+
+#: COUNT(DISTINCT) + NOT IN anti-join (TPC-H Q16 shape),
+#: dialect-portable.
+_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+@_register(
+    "sql_surface_supplier_variety",
+    oracle=_SUPPLIER_VARIETY_SQL,
+    survey_ids=("X5", "X6"),
+)
+def sql_surface_supplier_variety(spark, sf_dir):
+    """Distinct-supplier variety per (brand, size) excluding
+    blacklisted suppliers (TPC-H Q16 shape): a NOT IN subquery over a
+    non-null key column (planned as a null-aware anti-join — the
+    subquery side is provably null-free here, so it degenerates to a
+    plain broadcast anti-join, not the quadratic null-aware fallback)
+    feeding a COUNT(DISTINCT) grouped on low-cardinality dimension
+    attributes. The distinct expands to a two-phase aggregate
+    (partial distinct on (brand, size, suppkey), then count) — the
+    shape that survives skew at 100 TB because the first phase
+    combines map-side. Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SUPPLIER_VARIETY_SQL)
+
+
+#: Semi-join chain + correlated half-sum threshold (TPC-H Q20 shape),
+#: dialect-portable. Quantities are integral by construction (pinned
+#: by the data peek: zero non-integral l_quantity), so the half-total
+#: gate is an exact bigint cross-multiply.
+_DOMINANT_SUPPLIER_SQL = """
+WITH sq AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+             AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+    GROUP BY l_partkey, l_suppkey)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT q.l_suppkey FROM sq q
+    WHERE q.qty * 2 > (SELECT CAST(SUM(q2.qty) AS BIGINT) FROM sq q2
+                       WHERE q2.l_partkey = q.l_partkey))
+"""
+
+
+@_register(
+    "sql_surface_dominant_supplier",
+    oracle=_DOMINANT_SUPPLIER_SQL,
+    survey_ids=("Q21", "X5"),
+)
+def sql_surface_dominant_supplier(spark, sf_dir):
+    """Suppliers that shipped more than half of some small-part's
+    1995 volume (TPC-H Q20 shape): a two-deep subquery chain — an IN
+    semi-join over parts, a grouped quantity CTE, a CORRELATED
+    half-total threshold (decorrelated by Catalyst into a grouped
+    total + equi-join on l_partkey), and a final IN semi-join into
+    the supplier dimension. Every quantity is integral (the corpus
+    ships whole units), so the half gate is the exact cross-multiply
+    qty * 2 > total — no float division to diverge. The outer IN
+    deduplicates: a supplier dominating several parts appears once.
+    Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DOMINANT_SUPPLIER_SQL)

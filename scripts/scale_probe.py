@@ -454,7 +454,10 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from echem_dft_etl_spark.operators.components import _release_rdds
+    from echem_dft_etl_spark.operators.components import (
+        _persistent_rdd_ids,
+        _release_rdds,
+    )
 
     tmpdir = tempfile.mkdtemp(prefix="scale_probe_")
     results: dict[str, dict] = {}
@@ -475,11 +478,20 @@ def main() -> None:
                 family, name, build = entry[0], entry[1], entry[2]
                 setup = entry[3] if len(entry) > 3 else None
                 setup_ids: list = []
+                # release EVERYTHING a probe pins (fixture
+                # localCheckpoints, setup indexes, returned-frame
+                # blocks) once its count lands: before this, each
+                # rung's eager fixtures stayed pinned for the session
+                # and the late K=8 rung ran under ~7 rungs of dead
+                # blocks (bfs measured 45 s polluted vs 16-22 s clean)
+                pinned_before = _persistent_rdd_ids(spark)
                 ctx = setup(setup_ids) if setup else None
                 t0 = time.perf_counter()
                 n = (build(ctx) if setup else build()).count()
                 dt = round(time.perf_counter() - t0, 2)
-                _release_rdds(spark, setup_ids)
+                _release_rdds(
+                    spark, _persistent_rdd_ids(spark) - pinned_before
+                )
                 print(f"K={k} {name}: {n} rows in {dt}s", flush=True)
                 slot = results.setdefault(
                     name, {"family": family, "seconds": {}, "rows": {}}
