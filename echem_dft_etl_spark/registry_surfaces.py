@@ -5488,3 +5488,127 @@ def sql_surface_dominant_supplier(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_DOMINANT_SUPPLIER_SQL)
+
+
+#: EXISTS semi-join + priority count (TPC-H Q4 shape),
+#: dialect-portable.
+_PRIORITY_BACKLOG_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+
+@_register(
+    "sql_surface_priority_backlog",
+    oracle=_PRIORITY_BACKLOG_SQL,
+    survey_ids=("Q21", "X5"),
+)
+def sql_surface_priority_backlog(spark, sf_dir):
+    """Quarterly order counts by priority, restricted to orders with
+    at least one bulk line (TPC-H Q4 shape): a correlated EXISTS that
+    Catalyst plans as a LEFT SEMI join on l_orderkey — each order
+    counted once no matter how many lines qualify, which is the
+    semantics a plain join + count would get wrong (double counting)
+    and the reason Q4 is the canonical EXISTS test. The date window
+    pushes to the orders scan, the quantity filter to the lineitem
+    scan, both before the semi-join. Same text is the DuckDB
+    oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PRIORITY_BACKLOG_SQL)
+
+
+#: Bidirectional two-nation trade volume by year (TPC-H Q7 shape),
+#: dialect-portable. EXTRACT(YEAR ...) is cast to BIGINT on both
+#: sides (DuckDB returns BIGINT, Spark INT — the cast unifies).
+_TRADE_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)
+"""
+
+
+@_register(
+    "sql_surface_trade_volume",
+    oracle=_TRADE_VOLUME_SQL,
+    survey_ids=("Q17", "X5", "X7"),
+)
+def sql_surface_trade_volume(spark, sf_dir):
+    """Bidirectional trade volume between two nations by ship year
+    (TPC-H Q7 shape): a five-way join chain where the same dimension
+    table (nation) joins TWICE under different aliases with a
+    disjunctive cross-filter over the alias pair — the self-alias
+    disambiguation test. Both nation sides broadcast (25 rows); the
+    fact-side joins shuffle on their keys; the disjunction cannot push
+    into either single scan but prunes immediately after the second
+    nation join. Revenue in integer cents; year via EXTRACT cast to
+    BIGINT on both engines. Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TRADE_VOLUME_SQL)
+
+
+#: National market share by year (TPC-H Q8 shape), dialect-portable.
+#: The share is emitted as exact integer numerator/denominator cents —
+#: never the float quotient, which would diverge in last-bit float
+#: division across engines.
+_MARKET_SHARE_SQL = """
+WITH purchases AS (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           n1.n_name AS supp_nation,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n2.n_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN cents
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM purchases GROUP BY o_year
+"""
+
+
+@_register(
+    "sql_surface_market_share",
+    oracle=_MARKET_SHARE_SQL,
+    survey_ids=("Q21", "X5", "X7"),
+)
+def sql_surface_market_share(spark, sf_dir):
+    """One nation's share of a region's PROMO-part purchases by year
+    (TPC-H Q8 shape): the longest join chain in the registry — seven
+    tables, nation aliased twice, region filtering the CUSTOMER side
+    while the CASE classifies the SUPPLIER side. The share is emitted
+    as exact integer numerator/denominator cents (nation_cents,
+    total_cents) rather than the float quotient TPC-H prints — the
+    division is the caller's one cheap scalar op, and everything the
+    engines must agree on stays bigint-exact. The conditional
+    aggregate is one pass (CASE inside SUM), not a self-join. Same
+    text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MARKET_SHARE_SQL)
