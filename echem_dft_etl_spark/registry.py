@@ -80,9 +80,13 @@ def _register(name, oracle, survey_ids=()):
 #: window was identical every round; its members all carry seven
 #: rounds of driver evidence already).
 PRIORITY: tuple[str, ...] = (
-    # --- round-9 rotation: 20 first-time window members (never had
+    # --- round-9 rotation: 23 first-time window members (never had
     # driver-grade evidence in r1-r8), headed by the round-8 additions
-    # the judge spot-verified (VERDICT r8 item 4) ---
+    # the judge spot-verified (VERDICT r8 item 4) plus three of the
+    # round-9 TPC-H subquery surfaces ---
+    "sql_surface_market_share",
+    "sql_surface_min_cost_supplier",
+    "sql_surface_order_count_dist",
     "s05_chart_sink",
     "x04_cusum_drift",
     "x05_spatial_near_join",
@@ -125,16 +129,13 @@ PRIORITY: tuple[str, ...] = (
     "s04_custom_sink",
     "pipe_external_solver",
     "d01_nested_sites",
-    "x01_global_rownum",
     "x02_set_ops_all",
     "x03_grouping_sets",
     "x04_rolling_wau",
-    "x05_full_outer",
     "x09_dynamic_gap_sessions",
     "x05_range_join_binned",
     "s16_asof_join",
     "s15_salted_join",
-    "s18_outlier_mad",
 )
 
 
