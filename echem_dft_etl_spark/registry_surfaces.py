@@ -5612,3 +5612,281 @@ def sql_surface_market_share(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_MARKET_SHARE_SQL)
+
+
+@_register(
+    "x09_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS steps_completed
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    survey_ids=("X9", "X5", "X7"),
+)
+def x09_funnel_steps(spark, sf_dir):
+    """Ordered-funnel completion per user (view → click → purchase),
+    the product-analytics staple next to sessionization: step N's
+    timestamp is the FIRST qualifying event STRICTLY AFTER step N-1's
+    — a per-user min under an inequality anchored on the previous
+    step, which a naive per-step min-over-all-time gets wrong (a
+    click before any view must not count). Three filtered aggregates
+    chained by equi-joins on user_id, each join input already
+    user-grouped, then two left joins assemble the per-user funnel row
+    with its depth. Timestamps compare exactly (microsecond values
+    from one parquet source in both engines), so strict > is
+    deterministic without a tiebreak. At 100 TB: every stage is
+    hash-partitioned on user_id and the step frames shrink
+    monotonically — the classic funnel shape, no window over the raw
+    event stream needed."""
+    ev = _ld(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            steps.cast("bigint").alias("steps_completed"),
+        )
+    )
+
+
+@_register(
+    "x04_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    seg AS (
+        SELECT user_id, cents, t,
+               LEAD(t) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS t_next
+        FROM e)
+    SELECT user_id,
+           CAST(SUM(cents * (t_next - t)) AS BIGINT) AS twap_num,
+           CAST(SUM(t_next - t) AS BIGINT) AS twap_den,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey_ids=("X4", "X7"),
+)
+def x04_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user (TWAP — the
+    irregular-sample averaging every metering/pricing pipeline needs,
+    where a plain AVG over-weights bursts): each observation holds
+    until the next one, so its weight is the gap to the successor
+    (LEAD over (epoch_s, event_id) — the unix_timestamp ↔
+    FLOOR(epoch()) convention, event_id breaking equal-second ties
+    identically in both engines). Emitted as exact integer
+    numerator (cents x seconds) and denominator (seconds) — the one
+    float division is the caller's, everything the engines must agree
+    on stays bigint. Equal-timestamp segments contribute zero width,
+    so tie order cannot change the sums. One shuffle+sort per user,
+    single-pass frame — the same cost as any lag/lead feature."""
+    from pyspark.sql.window import Window
+
+    ev = _ld(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = ev.withColumn("t_next", F.lead("t").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * (F.col("t_next") - F.col("t")))
+        .cast("bigint")
+        .alias("twap_num"),
+        F.sum(F.col("t_next") - F.col("t")).cast("bigint").alias("twap_den"),
+        F.count("*").cast("bigint").alias("n_segments"),
+    )
+
+
+@_register(
+    "s18_dq_audit",
+    oracle="""
+    SELECT 'discount_gt_5pct' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'nonpositive_price',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_before_order',
+           CAST(COUNT(*) FILTER (WHERE l_shipdate < o_orderdate) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orphan_lineitem',
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+    survey_ids=("X6", "X5", "Q21"),
+)
+def s18_dq_audit(spark, sf_dir):
+    """Data-quality expectation audit — the gate every 100 TB ingest
+    runs before promoting a batch: per rule, the violation count and
+    the checked-population size (so the caller computes rates and
+    applies thresholds). Four rule classes: two single-table range
+    expectations (conditional counts folded into ONE scan each —
+    COUNT(*) FILTER, no per-rule rescan), an inter-table consistency
+    rule (ship-before-order, inner join), and a referential-integrity
+    rule (orphan lineitems, left-join null count — 0 on this corpus,
+    which is itself the assertion). Spark side composes the same
+    frames with conditional aggregates and unionByName; the rule
+    column keys the report, so new rules append without schema
+    change. The join rules shuffle on the FK once; range rules are
+    scan-bound with the filters evaluated map-side."""
+    li = _ld(spark, sf_dir, "lineitem")
+    od = _ld(spark, sf_dir, "orders")
+
+    def rule(name, df, cond):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.count("*").cast("bigint").alias("n_checked"),
+        )
+
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    orphan = li.join(od, li["l_orderkey"] == od["o_orderkey"], "left")
+    return (
+        rule("discount_gt_5pct", li, F.col("l_discount") > 0.05)
+        .unionByName(
+            rule("nonpositive_price", li, F.col("l_extendedprice") <= 0)
+        )
+        .unionByName(
+            rule(
+                "ship_before_order",
+                joined,
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            )
+        )
+        .unionByName(
+            rule("orphan_lineitem", orphan, F.col("o_orderkey").isNull())
+        )
+    )
+
+
+@_register(
+    "x14_batch_inference",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id,
+               CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+                 AS micro,
+               i
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings))
+    SELECT vec_id,
+           CAST(SUM(micro * ((((i - 1) * 37) % 21) - 10)) AS BIGINT)
+             AS score_micro,
+           CAST(SUM(micro * ((((i - 1) * 37) % 21) - 10)) > 0
+                AS BOOLEAN) AS positive
+    FROM u GROUP BY vec_id
+    """,
+    survey_ids=("X14", "X12"),
+)
+def x14_batch_inference(spark, sf_dir):
+    """Broadcast-weights batch inference (the model-scoring stage of a
+    training-data pipeline: quality classifiers, toxicity filters,
+    reward models — here a linear head): every embedding is scored
+    against one weight vector shipped to executors INSIDE the
+    serialized pandas-UDF closure (weights are model-sized, not
+    data-sized — the broadcast-small-side rule), one Arrow batch at a
+    time with numpy matrix-vector work per batch, never per row.
+    Exactness contract: embeddings quantize to integer micro-units
+    (the s12_embed_quantize convention) and the deterministic integer
+    weights w_j = ((j*37) % 21) - 10 keep every partial product a
+    bigint, so the score — and the sign label — replays bit-for-bit
+    in the oracle's unnest+sum. At 100 TB this is embarrassingly
+    parallel and scan-bound; the only tuning knob is Arrow batch size.
+    operators/udfs.py is the surface precedent; no shuffle anywhere."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("score_micro", LongType()),
+            StructField("positive", BooleanType()),
+        ]
+    )
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        w = ((np.arange(64) * 37) % 21 - 10).astype(np.int64)
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy())
+            micro = np.round(m.astype(np.float64) * 1_000_000).astype(
+                np.int64
+            )
+            score = micro @ w
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "score_micro": score,
+                    "positive": score > 0,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, out_schema
+    )
