@@ -583,3 +583,51 @@ def test_top_supplier_scalar_max_is_one_shot_subquery(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     pushed = " ".join(plans.inspect.pushed_filters(df))
     assert "l_shipdate" in pushed, "quarter window not pushed to scan"
+
+
+def test_priority_backlog_exists_plans_as_semi_join(spark):
+    """TPC-H Q4 shape: the correlated EXISTS must plan as a LEFT SEMI
+    join on l_orderkey (each order counted once however many lines
+    qualify) with both the date window and the quantity filter pushed
+    to their scans — no per-row subquery, no nested loop."""
+    df = all_queries()["sql_surface_priority_backlog"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(plans.inspect.pushed_filters(df))
+    assert "o_orderdate" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_min_cost_supplier_decorrelates_to_grouped_min(spark):
+    """TPC-H Q2 shape: the correlated MIN must decorrelate into one
+    grouped aggregate joined back on l_partkey — the plan contains a
+    partial/final min aggregate and equi-joins only."""
+    df = all_queries()["sql_surface_min_cost_supplier"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert re.search(r"min\(", plan), "grouped MIN missing from plan"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(plans.inspect.pushed_filters(df))
+    assert "l_shipdate" in pushed
+
+
+def test_batch_inference_plan_is_shuffle_free(spark):
+    """x14_batch_inference is embarrassingly parallel: one scan into
+    one Arrow-batched python stage — ANY exchange in the plan means a
+    shuffle crept into a map-only pipeline."""
+    df = all_queries()["x14_batch_inference"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_supplier_variety_not_in_avoids_null_aware_fallback(spark):
+    """TPC-H Q16 shape: NOT IN over the null-free s_suppkey must plan
+    as a plain anti (or semi-complement) join, never the quadratic
+    null-aware BroadcastNestedLoopJoin fallback."""
+    df = all_queries()["sql_surface_supplier_variety"].fn(spark, SF_SMOKE)
+    plan = plans.inspect.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
