@@ -413,3 +413,73 @@ def bloom_prefilter(
         ).bitwiseAND(m) != 0
         cond = cond & hit
     return probed.filter(cond).drop("_bloom")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join as a binned equi-join — the
+    large×large scale path where :func:`binned_range_join` covers only
+    the point-in-interval case (log/trace correlation, co-activity
+    detection, meeting-room style conflicts).
+
+    Two intervals overlap iff ``l_lo <= r_hi AND r_lo <= l_hi``. As a
+    theta-join that is a nested loop; binning restores an equi-join:
+    both sides explode to every ``bin_width``-wide bin they cover, the
+    join runs on (keys..., bin), and the exact overlap predicate
+    filters. Overlapping pairs share ALL bins between
+    ``max(floor(l_lo/w), floor(r_lo/w))`` and the earlier hi — so a
+    pair would meet once PER shared bin. Rather than a dedup pass
+    (a second shuffle over the candidate stream), each pair is emitted
+    only in its FIRST shared bin: ``bin == greatest(floor(l_lo/w),
+    floor(r_lo/w))`` — a map-side filter that makes the join
+    exactly-once by construction (tests/test_scale.py pins equality
+    with the naive theta-join).
+
+    ``keys``: equi-key columns present on BOTH sides (the usual case —
+    overlap joins are keyed by tenant/entity); pass ``[]`` for global.
+    ``bin_width`` trades interval replication (len/w + 1 copies) against
+    per-bin fan-out — near the median interval length, as for
+    :func:`binned_range_join`. Bounds must be integers (epoch
+    seconds/days); both ends inclusive.
+    """
+    lb = F.floor(F.col(l_lo) / F.lit(bin_width)).cast("bigint")
+    rb = F.floor(F.col(r_lo) / F.lit(bin_width)).cast("bigint")
+    lhs = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                lb, F.floor(F.col(l_hi) / F.lit(bin_width)).cast("bigint")
+            )
+        ),
+    )
+    rhs = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                rb, F.floor(F.col(r_hi) / F.lit(bin_width)).cast("bigint")
+            )
+        ),
+    )
+    return (
+        lhs.join(rhs, [*keys, "_bin"])
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (
+                F.col("_bin")
+                == F.greatest(
+                    F.floor(F.col(l_lo) / F.lit(bin_width)).cast("bigint"),
+                    F.floor(F.col(r_lo) / F.lit(bin_width)).cast("bigint"),
+                )
+            )
+        )
+        .drop("_bin")
+    )

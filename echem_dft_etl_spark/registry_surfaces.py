@@ -5890,3 +5890,75 @@ def x14_batch_inference(spark, sf_dir):
     return emb.select("vec_id", "embedding").mapInPandas(
         score_batches, out_schema
     )
+
+
+@_register(
+    "x05_interval_overlap",
+    oracle="""
+    WITH w AS (
+        SELECT l_partkey, l_orderkey,
+               MIN(CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT))
+                 AS lo_day,
+               MAX(CAST(FLOOR(epoch(l_shipdate) / 86400) AS BIGINT))
+                 AS hi_day
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_partkey, l_orderkey)
+    SELECT a.l_partkey AS p_partkey,
+           a.l_orderkey AS order_a, b.l_orderkey AS order_b,
+           GREATEST(a.lo_day, b.lo_day) AS overlap_start_day,
+           LEAST(a.hi_day, b.hi_day) AS overlap_end_day
+    FROM w a JOIN w b
+      ON a.l_partkey = b.l_partkey
+     AND a.l_orderkey < b.l_orderkey
+     AND a.lo_day <= b.hi_day AND b.lo_day <= a.hi_day
+    """,
+    survey_ids=("X5", "X7"),
+)
+def x05_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (X5's second θ-join axis beyond
+    point-in-interval): per part, the pairs of 1995 orders whose
+    ship-day windows overlap — co-shipping detection, the keyed
+    log/trace-correlation shape. Both sides are large (every order's
+    window per part), so the theta-join is binned: windows explode to
+    their 16-day bins, candidates meet on the (part, bin) equi-key,
+    and each true pair is emitted ONLY in its first shared bin — a
+    map-side filter that replaces a distinct over the candidate
+    stream; the oracle is the naive keyed theta self-join, so parity
+    proves exactly-once. Day numbers via the unix_timestamp ↔
+    FLOOR(epoch()) convention, both bounds inclusive; the canonical
+    a < b ordering halves the pair space identically in both engines.
+    operators/scale.py::interval_overlap_join."""
+    from .operators.scale import interval_overlap_join
+
+    li = _ld(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    day = F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("bigint")
+    w = li.groupBy("l_partkey", "l_orderkey").agg(
+        F.min(day).alias("lo_day"), F.max(day).alias("hi_day")
+    )
+    a = w.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_orderkey").alias("order_a"),
+        F.col("lo_day").alias("a_lo"),
+        F.col("hi_day").alias("a_hi"),
+    )
+    b = w.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_orderkey").alias("order_b"),
+        F.col("lo_day").alias("b_lo"),
+        F.col("hi_day").alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["p_partkey"], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=16
+    ).filter(F.col("order_a") < F.col("order_b"))
+    return pairs.select(
+        "p_partkey",
+        "order_a",
+        "order_b",
+        F.greatest("a_lo", "b_lo").alias("overlap_start_day"),
+        F.least("a_hi", "b_hi").alias("overlap_end_day"),
+    )

@@ -605,3 +605,55 @@ def test_grid_contact_join_rejects_undersized_cell(spark):
         grid_contact_join(
             pts, "pid", "x", "y", "t", radius=10, t_radius=100, cell=5
         )
+
+
+def test_interval_overlap_join_equals_theta_join(spark):
+    """interval_overlap_join must equal the naive theta join
+    row-for-row on a synthetic keyed corpus that exercises every edge:
+    touching endpoints (inclusive), containment, multi-bin spans (the
+    first-shared-bin rule must emit exactly once), zero-width
+    intervals, and cross-key isolation."""
+    import random
+
+    from echem_dft_etl_spark.operators.scale import interval_overlap_join
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        key = rng.randrange(4)
+        lo = rng.randrange(0, 400)
+        hi = lo + rng.choice([0, 1, 3, 17, 64, 150])
+        rows.append((key, i, lo, hi))
+    base = spark.createDataFrame(
+        rows, "k int, iid bigint, lo bigint, hi bigint"
+    )
+    a = base.select(
+        "k", F.col("iid").alias("ia"), F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = base.select(
+        "k", F.col("iid").alias("ib"), F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    got = (
+        interval_overlap_join(
+            a, b, ["k"], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=10
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .select("k", "ia", "ib")
+        .collect()
+    )
+    want = (
+        a.join(b, "k")
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.col("a_lo") <= F.col("b_hi"))
+            & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .select("k", "ia", "ib")
+        .collect()
+    )
+    got_keys = [(r.k, r.ia, r.ib) for r in got]
+    assert len(got_keys) == len(set(got_keys)), "pair emitted twice"
+    assert sorted(got_keys) == sorted((r.k, r.ia, r.ib) for r in want)
+    assert len(want) > 100, "fixture too sparse to prove anything"
