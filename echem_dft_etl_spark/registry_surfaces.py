@@ -5962,3 +5962,74 @@ def x05_interval_overlap(spark, sf_dir):
         F.greatest("a_lo", "b_lo").alias("overlap_start_day"),
         F.least("a_hi", "b_hi").alias("overlap_end_day"),
     )
+
+
+@_register(
+    "s03_snapshot_changes",
+    oracle="""
+    WITH c AS (SELECT s_suppkey,
+                      CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents
+               FROM supplier)
+    SELECT 'insert' AS change_type, s_suppkey, cents AS bal_cents
+    FROM c WHERE s_suppkey % 3 = 1 AND s_suppkey % 5 <> 0
+    UNION ALL
+    SELECT 'delete', s_suppkey, cents
+    FROM c WHERE s_suppkey % 3 = 0 AND s_suppkey % 5 = 0
+    UNION ALL
+    SELECT 'update_postimage', s_suppkey, cents + 1000
+    FROM c WHERE s_suppkey % 3 = 0 AND s_suppkey % 5 <> 0
+               AND s_suppkey % 2 = 0
+    """,
+    survey_ids=("S3", "X5"),
+)
+def s03_snapshot_changes(spark, sf_dir):
+    """Incremental CDC read across three committed snapshots (S3's
+    consumption side — Delta table_changes / Iceberg incremental scan
+    shape): snapshot 1 seeds the table (suppkeys % 3 = 0), snapshot 2
+    MERGEs updates (+1000 cents for the even third) and inserts
+    (% 3 = 1), snapshot 3 deletes % 5 = 0 — then snapshot_changes(1→3)
+    must emit EXACTLY the applied delta: inserts and updates with
+    post-image values, deletes with the version-1 pre-image, and —
+    the real assertion — NOTHING for the untouched odd seed keys
+    (change-sized output, not table-sized). The oracle derives all
+    three change classes from the supplier table with the same
+    modular arithmetic. One full-outer join on the key with struct
+    equality over the value columns; reentrant per-invocation
+    temp table, literal-frame result.
+    sources/sinks.py::snapshot_changes."""
+    import shutil
+
+    from .sources import sinks
+
+    sup = _ld(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    seed = sup.filter(F.col("s_suppkey") % 3 == 0)
+    updates = seed.filter(F.col("s_suppkey") % 2 == 0).withColumn(
+        "bal_cents", F.col("bal_cents") + 1000
+    )
+    inserts = sup.filter(F.col("s_suppkey") % 3 == 1)
+    root = _scratch_dir("echem_snapshot_changes_")
+    try:
+        tbl = f"{root}/tbl"
+        sinks.merge_parquet(
+            seed, tbl, ["s_suppkey"], "s_suppkey", keep_snapshots=3
+        )
+        sinks.merge_parquet(
+            updates.unionByName(inserts),
+            tbl,
+            ["s_suppkey"],
+            "s_suppkey",
+            keep_snapshots=3,
+        )
+        sinks.delete_keys_parquet(
+            sup.filter(F.col("s_suppkey") % 5 == 0).select("s_suppkey"),
+            tbl,
+            ["s_suppkey"],
+            keep_snapshots=3,
+        )
+        changes = sinks.snapshot_changes(spark, tbl, 1, 3, ["s_suppkey"])
+        return _literal_result(spark, changes)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

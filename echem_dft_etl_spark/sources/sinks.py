@@ -730,3 +730,66 @@ def compact_dv(
     for _i, dv_path in dvs:
         fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
     return spark.read.parquet(new_path)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_root: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """CDC read between two committed snapshots — the incremental-
+    consumption half of the managed-table family (Delta's
+    ``table_changes`` / Iceberg's incremental scan): a downstream job
+    that last saw ``from_version`` gets exactly the rows it must apply
+    to reach ``to_version``, instead of rescanning the table.
+
+    Emits ``change_type`` (``insert`` / ``update_postimage`` /
+    ``delete``) plus the row's columns — post-image values for
+    inserts/updates, the final pre-image for deletes. Unchanged rows
+    (key present in both snapshots, every non-key column equal) emit
+    nothing, which is the point: the output is change-sized, not
+    table-sized. Implementation is one full-outer join on the keys
+    with a struct-equality comparison over the non-key columns —
+    hash-partitioned on the key, no driver materialization; at 100 TB
+    a real format prunes to changed FILES first, this keeps the
+    same contract at snapshot granularity.
+
+    Raises ``ValueError`` when either version is not a committed
+    snapshot (pruning keeps ``keep_snapshots`` — callers that want
+    long diffs must retain accordingly)."""
+    snaps = dict(_committed_snapshots(spark, table_root))
+    missing = [v for v in (from_version, to_version) if v not in snaps]
+    if missing:
+        raise ValueError(
+            f"versions {missing} not committed under {table_root!r} "
+            f"(have {sorted(snaps)})"
+        )
+    old = spark.read.parquet(snaps[from_version])
+    new = spark.read.parquet(snaps[to_version])
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, F.struct(*val_cols).alias("_old"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        *key_cols, F.struct(*val_cols).alias("_new"), F.lit(True).alias("_in_new")
+    )
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(F.col("_old") != F.col("_new"), F.lit("update_postimage"))
+    )
+    img = F.when(F.col("_in_new").isNull(), F.col("_old")).otherwise(
+        F.col("_new")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            *key_cols,
+            *[img.getField(c).alias(c) for c in val_cols],
+        )
+    )
