@@ -374,3 +374,46 @@ def test_compact_dv_spares_concurrently_committed_sidecar(
     # ... the captured sidecar was vacuumed, the racer's was NOT
     leftover = sorted(p.name for p in pathlib.Path(root).glob("dv_*"))
     assert leftover == ["dv_0000000001_0002"], leftover
+
+
+def test_snapshot_changes_rejects_pruned_version(spark, tmp_path):
+    """Diffing against a version that pruning removed must raise with
+    the available versions listed — a silent empty diff would read as
+    'no changes' and corrupt downstream incremental state."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.sources.sinks import (
+        merge_parquet,
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    )
+    # keep_snapshots=1: each merge prunes the predecessor
+    merge_parquet(base, root, ["k"], "k", keep_snapshots=1)
+    merge_parquet(
+        base.withColumn("v", F.col("v") + 1), root, ["k"], "k",
+        keep_snapshots=1,
+    )
+    with pytest.raises(ValueError, match=r"versions \[1\].*have \[2\]"):
+        snapshot_changes(spark, root, 1, 2, ["k"])
+
+
+def test_snapshot_changes_empty_diff_for_identical_snapshots(spark, tmp_path):
+    """Re-merging the same batch produces a content-identical snapshot;
+    the diff between the two must be EMPTY (change-sized output)."""
+    from echem_dft_etl_spark.sources.sinks import (
+        merge_parquet,
+        snapshot_changes,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+    )
+    merge_parquet(base, root, ["k"], "k", keep_snapshots=3)
+    merge_parquet(base, root, ["k"], "k", keep_snapshots=3)
+    assert snapshot_changes(spark, root, 1, 2, ["k"]).count() == 0
