@@ -6033,3 +6033,111 @@ def s03_snapshot_changes(spark, sf_dir):
         return _literal_result(spark, changes)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "x07_activity_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events),
+    g AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS grp
+        FROM d)
+    SELECT user_id, MIN(day) AS streak_start_day,
+           MAX(day) AS streak_end_day,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM g GROUP BY user_id, grp
+    """,
+    survey_ids=("X7", "X4"),
+)
+def x07_activity_streaks(spark, sf_dir):
+    """Consecutive-active-day streaks per user — the gaps-and-islands
+    shape (retention streaks, uptime windows, SLA breach runs): on the
+    per-user DISTINCT day grid, ``day - row_number()`` is constant
+    exactly within a run of consecutive days, so one window plus one
+    groupBy materializes every island with its bounds and length — no
+    self-join, no iteration (the classic trick, due to Itzik Ben-Gan).
+    Day numbers via the unix_timestamp ↔ FLOOR(epoch()) convention;
+    everything after the distinct is integer-exact. Cost at 100 TB:
+    one shuffle for the distinct (also serving the window partition)
+    + one aggregate — both on user_id, AQE-coalesced."""
+    from pyspark.sql.window import Window
+
+    ev = _ld(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    )
+    d = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start_day"),
+        F.max("day").alias("streak_end_day"),
+        F.count("*").cast("bigint").alias("streak_days"),
+    ).drop("grp")
+
+
+@_register(
+    "x06_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT s_nationkey,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS w
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey),
+    c AS (
+        SELECT s_nationkey, cents, w,
+               SUM(w) OVER (PARTITION BY s_nationkey
+                            ORDER BY cents) AS cum_w,
+               SUM(w) OVER (PARTITION BY s_nationkey) AS tot_w
+        FROM v)
+    SELECT s_nationkey,
+           MIN(cents) AS weighted_median_cents,
+           CAST(MAX(tot_w) AS BIGINT) AS total_weight
+    FROM c WHERE cum_w * 2 >= tot_w
+    GROUP BY s_nationkey
+    """,
+    survey_ids=("X6", "X4"),
+)
+def x06_weighted_median(spark, sf_dir):
+    """EXACT weighted median per group (the estimator robust pricing /
+    labeling pipelines want when every observation carries a weight —
+    here price-cents weighted by shipped quantity, grouped by supplier
+    nation): the smallest value whose inclusive cumulative weight
+    reaches half the group total. Both engines' default window frame
+    with ORDER BY is RANGE UNBOUNDED PRECEDING..CURRENT ROW — PEER-
+    INCLUSIVE — so equal-value rows share one cumulative weight and
+    tie order cannot change the answer; the half test is the integer
+    cross-multiply cum*2 >= total. Contrast with the X6 sketch lane
+    (percentile_approx): this is the exact path — one shuffle+sort on
+    the group key, two frames over one sort, then a min-aggregate of
+    the qualifying prefix."""
+    from pyspark.sql.window import Window
+
+    li = _ld(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        _cents(F.col("l_extendedprice")).alias("cents"),
+        F.round("l_quantity", 0).cast("bigint").alias("w"),
+    )
+    sup = _ld(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    v = li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+    wc = Window.partitionBy("s_nationkey").orderBy("cents")
+    wt = Window.partitionBy("s_nationkey")
+    c = v.select(
+        "s_nationkey",
+        "cents",
+        F.sum("w").over(wc).alias("cum_w"),
+        F.sum("w").over(wt).alias("tot_w"),
+    )
+    return (
+        c.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.max("tot_w").cast("bigint").alias("total_weight"),
+        )
+    )
