@@ -2933,3 +2933,42 @@ def t13_bpe_tokens(spark, sf_dir):
         .orderBy(F.col("n").desc(), "symbol")
         .limit(25)
     )
+
+
+@_register(
+    "s18_l_diversity",
+    oracle="""
+    SELECT lang, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(CASE WHEN COUNT(DISTINCT source) < 3 THEN 1 ELSE 0 END
+                AS INTEGER) AS risky
+    FROM documents
+    GROUP BY lang, len_bucket
+    """,
+    survey_ids=("X6", "X13"),
+)
+def s18_l_diversity(spark, sf_dir):
+    """l-diversity audit — the companion gate to s18_k_anonymity
+    (k-anonymity alone is defeated by a homogeneous class: if every
+    member shares the sensitive value, size-k anonymity reveals it
+    anyway): per quasi-identifier class (language, 500-char length
+    bucket), the DISTINCT count of the sensitive attribute (source),
+    flagging classes with fewer than l=3 distinct values. COUNT
+    DISTINCT expands to the two-phase partial-distinct aggregate
+    (map-side combine on (QI..., source), then count) — the shape that
+    holds at corpus scale; one shuffle, three columns scanned. Exact
+    integers throughout."""
+    docs = _ld(spark, sf_dir, "documents")
+    nd = F.countDistinct("source")
+    return (
+        docs.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / 500).cast("bigint").alias("len_bucket"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            nd.cast("bigint").alias("n_sources"),
+            F.when(nd < 3, 1).otherwise(0).cast("int").alias("risky"),
+        )
+    )
