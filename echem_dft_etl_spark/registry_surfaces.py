@@ -6141,3 +6141,41 @@ def x06_weighted_median(spark, sf_dir):
             F.max("tot_w").cast("bigint").alias("total_weight"),
         )
     )
+
+
+#: Correlated LATERAL derived table with per-group ORDER BY + LIMIT,
+#: dialect-portable (Spark 4 lateral subqueries; DuckDB LATERAL).
+_LATERAL_TOPK_SQL = """
+SELECT n_name, t.s_name, t.bal_cents
+FROM nation, LATERAL (
+    SELECT s_name,
+           CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+    FROM supplier
+    WHERE s_nationkey = n_nationkey
+    ORDER BY s_acctbal DESC, s_suppkey
+    LIMIT 3) t
+"""
+
+
+@_register(
+    "sql_surface_lateral_topk",
+    oracle=_LATERAL_TOPK_SQL,
+    survey_ids=("X1", "X5"),
+)
+def sql_surface_lateral_topk(spark, sf_dir):
+    """Top-3 suppliers per nation through a correlated LATERAL derived
+    table — the SQL spelling of per-group top-k that ships the LIMIT
+    INSIDE the correlation (vs the window-function spelling in
+    x01_group_topk): the optimizer must decorrelate an ORDER BY +
+    LIMIT that references the outer row, which Catalyst rewrites to a
+    rank-window over the joined domain rather than re-running the
+    subquery per nation. The (s_acctbal, s_suppkey) sort key is
+    tie-free, so both engines pick identical top-3 sets. LATERAL is
+    the shape SQL users reach for when the per-group work is richer
+    than one aggregate (top-k with extra columns, per-key sampling) —
+    having it value-oracled proves the decorrelation preserves
+    per-group limit semantics. Same text is the DuckDB oracle."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
