@@ -205,6 +205,43 @@ def _binned_range_probe(spark, k: int, stride: int = 10_000_000):
     return binned_range_join(pts, itv, "v", "lo", "hi", bin_width=8)
 
 
+def _interval_overlap_probe(spark, k: int):
+    """Keyed interval-overlap join over K part-key-disjoint copies of
+    the 1995 ship-window corpus: pairs are keyed by part, so shifted
+    copies can never pair across copies and the honest null is
+    time ~ K (per-part window density constant)."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators.scale import interval_overlap_join
+    from echem_dft_etl_spark.sources import load_table
+
+    li = scaled(
+        load_table(spark, BASE, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .select("l_partkey", "l_orderkey", "l_shipdate"),
+        ["l_partkey", "l_orderkey"],
+        k,
+    )
+    day = F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("bigint")
+    w = li.groupBy("l_partkey", "l_orderkey").agg(
+        F.min(day).alias("lo_day"), F.max(day).alias("hi_day")
+    )
+    a = w.select(
+        F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("ia"),
+        F.col("lo_day").alias("a_lo"), F.col("hi_day").alias("a_hi"),
+    )
+    b = w.select(
+        F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("ib"),
+        F.col("lo_day").alias("b_lo"), F.col("hi_day").alias("b_hi"),
+    )
+    return interval_overlap_join(
+        a, b, ["p"], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=16
+    ).filter(F.col("ia") < F.col("ib"))
+
+
 def _stream_fixture(spark, k: int, tmpdir: str) -> str:
     """Write the K-scaled events corpus as a parquet dir ONCE (outside
     the timed section) so the streaming probes measure replay cost,
@@ -391,6 +428,11 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
             "join",
             "x05_spatial_near_join",
             lambda: _spatial_probe(spark, k),
+        ),
+        (
+            "join",
+            "x05_interval_overlap",
+            lambda: _interval_overlap_probe(spark, k),
         ),
         # --- sessionization (windowed per-key state) ---
         (
