@@ -1584,3 +1584,138 @@ def test_cusum_alarm_bound_is_strict():
     assert (s, n, m) == (30000, 0, 30000)
     s, n, m = fold_cusum(s, n, m, [1], 0, 30000)
     assert (s, n, m) == (30001, 1, 30001)
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """x06_weighted_median's window formulation replayed by brute
+    force in Python on a synthetic skewed corpus: the smallest value
+    whose inclusive cumulative weight reaches half the total, per
+    group — including all-equal-value groups and single-row groups."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(6):
+        n = rng.choice([1, 2, 5, 40])
+        for _ in range(n):
+            rows.append(
+                (g, rng.choice([100, 100, 250, 999]), rng.randint(1, 9))
+            )
+    df = spark.createDataFrame(rows, "g int, cents bigint, w bigint")
+    wc = Window.partitionBy("g").orderBy("cents")
+    wt = Window.partitionBy("g")
+    got = {
+        r.g: r.med
+        for r in df.select(
+            "g",
+            "cents",
+            F.sum("w").over(wc).alias("cum"),
+            F.sum("w").over(wt).alias("tot"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("cents").alias("med"))
+        .collect()
+    }
+    by_g: dict = {}
+    for g, cents, w in rows:
+        by_g.setdefault(g, []).append((cents, w))
+    for g, vals in by_g.items():
+        vals.sort()
+        tot = sum(w for _, w in vals)
+        cum = 0
+        for cents, w in vals:
+            cum += w
+            # peer-inclusive: fold in ALL rows with this value first
+            peer_cum = sum(wx for cx, wx in vals if cx <= cents)
+            if peer_cum * 2 >= tot:
+                assert got[g] == cents, (g, got[g], cents)
+                break
+
+
+def test_funnel_steps_never_count_out_of_order_events(spark):
+    """A click BEFORE any view, or a purchase before the first
+    qualifying click, must not advance the funnel — the anchored
+    strict-> chain distinguishes this query from three independent
+    mins. Hand-built timelines pin each depth."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1: perfect order -> depth 3
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: click precedes the view -> depth 1 (no qualifying click)
+        (2, "click", 50), (2, "view", 100),
+        # u3: purchase between view and click -> depth 2
+        (3, "view", 100), (3, "purchase", 150), (3, "click", 200),
+        # u4: no view at all -> absent from the funnel
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: second click after view qualifies even though first didn't
+        (5, "click", 10), (5, "view", 20), (5, "click", 30),
+        (5, "purchase", 40),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows],
+        "user_id bigint, event_type string, sec double",
+    ).select(
+        "user_id", "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    got = {
+        r.user_id: r.d
+        for r in s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", steps.alias("d"))
+        .collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2, 5: 3}
+
+
+def test_time_weighted_avg_constant_series_is_exact(spark):
+    """TWAP algebra: a constant-valued series must give
+    twap_num == value * twap_den exactly (bigint identity), and the
+    denominator must equal last_t - first_t regardless of how
+    irregular the sampling gaps are."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ts = [0, 1, 5, 50, 51, 1000, 8641]
+    df = spark.createDataFrame(
+        [(1, i, t, 777) for i, t in enumerate(ts)],
+        "user_id bigint, event_id bigint, t bigint, cents bigint",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = df.withColumn("t_next", F.lead("t").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    row = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * (F.col("t_next") - F.col("t"))).alias("num"),
+        F.sum(F.col("t_next") - F.col("t")).alias("den"),
+    ).first()
+    assert row.den == ts[-1] - ts[0]
+    assert row.num == 777 * row.den
