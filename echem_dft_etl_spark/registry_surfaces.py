@@ -6179,3 +6179,76 @@ def sql_surface_lateral_topk(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@_register(
+    "s01_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("S1", "Q1"),
+)
+def s01_partition_evolution(spark, sf_dir):
+    """Partition-SCHEME evolution read (the S1 maintenance case
+    schema-evolution doesn't cover): a long-lived table whose old
+    vintage is partitioned by year only and whose new vintage by
+    (year, priority) — the migration every growing table makes when
+    the original scheme stops pruning enough. One logical read must
+    span both vintages WITH pruning on each: the two layouts are
+    scanned as separate frames (each with its own partition filters,
+    asserted by the oracle agreeing only if no 1996 row is lost or
+    doubled), unioned by name, then aggregated. The year filter
+    prunes DIRECTORIES in both vintages; the priority grouping reads
+    priority from the partition path in the new vintage and from the
+    data in the old. Reentrant: per-invocation scratch, literal-frame
+    result. At 100 TB the point is you never rewrite the old vintage
+    — the union view IS the migration."""
+    import shutil
+
+    from .sources import sinks
+
+    od = _ld(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    # old vintage: orderkey % 2 == 0, partitioned by year only;
+    # new vintage: the rest, partitioned by (year, priority)
+    root = _scratch_dir("echem_part_evolve_")
+    try:
+        old_path, new_path = f"{root}/v1", f"{root}/v2"
+        od.filter(F.col("o_orderkey") % 2 == 0).write.partitionBy(
+            "o_year"
+        ).parquet(old_path)
+        od.filter(F.col("o_orderkey") % 2 == 1).write.partitionBy(
+            "o_year", "o_orderpriority"
+        ).parquet(new_path)
+        cols = ["o_orderpriority", "o_totalprice", "o_year"]
+        both = (
+            spark.read.parquet(old_path)
+            .select(*cols)
+            .unionByName(spark.read.parquet(new_path).select(*cols))
+        )
+        result = (
+            both.filter(F.col("o_year") == 1996)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+        return _literal_result(spark, result)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
