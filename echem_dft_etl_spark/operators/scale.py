@@ -104,6 +104,11 @@ def binned_range_join(
     Inner-join semantics (the dominant range-join case); outer
     variants need unmatched-row recovery and are out of scope here.
     """
+    if bin_width < 1:
+        # bin_width 0 would divide by zero, which Spark folds to NULL
+        # bin keys and a silently EMPTY join (the grid_near_join cell
+        # guard lesson) — fail loudly instead
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
     pts = points.withColumn(
         "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
     )
@@ -450,6 +455,10 @@ def interval_overlap_join(
     :func:`binned_range_join`. Bounds must be integers (epoch
     seconds/days); both ends inclusive.
     """
+    if bin_width < 1:
+        # same guard as binned_range_join: a zero width floor-divides
+        # to NULL bins and a silently empty join
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
     lb = F.floor(F.col(l_lo) / F.lit(bin_width)).cast("bigint")
     rb = F.floor(F.col(r_lo) / F.lit(bin_width)).cast("bigint")
     lhs = left.withColumn(

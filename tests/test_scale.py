@@ -657,3 +657,55 @@ def test_interval_overlap_join_equals_theta_join(spark):
     assert len(got_keys) == len(set(got_keys)), "pair emitted twice"
     assert sorted(got_keys) == sorted((r.k, r.ia, r.ib) for r in want)
     assert len(want) > 100, "fixture too sparse to prove anything"
+
+
+def test_binned_joins_reject_zero_bin_width(spark):
+    """bin_width 0 floor-divides to NULL bin keys and a silently EMPTY
+    join — both binned join owners must fail loudly instead (the
+    grid_near_join cell-guard convention)."""
+    import pytest
+
+    from echem_dft_etl_spark.operators.scale import (
+        binned_range_join,
+        interval_overlap_join,
+    )
+
+    pts = spark.createDataFrame([(1, 5)], "id bigint, v bigint")
+    itv = spark.createDataFrame([(2, 1, 9)], "id2 bigint, lo bigint, hi bigint")
+    with pytest.raises(ValueError, match="bin_width"):
+        binned_range_join(pts, itv, "v", "lo", "hi", bin_width=0)
+    a = spark.createDataFrame([(1, 0, 5)], "ia bigint, a_lo bigint, a_hi bigint")
+    b = spark.createDataFrame([(2, 3, 9)], "ib bigint, b_lo bigint, b_hi bigint")
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_overlap_join(a, b, [], "a_lo", "a_hi", "b_lo", "b_hi", 0)
+
+
+def test_interval_overlap_handles_negative_coordinates(spark):
+    """Negative interval bounds (epoch offsets before a reference
+    point, signed coordinates): floor division bins negatives
+    correctly, and the first-shared-bin rule still emits exactly
+    once."""
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.operators.scale import interval_overlap_join
+
+    rows = [(1, -25, -3), (2, -10, 4), (3, 2, 30), (4, -100, -50)]
+    base = spark.createDataFrame(rows, "iid bigint, lo bigint, hi bigint")
+    a = base.select(
+        F.col("iid").alias("ia"), F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = base.select(
+        F.col("iid").alias("ib"), F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    got = sorted(
+        (r.ia, r.ib)
+        for r in interval_overlap_join(
+            a, b, [], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=10
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .collect()
+    )
+    # overlaps: 1-2 ([-25,-3] x [-10,4]), 2-3 ([-10,4] x [2,30]); 4 isolated
+    assert got == [(1, 2), (2, 3)]
