@@ -26,8 +26,21 @@ the shared-JVM context spiked individual queries 3-7x (d20 measured
 tripling the suite budget. Repetitions are INTERLEAVED round-robin
 across the whole set (r5; back-to-back k-runs let one JVM context
 spike poison every sample of a single query — r4's d15 spread 3.5x
-within one suite), and headline queries whose samples still spread
->2x get adaptive top-up rounds (SPARK_GRAFT_BENCH_K_EXTRA, default 2).
+within one suite), and ANY query whose samples still spread >1.5x —
+headline or not — gets adaptive top-up rounds
+(SPARK_GRAFT_BENCH_K_EXTRA, default 2), so every reported number
+either has max/min <= 1.5 or carries its extra runs in the artifact
+(VERDICT r9 item 2).
+
+Load-proofing (r10): every timed sample records the 1-min loadavg it
+ran under (``run_loadavg`` in BENCH_DETAIL, parallel to ``runs``) so a
+contaminated sample is identifiable after the fact, and the whole
+suite gets ONE UNTIMED WARMUP PASS at the benched scale factor before
+any timed pass — the cold pass pays shuffle-file creation, page-cache
+population and interpreter JIT that the old sf0.001 compile pass
+(codegen only) provably did not cover (d20_training_pipeline measured
+9.7 s cold vs 4.2 s warm in r9). The cold times are recorded as
+``warmup_runs`` — the cold/warm gap is itself evidence.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect bottleneck). One warm-up run of a tiny query first so JVM
@@ -161,12 +174,8 @@ def main() -> None:
     specs = all_queries()
     names = bench_names(specs)
 
-    # Warm up the JVM, then compile every headline plan once against the
-    # smallest fixture: whole-stage codegen caches generated classes by
-    # source, and the generated code is identical across scale factors,
-    # so the timed sf runs measure execution, not javac/JIT.
+    # Warm up the JVM first so startup isn't attributed to pass 0.
     spark.range(1000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
     # one-time fixture materialization (both on-disk binaryFile
     # corpora) happens OUTSIDE the timed loop — fixture generation
     # isn't query execution, and only the first run of a round would
@@ -180,13 +189,6 @@ def main() -> None:
         multimodal.materialize_wav_files(spark, SF_DIR, docs)
     except Exception:
         pass
-    for name in names:
-        try:
-            specs[name].fn(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # warm-up is best-effort; the timed run reports errors
 
     def release_leftovers() -> None:
         """Between-query storage hygiene (UNTIMED): drop any persistent
@@ -204,13 +206,34 @@ def main() -> None:
 
     release_leftovers()
 
-    def timed_run(name: str) -> float:
+    def _load1() -> float:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except Exception:
+            return -1.0
+
+    def timed_run(name: str) -> tuple[float, float]:
+        """(elapsed seconds, 1-min loadavg at run start)."""
+        la = _load1()
         t0 = time.perf_counter()
         df = specs[name].fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         elapsed = round(time.perf_counter() - t0, 3)
         release_leftovers()
-        return elapsed
+        return elapsed, la
+
+    # UNTIMED warmup pass at the benched scale factor: pays codegen,
+    # shuffle-file creation and page-cache fill once, outside the
+    # statistics. Recorded (not summed) — the cold/warm gap per query
+    # is diagnostic evidence (r9: d20 9.7 s cold vs 4.2 s warm).
+    warmup_runs: dict[str, float] = {}
+    warmup_load: dict[str, float] = {}
+    for name in names:
+        try:
+            warmup_runs[name], warmup_load[name] = timed_run(name)
+        except Exception:
+            pass  # warm-up is best-effort; the timed run reports errors
 
     k = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
     # Non-headline queries get k=2/min instead of the old single shot:
@@ -229,34 +252,98 @@ def main() -> None:
     # context spike lands on at most one of them and the median sheds
     # it.
     runs: dict[str, list[float]] = {n: [] for n in names}
+    run_loadavg: dict[str, list[float]] = {n: [] for n in names}
+
+    def sample(name: str) -> None:
+        dt, la = timed_run(name)
+        runs[name].append(dt)
+        run_loadavg[name].append(la)
+
     passes = max(k, k_rest)
     for p in range(passes):
         for name in names:
             kq = k if name in HEADLINE else k_rest
             if p < kq:
-                runs[name].append(timed_run(name))
-    # Adaptive top-up: a headline query whose samples still spread >2x
-    # gets up to SPARK_GRAFT_BENCH_K_EXTRA more interleaved rounds, so
-    # its median rests on a sample set the noise didn't dominate.
+                sample(name)
+    # Adaptive top-up for EVERY query (r10; was headline-only at 2x):
+    # any query whose samples spread >1.5x gets up to
+    # SPARK_GRAFT_BENCH_K_EXTRA more interleaved rounds — so each
+    # reported number either has max/min <= 1.5 or carries k >= 3
+    # samples in the artifact for the reader to adjudicate.
     extra = int(os.environ.get("SPARK_GRAFT_BENCH_K_EXTRA", "2"))
     for _ in range(extra):
         noisy = [
             n
             for n in names
-            if n in HEADLINE
-            and min(runs[n]) > 0
-            and max(runs[n]) / min(runs[n]) > 2.0
+            if min(runs[n]) > 0 and max(runs[n]) / min(runs[n]) > 1.5
         ]
         if not noisy:
             break
         for name in noisy:
-            runs[name].append(timed_run(name))
+            sample(name)
     timings: dict[str, float] = {}
     for name in names:
         if name in HEADLINE:
             timings[name] = sorted(runs[name])[len(runs[name]) // 2]
         else:
             timings[name] = min(runs[name])
+
+    def zorder_phase_probe() -> dict:
+        """Write-vs-read phase split for s01_zorder_scan (VERDICT r9
+        item 6): the benched number folds the interleaved-bit layout
+        WRITE into one figure, but the 100 TB claim is about pruned
+        READ cost. Times each phase separately and records how many
+        files the two-dimensional predicate actually touched — the
+        prune-bound evidence (same precedent as the IVF-PQ build/serve
+        split)."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from echem_dft_etl_spark.sources import load_table
+        from echem_dft_etl_spark.sources.sinks import write_zordered
+
+        orders = load_table(spark, SF_DIR, "orders").withColumn(
+            "o_orderday", F.datediff("o_orderdate", F.lit("1995-01-01"))
+        )
+        out = tempfile.mkdtemp(prefix="bench_zorder_")
+        try:
+            t0 = time.perf_counter()
+            write_zordered(orders, f"{out}/orders", "o_custkey", "o_orderday")
+            write_s = round(time.perf_counter() - t0, 3)
+            back = spark.read.parquet(f"{out}/orders")
+            files_total = back.select(
+                F.input_file_name()
+            ).distinct().count()
+            filt = back.filter(
+                F.col("o_custkey").between(100, 400)
+                & (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            )
+            t0 = time.perf_counter()
+            filt.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_rows")
+            ).write.format("noop").mode("overwrite").save()
+            read_s = round(time.perf_counter() - t0, 3)
+            files_read = filt.select(
+                F.input_file_name()
+            ).distinct().count()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        return {
+            "write_seconds": write_s,
+            "read_seconds": read_s,
+            "files_read": files_read,
+            "files_total": files_total,
+        }
+
+    phase_seconds: dict[str, dict] = {}
+    try:
+        phase_seconds["s01_zorder_scan"] = zorder_phase_probe()
+    except Exception:
+        pass
+    release_leftovers()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -295,6 +382,20 @@ def main() -> None:
                 "loadavg_end": _loadavg(),
                 "queries": timings,
                 "runs": runs,
+                "run_loadavg": run_loadavg,
+                "warmup_runs": warmup_runs,
+                "warmup_loadavg": warmup_load,
+                "spread_escalation": {
+                    "threshold": 1.5,
+                    "max_extra_rounds": extra,
+                    "still_noisy": sorted(
+                        n
+                        for n in names
+                        if min(runs[n]) > 0
+                        and max(runs[n]) / min(runs[n]) > 1.5
+                    ),
+                },
+                "phase_seconds": phase_seconds,
             },
             f,
             indent=1,

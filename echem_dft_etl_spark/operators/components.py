@@ -36,45 +36,17 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from .guards import require_at_least, require_in_range
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _persistent_rdd_ids(spark) -> set:
-    """Ids of RDDs currently pinned in executor storage."""
-    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
-    out = set()
-    while it.hasNext():
-        out.add(it.next())
-    return out
-
-
-def _tracked_checkpoint(df: DataFrame, owned_ids: list) -> DataFrame:
-    """``localCheckpoint`` that records the storage it pinned.
-
-    A checkpointed frame's blocks stay in executor storage for the
-    SESSION lifetime — ``DataFrame.unpersist`` does not touch them
-    (it clears plan-cache entries, not the checkpoint RDD). The only
-    handle is the persistent-RDD registry, so the ids created by this
-    checkpoint are captured for later release via :func:`_release_rdds`.
-    Without this, every CC round of every call leaks blocks in
-    long-lived sessions (the driver's bench runs the whole registry in
-    one JVM — measured as suite-wide storage/GC slowdown).
-    """
-    spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    ck = df.localCheckpoint()
-    owned_ids.extend(_persistent_rdd_ids(spark) - before)
-    return ck
-
-
-def _release_rdds(spark, ids) -> None:
-    m = spark.sparkContext._jsc.getPersistentRDDs()
-    for i in ids:
-        r = m.get(i)
-        if r is not None:
-            r.unpersist(False)
+# Storage lifecycle lives in operators/storage.py (public API); the
+# underscore aliases remain for this module's historical call sites.
+from .storage import persistent_rdd_ids as _persistent_rdd_ids  # noqa: F401
+from .storage import release_rdds as _release_rdds
+from .storage import tracked_checkpoint as _tracked_checkpoint
 
 
 def connected_components(
@@ -116,6 +88,7 @@ def connected_components(
     confirm round cost 1 join instead of N (entity resolution:
     2-round floor at sf0.1, the confirm round ~8× cheaper).
     """
+    require_at_least("max_rounds", max_rounds, 1)
     # Materialize the (symmetrized) edge set ONCE: every round joins it,
     # and without the checkpoint each round would re-derive the edges'
     # whole upstream lineage — for duplicate_clusters that is the full
@@ -420,21 +393,24 @@ def integer_pagerank(
     (mass 10^12, damp_num 17). Scale node_mass down for larger graphs
     — mass 10^9 holds to N < ~5e8 while keeping plenty of ranking
     resolution (the floor remainder stays < outdeg per node-round)."""
+    require_at_least("iterations", iterations, 1)
+    require_at_least("node_mass", node_mass, 1)
+    require_at_least("damp_den", damp_den, 1)
+    require_in_range("damp_num", damp_num, 0, damp_den)
     spark = edges.sparkSession
     base = node_mass * (damp_den - damp_num) // damp_den
 
     owned: list = []
     # static per-round probe side: (src, dst, outdeg), checkpointed
-    # once. outdeg via a window over src — ONE shuffle and one pass
-    # over the (possibly expensive) edge plan, where groupBy+join
-    # would execute that plan twice and shuffle twice.
-    ed = _tracked_checkpoint(
-        edges.withColumn(
-            "outdeg",
-            F.count(F.lit(1)).over(Window.partitionBy("src")),
-        ),
-        owned,
-    )
+    # once. outdeg via groupBy+join rather than count().over(
+    # Window.partitionBy("src")): a window partition cannot be
+    # skew-split by AQE, so a hub src's entire edge set would have to
+    # fit one task — the exact skew story this operator documents.
+    # groupBy partials combine map-side and the join is AQE-splittable;
+    # the double scan of the edge plan is paid ONCE (the annotated
+    # frame is checkpointed) and is the right trade at 100 TB.
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = _tracked_checkpoint(edges.join(outdeg, "src"), owned)
     # node set from the checkpointed blocks, not the raw edge plan
     nodes = _tracked_checkpoint(
         ed.select(F.col("src").alias("v")).distinct(), owned
@@ -633,6 +609,7 @@ def bfs_distances(
     per-round state is one layer — O(reached nodes) total across the
     run, never O(edges).
     """
+    require_at_least("max_hops", max_hops, 1)
     spark = edges.sparkSession
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .guards import MAX_I64_BITS, require_at_least, require_in_range
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -77,6 +78,7 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     on measured plans. Two projections keep CollapseProject from
     inlining the non-cheap, multiply-referenced alias.
     """
+    require_at_least("n", n, 1)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     return (
         toked.select("doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("shingle"))
@@ -93,6 +95,7 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     needs the exploded form. Documents with fewer than ``n`` tokens
     have no shingles and are dropped (matching the exploded form).
     """
+    require_at_least("n", n, 1)
     # Filter on the token count, NOT on size(shingles): a predicate over
     # the computed shingle array would be pushed below the projections
     # with the whole n-gram expression (tokenizer included) inlined into
@@ -129,6 +132,7 @@ def doc_shingles_local(docs: DataFrame, n: int = 3) -> DataFrame:
     for array-shaped consumers (signatures via ``array_min`` lanes,
     set sizes via ``F.size``) that never explode.
     """
+    require_at_least("n", n, 1)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     return toked.select(
         "doc_id",
@@ -150,6 +154,7 @@ def minhash_signatures(shingled: DataFrame, n_perms: int = N_PERMS) -> DataFrame
     near-dup pipeline this form wins because its exchange doubles as
     the corpus-wide reuse point (see near_dup_pairs_minhash).
     """
+    require_at_least("n_perms", n_perms, 1)
     h = det_hash_str(F.col("shingle"))
     hashed = shingled.select("doc_id", h.alias("h"))
     aggs = [
@@ -371,6 +376,8 @@ def ngram_jaccard_pairs(
     so ``|a ∩ b|`` is a direct groupBy count. No distinct-pairs stage,
     no re-join of the index against candidates (which would re-derive
     the very rows this join just produced)."""
+    require_in_range("threshold", threshold, 0.0, 1.0)
+    require_at_least("shingle_n", shingle_n, 1)
     shingled = doc_shingles(docs, shingle_n)
     if max_df is not None:
         w_df = Window.partitionBy("shingle")
@@ -469,6 +476,7 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     the interpreted lambda evaluator). The hash array is computed once
     per row in its own projection (multiply referenced → not collapsed).
     """
+    require_in_range("bits", bits, 1, MAX_I64_BITS)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     hashed = toked.select(
         "doc_id",
@@ -503,6 +511,7 @@ def simhash_signatures_arrow(docs: DataFrame, bits: int = 32) -> DataFrame:
     tests/test_properties.py). Still a plain projection: no shuffle,
     same scale shape as the expression form.
     """
+    require_in_range("bits", bits, 1, MAX_I64_BITS)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
@@ -608,6 +617,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = 32) ->
     the md5-derived token hash carries → ~7-bit band keys at the same
     band count).
     """
+    require_at_least("max_hamming", max_hamming, 0)
+    require_in_range("bits", bits, 1, MAX_I64_BITS)
     sigs = simhash_signatures_arrow(docs, bits)
     bands = (
         sigs.select(

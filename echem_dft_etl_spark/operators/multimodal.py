@@ -26,6 +26,7 @@ from typing import Iterator
 
 import pandas as pd
 
+from .guards import require_at_least
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -378,6 +379,8 @@ def sample_frames(
     sampled every ``stride``-th; a real decoder (pyav / ffmpeg) slots
     into the same iterator with the same schema.
     """
+    require_at_least("frame_size", frame_size, 1)
+    require_at_least("stride", stride, 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -513,6 +516,7 @@ def sample_y4m_frames(df: DataFrame, stride: int = 2) -> DataFrame:
     0..n_frames/stride output rows inside one bounded Arrow batch,
     payload bytes never leave the executor, and malformed payloads
     contribute zero rows instead of failing the task."""
+    require_at_least("stride", stride, 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -558,6 +562,7 @@ def y4m_scene_cuts(df: DataFrame, min_mean_delta: int = 5) -> DataFrame:
     integer arithmetic (``|Δsum| ≥ delta·plane``), so the cut set is
     engine-stable for the DuckDB oracle. Malformed payloads contribute
     zero rows (same degrade contract as every decoder here)."""
+    require_at_least("min_mean_delta", min_mean_delta, 0)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -683,6 +688,8 @@ def chunk_audio(
     slots into the same iterator for compressed codecs; PCM WAV needs
     only the header.
     """
+    require_at_least("window", window, 1)
+    require_at_least("hop", hop, 1)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -22,6 +22,7 @@ both have authoring-side halves, which live here:
 
 from __future__ import annotations
 
+from .guards import require_at_least, require_in_range
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -51,6 +52,7 @@ def salted_join(
     every unmatched small row once per replica (n_salts null-extended
     duplicates). For those, salt the other way around or dedup after.
     """
+    require_at_least("n_salts", n_salts, 1)
     allowed = {
         "inner", "left", "left_outer", "leftouter",
         "left_semi", "leftsemi", "semi",
@@ -103,31 +105,74 @@ def binned_range_join(
 
     Inner-join semantics (the dominant range-join case); outer
     variants need unmatched-row recovery and are out of scope here.
+
+    Guards: ``bin_width < 1`` raises (zero width floor-divides to NULL
+    bins and a silently empty join); an inverted interval (``lo >
+    hi``) raises AT RUNTIME via a per-row check folded into the bin
+    expression — ``F.sequence`` would otherwise emit a silent
+    DESCENDING bin list, i.e. garbage candidates, not an error.
+    Replication per interval is ``len/bin_width + 1`` exploded rows;
+    Spark caps a single ``sequence`` at ~2^31 elements and buffers it
+    in one task, so keep ``max_len/bin_width`` in the thousands — pick
+    a wider bin for very long intervals. The join key is a generated
+    collision-safe column, so inputs may themselves carry a ``_bin``.
     """
     if bin_width < 1:
         # bin_width 0 would divide by zero, which Spark folds to NULL
         # bin keys and a silently EMPTY join (the grid_near_join cell
         # guard lesson) — fail loudly instead
         raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    bcol = _fresh_col_name("bin", points.columns, intervals.columns)
     pts = points.withColumn(
-        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
+        bcol, F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
     )
     ivs = intervals.withColumn(
-        "_bin",
+        bcol,
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("bigint"),
+                _checked_bin(lo_col, hi_col, bin_width, "intervals"),
                 F.floor(F.col(hi_col) / F.lit(bin_width)).cast("bigint"),
             )
         ),
     )
     return (
-        pts.join(ivs, "_bin")
+        pts.join(ivs, bcol)
         .filter(
             (F.col(point_col) >= F.col(lo_col))
             & (F.col(point_col) <= F.col(hi_col))
         )
-        .drop("_bin")
+        .drop(bcol)
+    )
+
+
+def _fresh_col_name(base: str, *column_sets: list[str]) -> str:
+    """A working-column name guaranteed absent from every input —
+    ``_bin`` etc. silently overwrote a user column of the same name."""
+    taken = {c for cols in column_sets for c in cols}
+    name = f"_{base}"
+    i = 0
+    while name in taken:
+        i += 1
+        name = f"_{base}_{i}"
+    return name
+
+
+def _checked_bin(lo_col: str, hi_col: str, bin_width: int, side: str) -> F.Column:
+    """``floor(lo/w)`` that RAISES on an inverted interval instead of
+    letting ``F.sequence(lo_bin, hi_bin)`` emit a silent descending
+    bin list (garbage join candidates). Cost: one comparison per row,
+    map-side, inside codegen."""
+    return F.when(
+        F.col(hi_col) >= F.col(lo_col),
+        F.floor(F.col(lo_col) / F.lit(bin_width)).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"inverted interval on {side}: {lo_col}=%s > {hi_col}=%s",
+                F.col(lo_col).cast("string"),
+                F.col(hi_col).cast("string"),
+            )
+        ).cast("bigint")
     )
 
 
@@ -147,6 +192,7 @@ def write_bucketed(
     catalog — no Hive metastore needed. ``path`` makes it an external
     table at that location (default: the session warehouse dir).
     """
+    require_at_least("n_buckets", n_buckets, 1)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort_by:
         writer = writer.sortBy(sort_by)
@@ -189,6 +235,12 @@ def grouped_percentiles_with_guard(
     names on either path so downstream code is agnostic to which was
     chosen.
     """
+    require_at_least("accuracy", accuracy, 1)
+    require_at_least("exact_max_group_rows", exact_max_group_rows, 0)
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        require_in_range("quantile", q, 0.0, 1.0)
     largest = (
         df.groupBy(*group_cols).count().agg(F.max("count")).first()[0] or 0
     )
@@ -274,6 +326,7 @@ def missing_key_ranges(
     Returns (gap_start, gap_end, n_missing) for every maximal run of
     absent keys strictly inside [min(key), max(key)].
     """
+    require_at_least("num_partitions", num_partitions, 1)
     part = df.select(F.col(key).alias("k")).withColumn(
         "pid", _monotone_pid(df.select(F.col(key).alias("k")), "k", num_partitions)
     )
@@ -322,6 +375,8 @@ def rolling_distinct_hll(
     vote trick as the exact form, but cast by ~365 sketch rows/year
     instead of billions of activity rows.
     """
+    require_at_least("window_days", window_days, 1)
+    require_in_range("lgk", lgk, 4, 21)
     daily = df.groupBy(day_col.alias("day")).agg(
         F.hll_sketch_agg(F.col(entity_col), F.lit(lgk)).alias("sk")
     )
@@ -377,6 +432,8 @@ def bloom_prefilter(
     count for that regime (8 KB of bitmap per 2^16 bits — broadcasting
     even a 2^24-bit filter is 2 MB, still trivial).
     """
+    require_at_least("n_bits", n_bits, 8)
+    require_at_least("n_hashes", n_hashes, 1)
     one = F.lit(1).cast("bigint")
 
     def _positions(col):
@@ -454,15 +511,24 @@ def interval_overlap_join(
     per-bin fan-out — near the median interval length, as for
     :func:`binned_range_join`. Bounds must be integers (epoch
     seconds/days); both ends inclusive.
+
+    Guards (same class as :func:`binned_range_join`): ``bin_width < 1``
+    raises; inverted intervals (``lo > hi``) raise at runtime from
+    inside the bin expression rather than emitting a descending —
+    garbage — bin list; replication is ``len/bin_width + 1`` and a
+    single ``sequence`` is task-buffered (~2^31 hard cap), so size the
+    bin to keep ``max_len/bin_width`` modest; the bin column name is
+    generated collision-safe against both inputs.
     """
     if bin_width < 1:
         # same guard as binned_range_join: a zero width floor-divides
         # to NULL bins and a silently empty join
         raise ValueError(f"bin_width must be >= 1, got {bin_width}")
-    lb = F.floor(F.col(l_lo) / F.lit(bin_width)).cast("bigint")
-    rb = F.floor(F.col(r_lo) / F.lit(bin_width)).cast("bigint")
+    bcol = _fresh_col_name("bin", left.columns, right.columns)
+    lb = _checked_bin(l_lo, l_hi, bin_width, "left")
+    rb = _checked_bin(r_lo, r_hi, bin_width, "right")
     lhs = left.withColumn(
-        "_bin",
+        bcol,
         F.explode(
             F.sequence(
                 lb, F.floor(F.col(l_hi) / F.lit(bin_width)).cast("bigint")
@@ -470,7 +536,7 @@ def interval_overlap_join(
         ),
     )
     rhs = right.withColumn(
-        "_bin",
+        bcol,
         F.explode(
             F.sequence(
                 rb, F.floor(F.col(r_hi) / F.lit(bin_width)).cast("bigint")
@@ -478,17 +544,17 @@ def interval_overlap_join(
         ),
     )
     return (
-        lhs.join(rhs, [*keys, "_bin"])
+        lhs.join(rhs, [*keys, bcol])
         .filter(
             (F.col(l_lo) <= F.col(r_hi))
             & (F.col(r_lo) <= F.col(l_hi))
             & (
-                F.col("_bin")
+                F.col(bcol)
                 == F.greatest(
                     F.floor(F.col(l_lo) / F.lit(bin_width)).cast("bigint"),
                     F.floor(F.col(r_lo) / F.lit(bin_width)).cast("bigint"),
                 )
             )
         )
-        .drop("_bin")
+        .drop(bcol)
     )

@@ -19,6 +19,7 @@ DuckDB oracle can check (SURVEY §7 risk note on streaming state).
 
 from __future__ import annotations
 
+from .guards import require_at_least
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +37,7 @@ def sessionize(
     ``tie_col`` breaks exact-timestamp ties so the ordering (and thus the
     session assignment) is total and engine-independent.
     """
+    require_at_least("gap_minutes", gap_minutes, 1e-9)
     order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     # Compare in timestamp+interval space (exact µs integer arithmetic in

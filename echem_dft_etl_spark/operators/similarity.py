@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+
+from .guards import MAX_I64_BITS, require_at_least, require_in_range
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -77,6 +79,7 @@ def hyperplane_dot(vec: Column, j: int) -> Column:
 
 def lsh_bucket(vec: Column, n_planes: int = N_HYPERPLANES) -> Column:
     """Sign-bit LSH bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    require_in_range("n_planes", n_planes, 1, MAX_I64_BITS)
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
         bit = F.when(hyperplane_dot(vec, j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -101,6 +104,7 @@ def cosine_topk(
     mover in r2 was this query; pinned n=6 runs showed single-task
     variance, and this hoist removes most of the work outright).
     """
+    require_at_least("k", k, 1)
     q = _with_norm(
         emb.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -179,6 +183,8 @@ def cosine_near_pairs(
     pruned paths — :func:`ann_lsh_topk` buckets, MinHash banding — are
     the scale route; this operator is the exact contract.
     """
+    require_in_range("threshold", threshold, -1.0, 1.0)
+    require_at_least("n_blocks", n_blocks, 1)
     spark = emb.sparkSession
     block_pairs = _triangular_block_pairs(spark, n_blocks)
     # Norms are computed ONCE PER VECTOR before the join (n sqrt-of-dot
@@ -245,6 +251,8 @@ def cosine_near_pairs_blocked_pandas(
     group count n_blocks²/2 then scales parallelism quadratically with
     corpus growth at constant memory.
     """
+    require_in_range("threshold", threshold, -1.0, 1.0)
+    require_at_least("n_blocks", n_blocks, 1)
     spark = emb.sparkSession
     block_pairs = _triangular_block_pairs(spark, n_blocks)
     blocked = _with_block(emb, n_blocks)
@@ -318,6 +326,7 @@ def ann_lsh_topk(
     tunable via multi-probe (flip one bit) or more tables; this single-
     table form is the oracle-checkable core.
     """
+    require_at_least("k", k, 1)
     # bucket ids stay a JVM higher-order expression (NOT the numpy
     # matmul used by band_signatures): the DuckDB oracle reproduces the
     # exact buckets with the same sequential fold, and a different
@@ -463,6 +472,9 @@ def ivf_topk(
     the probe join and the final per-query top-k, both keyed on the
     tiny query set. Each query touches ~n_probe/n_cells of the corpus.
     """
+    require_at_least("k", k, 1)
+    require_at_least("n_cells", n_cells, 1)
+    require_at_least("n_probe", n_probe, 1)
     centroids = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
@@ -513,6 +525,7 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
     shuffle; the real quantized array is ``transform(...)`` of the same
     expression when a consumer wants it.
     """
+    require_in_range("bits", bits, 2, 31)
     qmax = (1 << (bits - 1)) - 1
     # amax is needed per element; referencing the amax expression inside
     # a transform lambda would re-evaluate the array_max per element
@@ -581,6 +594,7 @@ def cosine_topk_pandas(
     """cosine_topk with the scoring hot loop in an Arrow-vectorized
     pandas UDF instead of JVM expressions — same plan shape (broadcast
     queries, map-side score, per-query rank), same results."""
+    require_at_least("k", k, 1)
     cosine_pd = make_cosine_pandas_udf()
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -617,6 +631,7 @@ def ann_lsh_multiprobe_topk(
     Corpus-side cost is unchanged — one bucket id per vector, one
     shuffle; only the (tiny) query probe list fans out.
     """
+    require_at_least("k", k, 1)
     bucketed = _with_norm(
         emb.withColumn("bucket", lsh_bucket(F.col("embedding"), n_planes)),
         "embedding",
@@ -681,6 +696,8 @@ def band_signatures(vec_col: Column, n_bands: int, band_bits: int) -> Column:
     is also why the hot hash loop can be a single SIMD matmul instead
     of n_bands·band_bits interpreted aggregates per row.
     """
+    require_at_least("n_bands", n_bands, 1)
+    require_in_range("band_bits", band_bits, 1, MAX_I64_BITS)
     from pyspark.sql.functions import pandas_udf
 
     n_planes = n_bands * band_bits
@@ -741,6 +758,7 @@ def lsh_near_pairs(
     completeness oracle (recall equality asserted on a
     planted-duplicates corpus in tests/test_properties.py).
     """
+    require_in_range("threshold", threshold, -1.0, 1.0)
     from pyspark.sql.functions import pandas_udf
 
     # Candidate generation is NARROW end-to-end: the banded self-join
@@ -938,6 +956,9 @@ def semdedup(
     centroid-argmin assignment. Pinned storage is one |V|-row frame
     of (id, embedding, cell).
     """
+    require_at_least("k", k, 1)
+    require_at_least("rounds", rounds, 0)
+    require_in_range("threshold", threshold, -1.0, 1.0)
     from .kmeans import assignments
 
     asg = assignments(emb, k, rounds)

@@ -276,10 +276,10 @@ def run_reference_pipeline(
     # executes once PER consumer. Tracked so the pinned blocks are
     # released once both consumers have run (the returned table is a
     # parquet read-back, independent of these blocks).
-    from .operators.components import _release_rdds, _tracked_checkpoint
+    from .operators.storage import release_rdds, tracked_checkpoint
 
     ck_ids: list = []
-    result = _tracked_checkpoint(
+    result = tracked_checkpoint(
         echem.electrochem_descriptors(metrics, geometry), ck_ids
     )
     try:
@@ -299,7 +299,7 @@ def run_reference_pipeline(
             [f"## run: {n} slab(s) analyzed", "![plot](visualize/echem.png)"],
         )
     finally:
-        _release_rdds(spark, ck_ids)
+        release_rdds(spark, ck_ids)
     return table
 
 

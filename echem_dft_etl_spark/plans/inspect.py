@@ -112,3 +112,90 @@ def plan_summary(df: DataFrame) -> dict:
         "codegen_spans": wholestage_span_count(df),
         "aqe": "AdaptiveSparkPlan" in plan,
     }
+
+
+def bnlj_build_side_bounds(df: DataFrame) -> list[dict]:
+    """Classify every BroadcastNestedLoopJoin in the plan by its BUILD
+    side's cardinality bound — the fact that separates a benign
+    one-row-stats / bounded-dim broadcast from a data-sized nested
+    loop that dies at scale.
+
+    For each BNLJ node the build child's linked LOGICAL plan is asked
+    for ``maxRows`` (Catalyst's static upper bound: global aggregates
+    report 1, Limit reports its literal, LocalRelation its row count;
+    scans and shuffles report none). Returns one dict per BNLJ:
+    ``{"build": "left"|"right", "max_rows": int|None,
+    "class": "one-row"|"bounded"|"unbounded"}`` — ``bounded`` means a
+    static bound <= 10_000 rows. ``unbounded`` does NOT always mean
+    broken (the bound may just be unprovable statically), but every
+    registered query's plan must avoid it (tests/test_plans.py): if
+    Catalyst can't bound the build side, neither can a reviewer.
+
+    Walks the JVM plan tree via py4j, descending through
+    AdaptiveSparkPlanExec / QueryStageExec / ReusedExchange wrappers
+    the toString-regex counters skate over.
+    """
+    BOUNDED = 10_000
+    root = df._jdf.queryExecution().executedPlan()
+    out: list[dict] = []
+
+    def logical_max_rows(phys) -> int | None:
+        try:
+            link = phys.logicalLink()
+            if not link.isDefined():
+                return None
+            mr = link.get().maxRows()
+            return int(mr.get()) if mr.isDefined() else None
+        except Exception:
+            return None
+
+    def descend(node):
+        cls = node.getClass().getSimpleName()
+        # unwrap adaptive / query-stage / reuse shells to real operators
+        if cls == "AdaptiveSparkPlanExec":
+            try:
+                return [node.executedPlan()]
+            except Exception:
+                return [node.initialPlan()]
+        for meth in ("plan", "child"):
+            if cls in (
+                "BroadcastQueryStageExec",
+                "ShuffleQueryStageExec",
+                "ReusedExchangeExec",
+            ):
+                try:
+                    return [getattr(node, meth)()]
+                except Exception:
+                    continue
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def visit(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "BroadcastNestedLoopJoinExec":
+            side = "left" if "BuildLeft" in node.buildSide().toString() else "right"
+            build = node.left() if side == "left" else node.right()
+            # the physical build child may be an exchange/stage wrapper
+            # with no logical link; probe down until one answers
+            mr = None
+            frontier = [build]
+            seen = 0
+            while frontier and mr is None and seen < 32:
+                n = frontier.pop(0)
+                seen += 1
+                mr = logical_max_rows(n)
+                if mr is None:
+                    frontier.extend(descend(n))
+            klass = (
+                "one-row"
+                if mr == 1
+                else "bounded"
+                if mr is not None and mr <= BOUNDED
+                else "unbounded"
+            )
+            out.append({"build": side, "max_rows": mr, "class": klass})
+        for c in descend(node):
+            visit(c)
+
+    visit(root)
+    return out

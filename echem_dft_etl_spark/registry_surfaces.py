@@ -5875,7 +5875,11 @@ def x14_batch_inference(spark, sf_dir):
         w = ((np.arange(64) * 37) % 21 - 10).astype(np.int64)
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy())
-            micro = np.round(m.astype(np.float64) * 1_000_000).astype(
+            # Half-AWAY-from-zero, matching quantize_micro / F.round /
+            # the oracle's ROUND — np.round is banker's (half-to-even)
+            # and would diverge on exact-.5 micro values.
+            scaled = m.astype(np.float64) * 1_000_000
+            micro = np.trunc(scaled + np.copysign(0.5, scaled)).astype(
                 np.int64
             )
             score = micro @ w

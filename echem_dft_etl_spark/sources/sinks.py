@@ -769,6 +769,24 @@ def snapshot_changes(
     old = spark.read.parquet(snaps[from_version])
     new = spark.read.parquet(snaps[to_version])
     val_cols = [c for c in new.columns if c not in key_cols]
+    # Contract checks, not silent coercion: a key-only table would
+    # build an empty struct (opaque analyzer error), and a schema-
+    # evolved old snapshot would fail with an unresolved-column error
+    # deep in the join. Diffing across schema evolution needs a policy
+    # decision (null-fill vs common-columns); callers must make it
+    # explicitly, so we raise with the actual column sets.
+    if not val_cols:
+        raise ValueError(
+            f"snapshot_changes needs >=1 non-key column to diff; "
+            f"table columns {new.columns} are all keys {key_cols}"
+        )
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshot schemas differ between versions "
+            f"{from_version} ({sorted(old.columns)}) and "
+            f"{to_version} ({sorted(new.columns)}); align schemas "
+            "(or project to common columns) before diffing"
+        )
     o = old.select(
         *key_cols, F.struct(*val_cols).alias("_old"), F.lit(True).alias("_in_old")
     )

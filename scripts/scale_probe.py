@@ -362,13 +362,13 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
         100 TB story depends on (the index is a materialized artifact
         there, not per-query work). The runner releases the pinned
         blocks after the probe via ``owned_ids``."""
-        from echem_dft_etl_spark.operators.components import (
-            _tracked_checkpoint,
+        from echem_dft_etl_spark.operators.storage import (
+            tracked_checkpoint,
         )
 
         idx = similarity.ivfpq_build_index(emb)
         for key in ("cells", "codes", "cb_arr", "cent_arr"):
-            idx[key] = _tracked_checkpoint(idx[key], owned_ids)
+            idx[key] = tracked_checkpoint(idx[key], owned_ids)
         return idx
 
     probes = [
@@ -496,9 +496,9 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from echem_dft_etl_spark.operators.components import (
-        _persistent_rdd_ids,
-        _release_rdds,
+    from echem_dft_etl_spark.operators.storage import (
+        persistent_rdd_ids as _persistent_rdd_ids,
+        release_rdds as _release_rdds,
     )
 
     tmpdir = tempfile.mkdtemp(prefix="scale_probe_")

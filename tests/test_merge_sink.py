@@ -417,3 +417,36 @@ def test_snapshot_changes_empty_diff_for_identical_snapshots(spark, tmp_path):
     merge_parquet(base, root, ["k"], "k", keep_snapshots=3)
     merge_parquet(base, root, ["k"], "k", keep_snapshots=3)
     assert snapshot_changes(spark, root, 1, 2, ["k"]).count() == 0
+
+
+def test_snapshot_changes_contract_guards(spark, tmp_path):
+    """Degenerate inputs must fail with a CONTRACT message, not an
+    analyzer error deep in the join: a key-only table has nothing to
+    diff (empty struct), and a schema-evolved old snapshot would
+    otherwise die on an unresolved column — diffing across evolution
+    needs an explicit caller policy."""
+    import pytest
+
+    from echem_dft_etl_spark.sources.sinks import snapshot_changes
+
+    # key-only table: every column is a key
+    root = str(tmp_path / "keyonly")
+    spark.createDataFrame([(1,), (2,)], "k bigint").write.parquet(
+        f"{root}/snap_1"
+    )
+    spark.createDataFrame([(1,), (3,)], "k bigint").write.parquet(
+        f"{root}/snap_2"
+    )
+    with pytest.raises(ValueError, match="non-key column"):
+        snapshot_changes(spark, root, 1, 2, ["k"])
+
+    # schema evolution between snapshots: column sets differ
+    root2 = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(
+        f"{root2}/snap_1"
+    )
+    spark.createDataFrame(
+        [(1, 10, "x")], "k bigint, v bigint, extra string"
+    ).write.parquet(f"{root2}/snap_2")
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_changes(spark, root2, 1, 2, ["k"])

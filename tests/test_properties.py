@@ -893,9 +893,9 @@ def test_bfs_distances_releases_loop_storage(spark):
     are allowed to remain only until the caller drops the frame; here
     we just bound growth: one bfs call may pin at most the layer
     count, and the shuffle-width conf is restored."""
-    from echem_dft_etl_spark.operators.components import (
-        _persistent_rdd_ids,
-        bfs_distances,
+    from echem_dft_etl_spark.operators.components import bfs_distances
+    from echem_dft_etl_spark.operators.storage import (
+        persistent_rdd_ids as _persistent_rdd_ids,
     )
 
     width_before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1719,3 +1719,40 @@ def test_time_weighted_avg_constant_series_is_exact(spark):
     ).first()
     assert row.den == ts[-1] - ts[0]
     assert row.num == 777 * row.den
+
+
+def test_batch_inference_rounds_half_away_from_zero(spark, tmp_path):
+    """Exact-half micro values (x*1e6 == k + 0.5) must round HALF AWAY
+    FROM ZERO — matching quantize_micro / F.round / the oracle's ROUND.
+    np.round is banker's (half-to-even) and silently diverges on them:
+    0.0000005 → 0 instead of 1, -0.0000015 → -2 vs... (this fixture
+    pins the convention for both signs and both parities)."""
+    import duckdb
+
+    from echem_dft_etl_spark.registry import all_queries
+
+    # 64-dim embedding: dims 0-3 carry exact halves, the rest zeros.
+    # halves: 0.5, 1.5, -0.5, -1.5 micro → HALF_UP: 1, 2, -1, -2;
+    # banker's would give 0, 2, 0, -2.
+    vec = [0.0000005, 0.0000015, -0.0000005, -0.0000015] + [0.0] * 60
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, vec)], "vec_id bigint, embedding array<double>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    spec = all_queries()["x14_batch_inference"]
+    got = spec.fn(spark, sf).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(spec.oracle).fetchone()
+    # weights w_j = ((j*37) % 21) - 10: w_0=-10, w_1=6, w_2=failsafe...
+    # the assertion that matters is Spark == oracle on exact halves
+    assert (got["vec_id"], got["score_micro"], got["positive"]) == want
+    # and the micro quantization itself is HALF_UP: score uses
+    # micro = [1, 2, -1, -2] exactly
+    w = [((j * 37) % 21) - 10 for j in range(64)]
+    expected = 1 * w[0] + 2 * w[1] + (-1) * w[2] + (-2) * w[3]
+    assert got["score_micro"] == expected

@@ -63,6 +63,18 @@ def test_window_retains_every_canonical_survey_id():
 #: window to give driver-grade evidence to queries that never had it.
 PREVIOUS_WINDOW_MEMBERS = frozenset(
     {
+        # round-9 window additions (CORRECTNESS_r09.json; names also
+        # present in earlier windows are listed in their first block)
+        "sql_surface_market_share", "sql_surface_min_cost_supplier",
+        "sql_surface_order_count_dist", "s05_chart_sink",
+        "x04_cusum_drift", "x05_spatial_near_join", "x05_contact_pairs",
+        "x06_equidepth_hist", "t13_bpe_tokens", "d28_split_leakage_audit",
+        "s18_k_anonymity", "x10_stream_cusum", "s02_fixed_width",
+        "x07_business_days", "sql_surface_top_supplier", "mm_scene_cuts",
+        "t13_keyword_extract", "x06_sketch_mergeable", "s17_bucketed_join",
+        "s01_dpp_scan", "s03_merge_upsert", "x03_unpivot",
+        "sql_correlated_subquery", "q02_keylist_semijoin",
+        "x03_time_rollup",
         # round-8 window (CORRECTNESS_r08.json)
         "s02_custom_datasource", "q11_stratified_sample",
         "pipeline_reference_e2e", "s03_deletion_vectors",

@@ -709,3 +709,62 @@ def test_interval_overlap_handles_negative_coordinates(spark):
     )
     # overlaps: 1-2 ([-25,-3] x [-10,4]), 2-3 ([-10,4] x [2,30]); 4 isolated
     assert got == [(1, 2), (2, 3)]
+
+
+def test_binned_joins_raise_on_inverted_interval(spark):
+    """lo > hi would make F.sequence emit a silent DESCENDING bin list
+    — garbage join candidates. Both binned joins must surface it as a
+    runtime error (per-row check folded into the bin expression)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from echem_dft_etl_spark.operators.scale import (
+        binned_range_join,
+        interval_overlap_join,
+    )
+
+    pts = spark.createDataFrame([(1, 5)], "id bigint, v bigint")
+    bad_itv = spark.createDataFrame(
+        [(2, 9, 1)], "id2 bigint, lo bigint, hi bigint"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="inverted interval"):
+        binned_range_join(pts, bad_itv, "v", "lo", "hi", bin_width=4).collect()
+
+    a = spark.createDataFrame([(1, 8, 2)], "ia bigint, a_lo bigint, a_hi bigint")
+    b = spark.createDataFrame([(2, 0, 9)], "ib bigint, b_lo bigint, b_hi bigint")
+    with pytest.raises((Py4JJavaError, Exception), match="inverted interval"):
+        interval_overlap_join(
+            a, b, [], "a_lo", "a_hi", "b_lo", "b_hi", 4
+        ).collect()
+
+
+def test_binned_joins_preserve_user_bin_column(spark):
+    """A pre-existing `_bin` column on either input must pass through
+    untouched — the join key is a generated collision-safe name."""
+    from echem_dft_etl_spark.operators.scale import (
+        binned_range_join,
+        interval_overlap_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 5, "keepme")], "id bigint, v bigint, _bin string"
+    )
+    itv = spark.createDataFrame(
+        [(2, 1, 9, "mine")], "id2 bigint, lo bigint, hi bigint, _bin string"
+    )
+    out = binned_range_join(pts, itv, "v", "lo", "hi", bin_width=4)
+    # both user _bin columns survive (Spark disambiguates on select)
+    assert sum(c == "_bin" for c in out.columns) == 2
+    row = out.collect()
+    assert len(row) == 1
+
+    a = spark.createDataFrame(
+        [(1, 0, 5, 77)], "ia bigint, a_lo bigint, a_hi bigint, _bin bigint"
+    )
+    b = spark.createDataFrame(
+        [(2, 3, 9)], "ib bigint, b_lo bigint, b_hi bigint"
+    )
+    out2 = interval_overlap_join(a, b, [], "a_lo", "a_hi", "b_lo", "b_hi", 4)
+    assert "_bin" in out2.columns
+    rows = out2.collect()
+    assert len(rows) == 1 and rows[0]["_bin"] == 77
