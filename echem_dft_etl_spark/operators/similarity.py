@@ -105,8 +105,15 @@ def cosine_topk(
     variance, and this hoist removes most of the work outright).
     """
     require_at_least("k", k, 1)
+    # limit(len(query_ids)) is a semantic no-op (vec_id is unique, so
+    # the isin filter yields at most that many rows) that writes the
+    # build side's cardinality bound INTO the logical plan — Catalyst's
+    # maxRows proves this BNLJ's broadcast is query-set-sized, which
+    # tests/test_plans.py asserts mechanically for every BNLJ.
     q = _with_norm(
-        emb.filter(F.col("vec_id").isin(query_ids)).select(
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .limit(len(query_ids))
+        .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         ),
         "q_emb",
@@ -596,8 +603,14 @@ def cosine_topk_pandas(
     queries, map-side score, per-query rank), same results."""
     require_at_least("k", k, 1)
     cosine_pd = make_cosine_pandas_udf()
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # no-op limit = static cardinality bound for the BNLJ build side
+    # (see cosine_topk)
+    q = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
     )
     scored = (
         emb.crossJoin(F.broadcast(q))

@@ -111,6 +111,7 @@ def plan_summary(df: DataFrame) -> dict:
         "windows": len(re.findall(r"\bWindow\b", plan)),
         "codegen_spans": wholestage_span_count(df),
         "aqe": "AdaptiveSparkPlan" in plan,
+        "bnlj_bounds": bnlj_build_side_bounds(df),
     }
 
 

@@ -1267,10 +1267,15 @@ def x05_range_join(spark, sf_dir):
     interval dimension. The dim is broadcast so the theta-join is a
     map-side BroadcastNestedLoopJoin — no shuffle of the fact side."""
     spark_ = spark
+    band_rows = [
+        (1, 10, "small"), (11, 25, "medium"), (26, 40, "large"), (41, 50, "xl"),
+    ]
+    # limit(len) is a no-op that records the dim's cardinality in the
+    # logical plan (createDataFrame is a LogicalRDD with no static
+    # maxRows), so the BNLJ build-side bound is machine-checkable
     bands = spark_.createDataFrame(
-        [(1, 10, "small"), (11, 25, "medium"), (26, 40, "large"), (41, 50, "xl")],
-        "lo int, hi int, band string",
-    )
+        band_rows, "lo int, hi int, band string"
+    ).limit(len(band_rows))
     p = _ld(spark, sf_dir, "part")
     return p.join(
         F.broadcast(bands),

@@ -2848,16 +2848,17 @@ def q21_observed_load(spark, sf_dir):
     # fires the observation
     agg = _literal_result(spark, agg)
     got = obs.get
-    metrics = spark.createDataFrame(
-        [
-            (
-                int(got["observed_rows"]),
-                int(got["observed_null_keys"] or 0),
-            )
-        ],
-        "observed_rows bigint, observed_null_keys bigint",
+    # literal columns, not a crossJoin(broadcast(one_row_frame)): the
+    # metrics are already O(1) driver values, and lit() keeps the plan
+    # BNLJ-free (the one-row frame's bound is unprovable to Catalyst)
+    return agg.withColumns(
+        {
+            "observed_rows": F.lit(int(got["observed_rows"])).cast("bigint"),
+            "observed_null_keys": F.lit(
+                int(got["observed_null_keys"] or 0)
+            ).cast("bigint"),
+        }
     )
-    return agg.crossJoin(F.broadcast(metrics))
 
 
 @_register(

@@ -207,6 +207,17 @@ def test_engine_wide_plan_hygiene(spark):
             offenders.append((name, "exchanges", s["shuffle_exchanges"]))
         if s["windows"] > window_budget.get(name, 3):
             offenders.append((name, "windows", s["windows"]))
+        # Every BroadcastNestedLoopJoin must carry a Catalyst-PROVABLE
+        # build-side cardinality bound (one-row stats frame or a
+        # limited literal dim) — "benign by inspection" stopped being
+        # acceptable when the r8 'zero BNLJ' claim proved wrong
+        # (VERDICT r9 item 4). An unbounded build side is the
+        # data-sized broadcast that dies at 100 TB.
+        unbounded = [
+            b for b in s["bnlj_bounds"] if b["class"] == "unbounded"
+        ]
+        if unbounded:
+            offenders.append((name, "bnlj-unbounded", unbounded))
     assert not offenders, offenders
 
 

@@ -1756,3 +1756,38 @@ def test_batch_inference_rounds_half_away_from_zero(spark, tmp_path):
     w = [((j * 37) % 21) - 10 for j in range(64)]
     expected = 1 * w[0] + 2 * w[1] + (-1) * w[2] + (-2) * w[3]
     assert got["score_micro"] == expected
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """The r10 single-join closure (edge probe re-derived from the
+    checkpointed adjacency, carrying N+(u) map-side) must equal the
+    brute-force triple-loop on a random graph that includes hubs,
+    isolated edges and multi-triangle fans — per node, exactly."""
+    import itertools
+    import random
+
+    from echem_dft_etl_spark.operators.components import triangle_counts
+
+    rng = random.Random(41)
+    nodes = list(range(40))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(nodes, 2)) for _ in range(220)
+            )
+        }
+    )
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["v"]: r["n_triangles"]
+        for r in triangle_counts(pairs, checkpoint=True).collect()
+    }
+    assert got == want
+    assert sum(want.values()) > 30, "fixture too sparse to prove anything"
