@@ -6257,3 +6257,205 @@ def s01_partition_evolution(spark, sf_dir):
         return _literal_result(spark, result)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# =====================================================================
+# Round-10 additions: exact-integer analytics audits
+# =====================================================================
+
+
+@_register(
+    "x04_max_drawdown",
+    oracle="""
+    WITH s AS (
+        SELECT l_partkey,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               MAX(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak
+        FROM lineitem)
+    SELECT l_partkey AS p_partkey,
+           MAX(peak - cents) AS max_drawdown_cents,
+           MAX(peak) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM s GROUP BY 1
+    """,
+    survey_ids=("X4",),
+)
+def x04_max_drawdown(spark, sf_dir):
+    """Per-key maximum drawdown (X4): the running-peak-minus-current
+    window pattern every financial/metrics pipeline carries — here
+    each part's price series ordered by (shipdate, orderkey,
+    linenumber), a total order so the prefix-max is deterministic.
+    All arithmetic in integer cents, so drawdowns replay bit-for-bit
+    in any engine. Scale shape: ONE per-key window (hash-partitioned
+    on l_partkey, no global ordering anywhere) feeding a map-side-
+    combinable aggregate — the per-key row count bounds task memory,
+    exactly the bounded-window discipline x04_analytic_windows
+    documents."""
+    from pyspark.sql.window import Window
+
+    li = _ld(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice"))
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = li.select(
+        "l_partkey",
+        cents.alias("cents"),
+        F.max(cents).over(w).alias("peak"),
+    )
+    return s.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.max(F.col("peak") - F.col("cents")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+
+
+#: round(1000 * log10(1 + 1/d)) for d = 1..9 — Benford's law reference
+#: distribution in per-mille, precomputed so neither engine evaluates
+#: floating-point logarithms at query time.
+_BENFORD_PER_MILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67,
+                      7: 58, 8: 51, 9: 46}
+
+
+@_register(
+    "s18_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST((1000 * n) // SUM(n) OVER () AS BIGINT) AS per_mille,
+           CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+                      WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+                      WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END
+             AS benford_per_mille
+    FROM c
+    """,
+    survey_ids=("X6", "Q21"),
+)
+def s18_benford_digits(spark, sf_dir):
+    """Benford first-digit audit (the s18 data-quality family):
+    distribution of the first significant digit of order totals vs
+    Benford's reference — the standard fabricated-data / unit-mixup
+    screen. The digit is taken from the DECIMAL STRING of the integer
+    cents (exact in every engine; no float log10 at query time — the
+    reference distribution is a precomputed literal), and observed
+    shares are integer per-mille via bigint division. Scale shape: one
+    scan into a map-side-combined 9-group aggregate; the share window
+    runs over NINE rows. 100 TB cost = the scan."""
+    from pyspark.sql.window import Window
+
+    o = _ld(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        _cents(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    ref = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PER_MILLE.items() for x in kv]
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    # integer floor division on BOTH sides (Spark DIV / DuckDB //):
+    # a float divide-then-cast rounds in DuckDB but truncates in
+    # Spark — off-by-one per-mille on any non-exact share
+    return c.withColumn("total", total.cast("bigint")).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(1000 * n) DIV total").cast("bigint").alias("per_mille"),
+        ref[F.col("digit")].cast("bigint").alias("benford_per_mille"),
+    )
+
+
+@_register(
+    "x06_magnitude_hist",
+    oracle="""
+    SELECT LENGTH(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       AS VARCHAR)) AS magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             AS min_cents,
+           MAX(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             AS max_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+    survey_ids=("X6",),
+)
+def x06_magnitude_hist(spark, sf_dir):
+    """Order-of-magnitude histogram (X6): decimal-digit-count buckets
+    of integer cents — the log-scale distribution profile that an
+    equi-WIDTH histogram misses when values span orders of magnitude
+    (x06_equidepth_hist is the rank-side twin). Digit count via the
+    integer's decimal string, exact in every engine — no float log10
+    whose boundary behavior at exact powers differs per libm. One
+    scan, map-side-combined tiny aggregate: 100 TB cost = the scan."""
+    li = _ld(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice"))
+    return (
+        li.select(
+            F.length(cents.cast("string")).cast("bigint").alias("magnitude"),
+            cents.alias("cents"),
+        )
+        .groupBy("magnitude")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@_register(
+    "x09_event_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap_s
+        FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           MAX(gap_s) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS absent_s
+    FROM g
+    WHERE gap_s > 3600
+    GROUP BY user_id
+    """,
+    survey_ids=("X9", "X7"),
+)
+def x09_event_gaps(spark, sf_dir):
+    """Absence-gap audit (X9's inverse): per user, the inactivity gaps
+    LONGER than an hour between consecutive events — churn-risk /
+    instrumentation-outage detection, the complement of sessionization
+    (which groups the activity BETWEEN these gaps). Gap arithmetic in
+    epoch seconds (bigint, exact); ordering totalized with event_id.
+    Scale shape: one per-key lag window (hash-partitioned on user_id)
+    into a map-side-combined aggregate — same bounded-window
+    discipline as sessionize, no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = _ld(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts").cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s") > 3600)
+    return g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").cast("bigint").alias("absent_s"),
+    )
