@@ -2436,7 +2436,10 @@ def s04_custom_sink(spark, sf_dir):
         .alias("n_sup"),
     )
     manifest = spark.read.option("multiLine", "true").json(f"{out}/manifest.json")
-    totals = manifest.select(
+    # the manifest is ONE json document; limit(1) is a no-op that
+    # writes that bound into the plan so the crossJoin's BNLJ build
+    # side is Catalyst-provably one row (PLANS.md bnlj class)
+    totals = manifest.limit(1).select(
         F.col("total_rows").alias("manifest_total"),
         F.size("parts").cast("bigint").alias("manifest_parts"),
     )

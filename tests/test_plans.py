@@ -197,10 +197,50 @@ def test_engine_wide_plan_hygiene(spark):
     }
     window_budget = {"d14_ngram_jaccard": 4, "d26_containment_pairs": 8}
     offenders = []
+    # Intercept plan-truncation boundaries exactly like
+    # scripts/plan_report.py: write-then-read-back queries end in a
+    # LocalRelation and iterative operators in a LogicalRDD, so a
+    # cartesian/unbounded-BNLJ in an INTERMEDIATE stage would be
+    # invisible on the returned frame alone (the s04 manifest
+    # crossJoin hid exactly there).
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from echem_dft_etl_spark import registry_surfaces as _rs
+
+    orig_ckpt = _CDF.localCheckpoint
+    orig_lit = _rs._literal_result
     for name, spec in sorted(all_queries().items()):
         if name in not_plan_inspectable:
             continue
-        s = plans.plan_summary(spec.fn(spark, SF_SMOKE))
+        captured: list[dict] = []
+
+        def _cap_ckpt(self, eager=True, _acc=captured):
+            try:
+                _acc.append(plans.plan_summary(self))
+            except Exception:
+                pass
+            return orig_ckpt(self, eager=eager)
+
+        def _cap_lit(spark_, df, _acc=captured):
+            try:
+                _acc.append(plans.plan_summary(df))
+            except Exception:
+                pass
+            return orig_lit(spark_, df)
+
+        _CDF.localCheckpoint = _cap_ckpt
+        _rs._literal_result = _cap_lit
+        try:
+            s = plans.plan_summary(spec.fn(spark, SF_SMOKE))
+        finally:
+            _CDF.localCheckpoint = orig_ckpt
+            _rs._literal_result = orig_lit
+        for part in captured:
+            if part["cartesian_products"]:
+                offenders.append((name, "cartesian-intermediate", part))
+            s["bnlj_bounds"] = list(s["bnlj_bounds"]) + list(
+                part["bnlj_bounds"]
+            )
         if s["cartesian_products"]:
             offenders.append((name, "cartesian", s))
         if s["shuffle_exchanges"] > exchange_budget.get(name, 10):
