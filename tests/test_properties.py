@@ -1791,3 +1791,29 @@ def test_triangle_counts_match_bruteforce(spark):
     }
     assert got == want
     assert sum(want.values()) > 30, "fixture too sparse to prove anything"
+
+
+def test_storage_tracked_checkpoint_roundtrip(spark):
+    """operators/storage.py public API: tracked_checkpoint records
+    exactly the RDD ids it pinned, release_rdds frees them (and
+    tolerates already-released / unknown ids), and the checkpointed
+    frame stays readable until released."""
+    from echem_dft_etl_spark.operators.storage import (
+        persistent_rdd_ids,
+        release_rdds,
+        tracked_checkpoint,
+    )
+
+    before = persistent_rdd_ids(spark)
+    owned: list = []
+    ck = tracked_checkpoint(
+        spark.range(1000).selectExpr("id", "id * 2 AS dbl"), owned
+    )
+    assert owned, "checkpoint pinned no storage?"
+    assert set(owned) <= persistent_rdd_ids(spark) - before
+    assert ck.count() == 1000
+    release_rdds(spark, owned)
+    assert not (set(owned) & persistent_rdd_ids(spark))
+    # idempotent / unknown ids: no raise
+    release_rdds(spark, owned)
+    release_rdds(spark, [999_999])
