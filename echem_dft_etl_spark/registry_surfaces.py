@@ -6462,3 +6462,169 @@ def x09_event_gaps(spark, sf_dir):
         F.max("gap_s").alias("max_gap_s"),
         F.sum("gap_s").cast("bigint").alias("absent_s"),
     )
+
+
+@_register(
+    "x01_skyline_pareto",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part)
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents
+          AND b.p_size >= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+    """,
+    survey_ids=("X1", "X5"),
+)
+def x01_skyline_pareto(spark, sf_dir):
+    """Pareto skyline (multi-objective dominance, X1's other top-k):
+    the price-value frontier — parts where no other part is both
+    cheaper-or-equal AND bigger-or-equal (strict somewhere). Min-price
+    / max-size CONFLICT, so the frontier is a real curve (independent
+    objectives would collapse it to one corner point). The naive
+    spelling is the O(n²) NOT EXISTS anti-join the oracle states; the
+    engine runs the standard DISTRIBUTED two-phase skyline instead
+    (internally size is negated so both objectives minimize):
+
+    1. LOCAL skylines per deterministic hash bucket — a point
+       dominated within its bucket is dominated globally, so each
+       bucket's window prefilter (shared (bucket, price) sort; strict-
+       cheaper min-size via a RANGE frame ending at -1, plus the
+       equal-price min) discards the bulk map-side-parallel. Hash-
+       partitioned on the bucket key; per-task state = one bucket.
+    2. GLOBAL pass over the survivors with the same two-window rule,
+       bucket removed. The unpartitioned window here is safe by
+       construction: survivors of phase 1 are the union of per-bucket
+       skylines — for d-dimensional data that is O(buckets · skyline
+       size), thousands of rows where the input is millions — the
+       same provably-small-frame argument as x01_global_rownum's
+       offset table.
+
+    Tie semantics: coincident (price, size) points do not dominate
+    each other — all stay (the equal-price rule keeps size == group
+    min, strictly-cheaper rule is strict). Integer cents throughout."""
+    from pyspark.sql.window import Window
+
+    p = _ld(spark, sf_dir, "part").select(
+        "p_partkey",
+        _cents(F.col("p_retailprice")).alias("price_cents"),
+        (-F.col("p_size")).cast("bigint").alias("p_size"),
+    )
+
+    def skyline(df, bucket_col=None):
+        part = [bucket_col] if bucket_col else []
+        w_strict = (
+            Window.partitionBy(*part)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part, "price_cents")
+        strict_min = F.min("p_size").over(w_strict)
+        eq_min = F.min("p_size").over(w_eq)
+        return df.withColumn("_sm", strict_min).withColumn(
+            "_em", eq_min
+        ).filter(
+            (F.col("p_size") == F.col("_em"))
+            & (F.col("_sm").isNull() | (F.col("p_size") < F.col("_sm")))
+        ).drop("_sm", "_em")
+
+    local = skyline(
+        p.withColumn("_bkt", F.pmod(F.col("p_partkey"), F.lit(64))), "_bkt"
+    ).drop("_bkt")
+    return skyline(local).select(
+        "p_partkey",
+        "price_cents",
+        (-F.col("p_size")).cast("bigint").alias("p_size"),
+    )
+
+
+@_register(
+    "d23_source_priority_dedup",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               'src' || CAST((CAST(SUBSTRING(source, 4) AS BIGINT) + 5)
+                             % 20 AS VARCHAR) AS source,
+               text
+        FROM documents WHERE doc_id % 10 = 0),
+    d AS (
+        SELECT doc_id, source, text,
+               CAST(SUBSTRING(source, 4) AS BIGINT) AS prio
+        FROM aug),
+    g AS (
+        SELECT doc_id, source, prio,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY prio, doc_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY text) AS n_copies,
+               MAX(prio) OVER (PARTITION BY text)
+                 - MIN(prio) OVER (PARTITION BY text) AS prio_span
+        FROM d)
+    SELECT doc_id, source,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(prio_span AS BIGINT) AS prio_span
+    FROM g WHERE rn = 1 AND n_copies > 1
+    """,
+    survey_ids=("X11", "Q16"),
+)
+def d23_source_priority_dedup(spark, sf_dir):
+    """Cross-source survivorship dedup (the d-family's priority
+    lattice): when the same text arrives from several corpus sources,
+    keep the copy from the most TRUSTED source (numeric suffix of
+    ``source`` ascending — the wiki > books > crawl rule every
+    LLM-mix pipeline applies), doc_id as the tiebreak. Generalizes
+    d11's first-wins (order by doc_id alone) to an explicit
+    source-priority order — the survivorship half of
+    d25_entity_resolution applied at exact-duplicate granularity.
+    Output is change-sized (duplicate groups only), with the group's
+    priority SPAN as cross-source evidence. One hash-partitioned
+    window over the text key — dedup's standard single-shuffle shape;
+    at 100 TB the text key would be a fixed-width content hash
+    (t13_fingerprint), same plan. The natural corpus has no exact
+    cross-source copies, so every 10th document is planted as a
+    shifted-source twin IDENTICALLY here and in the oracle (the
+    _AUG_EMB_SQL convention) — the driver row exercises real
+    cross-source groups with non-zero spans, not a 0=0 match."""
+    from pyspark.sql.window import Window
+
+    docs = _ld(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (
+                (F.substring("source", 4, 10).cast("bigint") + 5) % 20
+            ).cast("string"),
+        ).alias("source"),
+        "text",
+    )
+    aug = docs.select("doc_id", "source", "text").unionByName(twins)
+    d = aug.select(
+        "doc_id",
+        "source",
+        "text",
+        F.substring("source", 4, 10).cast("bigint").alias("prio"),
+    )
+    w = Window.partitionBy("text")
+    g = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(w.orderBy("prio", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_copies"),
+        (F.max("prio").over(w) - F.min("prio").over(w)).alias("prio_span"),
+    )
+    return g.filter((F.col("rn") == 1) & (F.col("n_copies") > 1)).select(
+        "doc_id",
+        "source",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.col("prio_span").cast("bigint").alias("prio_span"),
+    )

@@ -1817,3 +1817,64 @@ def test_storage_tracked_checkpoint_roundtrip(spark):
     # idempotent / unknown ids: no raise
     release_rdds(spark, owned)
     release_rdds(spark, [999_999])
+
+
+def test_skyline_two_phase_matches_bruteforce(spark):
+    """The distributed two-phase skyline (local per-bucket prefilter →
+    global pass on survivors) must equal brute-force dominance on an
+    ANTI-CORRELATED corpus where the frontier is dense — the regime
+    the registered query's natural corpus doesn't exercise (its
+    frontier is ~4 points)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    # anti-correlated: cheap items are small, expensive are big, with
+    # noise — dense Pareto frontier (minimize price, maximize size)
+    rows = []
+    for i in range(500):
+        price = rng.randrange(1, 1000)
+        size = price + rng.randrange(-100, 100)
+        rows.append((i, price, size))
+    want = {
+        (i, p, s)
+        for i, p, s in rows
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for _, p2, s2 in rows
+        )
+    }
+    assert len(want) > 20, "fixture frontier too thin to prove anything"
+
+    df = spark.createDataFrame(
+        rows, "p_partkey bigint, price_cents bigint, sz bigint"
+    ).select("p_partkey", "price_cents", (-F.col("sz")).alias("p_size"))
+
+    def skyline(d, bucket=None):
+        part = [bucket] if bucket else []
+        w_strict = (
+            Window.partitionBy(*part)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part, "price_cents")
+        return (
+            d.withColumn("_sm", F.min("p_size").over(w_strict))
+            .withColumn("_em", F.min("p_size").over(w_eq))
+            .filter(
+                (F.col("p_size") == F.col("_em"))
+                & (F.col("_sm").isNull() | (F.col("p_size") < F.col("_sm")))
+            )
+            .drop("_sm", "_em")
+        )
+
+    local = skyline(
+        df.withColumn("_bkt", F.pmod(F.col("p_partkey"), F.lit(16))), "_bkt"
+    ).drop("_bkt")
+    got = {
+        (r.p_partkey, r.price_cents, -r.p_size)
+        for r in skyline(local).collect()
+    }
+    assert got == want
