@@ -223,6 +223,29 @@ def main() -> None:
         release_leftovers()
         return elapsed, la
 
+    # Early probes: queries whose in-suite timings are dominated by
+    # SUITE CONTEXT (hundreds of compiled plans, GC debt of every
+    # prior query) rather than their own plan get one extra timed run
+    # HERE — same process, before the suite deposits that context —
+    # recorded separately as early_probe_seconds. x05_triangle_counts
+    # measures ~5 s isolated but 6-7 s behind 200 queries of JVM
+    # debris; the pair of numbers is the evidence that separates plan
+    # cost from context cost (the d20 cold-start lesson, r10).
+    EARLY_PROBES = ("x05_triangle_counts",)
+    early_probe: dict[str, dict] = {}
+    for name in EARLY_PROBES:
+        if name in names:
+            try:
+                _cold = timed_run(name)  # codegen/cache, untimed record
+                dt, la = timed_run(name)
+                early_probe[name] = {
+                    "seconds": dt,
+                    "loadavg_1m": la,
+                    "first_run_seconds": _cold[0],
+                }
+            except Exception:
+                pass
+
     # UNTIMED warmup pass at the benched scale factor: pays codegen,
     # shuffle-file creation and page-cache fill once, outside the
     # statistics. Recorded (not summed) — the cold/warm gap per query
@@ -396,6 +419,7 @@ def main() -> None:
                     ),
                 },
                 "phase_seconds": phase_seconds,
+                "early_probe_seconds": early_probe,
             },
             f,
             indent=1,
