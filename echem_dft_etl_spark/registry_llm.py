@@ -2972,3 +2972,102 @@ def s18_l_diversity(spark, sf_dir):
             F.when(nd < 3, 1).otherwise(0).cast("int").alias("risky"),
         )
     )
+
+
+@_register(
+    "d30_group_split",
+    oracle="WITH RECURSIVE "
+    + _minhash_cte().replace("WITH t AS", "t AS", 1)
+    + f""",
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b),
+    edges AS (SELECT i.a, i.b FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE CAST(i.n_inter AS DOUBLE)
+                      / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) >= 0.8),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach AS (SELECT doc_id AS v, doc_id AS lbl FROM documents
+              UNION
+              SELECT s.dst AS v, r.lbl
+              FROM reach r JOIN sym s ON s.src = r.v),
+    lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+    split AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN {duckdb_det_hash_i64('cluster_id', 7)} % 100 < 80
+                         THEN 'train'
+                    WHEN {duckdb_det_hash_i64('cluster_id', 7)} % 100 < 90
+                         THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN {duckdb_det_hash_i64('doc_id', 7)} % 100 < 80
+                         THEN 'train'
+                    WHEN {duckdb_det_hash_i64('doc_id', 7)} % 100 < 90
+                         THEN 'val'
+                    ELSE 'test' END AS doc_split
+        FROM lab)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CASE WHEN split <> doc_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rehomed
+    FROM split GROUP BY split
+    """,
+    survey_ids=("Q11", "X11"),
+)
+def d30_group_split(spark, sf_dir):
+    """GROUP-aware train/val/test assignment — the FIX for the failure
+    d28_split_leakage_audit detects: hashing doc_ids independently
+    (q11_split_assign) puts near-duplicate documents on both sides of
+    a train/eval boundary, leaking training text into evaluation. Here
+    the split is a deterministic hash of the duplicate CLUSTER id
+    (duplicate_clusters: MinHash-LSH pairs → connected components), so
+    every member of a near-dup group lands in the same split BY
+    CONSTRUCTION — leakage-freedom is structural, not audited after
+    the fact. ``n_rehomed`` counts docs whose cluster split differs
+    from their individual-hash split — the documents this operator
+    actually moved (non-zero on the planted near-dup corpus, so the
+    driver row exercises real regrouping). Same 80/10/10 buckets and
+    cross-engine multiplicative hash as q11_split_assign. Scale shape:
+    the dedup pipeline's own cost (banded equi-join + CC) plus one
+    map-side hash — no new shuffles beyond the per-split aggregate.
+    operators/components.py::duplicate_clusters."""
+    from .operators.components import duplicate_clusters
+    from .functions.hashing import det_hash_i64
+
+    docs = _ld(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(docs, threshold=0.8)
+
+    def bucket(col):
+        b = F.pmod(det_hash_i64(col, 7), F.lit(100))
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = clusters.select(
+        "doc_id",
+        "cluster_id",
+        bucket(F.col("cluster_id")).alias("split"),
+        bucket(F.col("doc_id")).alias("doc_split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum(
+            F.when(F.col("split") != F.col("doc_split"), 1).otherwise(0)
+        ).cast("bigint").alias("n_rehomed"),
+    )
