@@ -1364,8 +1364,19 @@ def test_pq_empty_codebook_fails_loudly(spark):
         [(100 + i, [float(i)] * 8) for i in range(6)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(Py4JJavaError, match="PQ codebook is empty"):
-        pq_topk(emb, [100], k=3, n_sub=2, n_codes=8, dims=8).collect()
+    # One retry: deep in the full suite a transient Python-worker
+    # death (task.maxFailures=1 on local masters — the documented
+    # flake class) can surface as a DIFFERENT error than the folded
+    # assert_true's diagnostic. A genuine regression (operator stops
+    # raising) fails BOTH attempts.
+    for attempt in range(2):
+        try:
+            with pytest.raises(Py4JJavaError, match="PQ codebook is empty"):
+                pq_topk(emb, [100], k=3, n_sub=2, n_codes=8, dims=8).collect()
+            break
+        except BaseException:
+            if attempt:
+                raise
 
 
 @settings(max_examples=6, deadline=None)
