@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 # underscore aliases remain for this module's historical call sites.
 from .storage import persistent_rdd_ids as _persistent_rdd_ids  # noqa: F401
 from .storage import release_rdds as _release_rdds
+from .storage import scoped_shuffle_width
 from .storage import tracked_checkpoint as _tracked_checkpoint
 
 
@@ -119,127 +120,112 @@ def connected_components(
         vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl")),
         prev_ids,
     )
-    # Size the LOOP's exchanges to the graph, not the session default:
-    # every round pays a few shuffle stages, and a fixed-width session
-    # setting (e.g. 32) makes each stage cost scheduling latency
-    # proportional to width even when the label frame is tiny —
-    # measured 14.8 s → 8.9 s for an 8-round run at sf0.1 just from
-    # narrowing idle stages. Width = one partition per ~1M edges
-    # (16 B/row keeps partitions well under shuffle-spill territory),
-    # floored at 8 (width 1 serializes the per-round sort/join work
-    # onto one core — measured 24 s vs 9 s at width 8 on the same
-    # graph) and capped at the session width — so a 100 TB edge list
-    # keeps full cluster parallelism while a small graph stops paying
-    # rounds × idle-stage scheduling. The count is one cheap job over
-    # the already-materialized checkpoint (the same
+    # Size the LOOP's exchanges to the graph, not the session default
+    # (storage.scoped_shuffle_width; measured 14.8 s → 8.9 s for an
+    # 8-round run at sf0.1 just from narrowing idle stages, and 24 s
+    # vs 9 s at width 8 vs width 1 on the same graph). The count is
+    # one cheap job over the already-materialized checkpoint (the same
     # authoring-time-probe class as grouped_percentiles_with_guard).
-    # The session conf is restored in the finally block; this engine
-    # plans queries serially, so the temporary setting cannot leak
-    # into a concurrently-planned query.
-    conf_key = "spark.sql.shuffle.partitions"
-    saved_width = spark.conf.get(conf_key)
-    loop_width = min(
-        int(saved_width), max(8, 1 + 2 * base.count() // 1_000_000)
-    )
     # try/finally: failures (no-fixpoint, a mid-round task error) must
     # not leak the edge set or the in-flight round's blocks — leaking
     # on the error path would reintroduce the exact session-lifetime
     # storage growth this bookkeeping exists to prevent; the width
-    # restore rides the same guarantee.
+    # restore rides the scoped_shuffle_width context manager.
     converged = False
     try:
-        spark.conf.set(conf_key, str(loop_width))
-        # Symmetrized edges PLUS one self-loop per vertex: the
-        # self-loop folds the vertex's own label into the neighbor-min
-        # aggregate, so each relaxation is join+groupBy only — no
-        # per-hop left-join to merge the old label back in. The frame
-        # is pre-hash-partitioned on the join key and localCheckpoint
-        # PRESERVES that partitioning, so every round's edge side
-        # joins exchange-free; only the (much smaller after
-        # contraction) label side shuffles.
-        sym = _tracked_checkpoint(
-            base.union(
-                base.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                )
-            )
-            .union(labels.select(F.col("v").alias("src"), F.col("v").alias("dst")))
-            .repartition(loop_width, "src"),
-            sym_ids,
-        )
-        _release_rdds(spark, base_ids)
-
-        # Labels are per-vertex MONOTONE non-increasing (relax takes a
-        # min that includes self; jump follows pointers downward), so
-        # "no label changed" ⟺ "the label sum is unchanged" — one
-        # cheap aggregate over the materialized round result replaces
-        # carrying an old_lbl column through every hop. decimal(38,0)
-        # keeps the sum exact at any vertex-id scale.
-        lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        prev_sum = labels.agg(lbl_sum).collect()[0][0]
-        schedule = (
-            (relax_per_round,)
-            if isinstance(relax_per_round, int)
-            else tuple(relax_per_round)
-        )
-        for round_no in range(max_rounds):
-            cur = labels
-            n_hops = schedule[min(round_no, len(schedule) - 1)]
-            for _hop in range(n_hops):
-                # 1-hop: min over {self} ∪ neighbors, keyed on dst.
-                cur = (
-                    sym.join(cur, sym["src"] == cur["v"])
-                    .groupBy("dst")
-                    .agg(F.min("lbl").alias("lbl"))
-                    .select(F.col("dst").alias("v"), "lbl")
-                )
-            # Pointer jump: label(v) <- label(label(v)). Labels are
-            # always live vertex ids, so the self-join total-resolves.
-            m = cur.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
-            round_ids: list = []
-            jumped = _tracked_checkpoint(
-                cur.join(m, cur["lbl"] == m["mv"]).select(
-                    "v", F.col("mlbl").alias("lbl")
-                ),
-                round_ids,
-            )
-            # From here until the promote below, BOTH rounds' ids are
-            # in prev_ids, so a throwing action (the stats join needs
-            # the previous round's blocks alive) cannot leak either.
-            prev_ids.extend(round_ids)
-            if round_stats is not None:
-                changed = (
-                    jumped.join(
-                        labels.select("v", F.col("lbl").alias("prev_lbl")),
-                        "v",
+        with scoped_shuffle_width(spark, 2 * base.count()) as loop_width:
+            # Symmetrized edges PLUS one self-loop per vertex: the
+            # self-loop folds the vertex's own label into the neighbor-min
+            # aggregate, so each relaxation is join+groupBy only — no
+            # per-hop left-join to merge the old label back in. The frame
+            # is pre-hash-partitioned on the join key and localCheckpoint
+            # PRESERVES that partitioning, so every round's edge side
+            # joins exchange-free; only the (much smaller after
+            # contraction) label side shuffles.
+            sym = _tracked_checkpoint(
+                base.union(
+                    base.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
                     )
-                    .filter(F.col("lbl") != F.col("prev_lbl"))
-                    .count()
                 )
-            _release_rdds(
-                spark, [i for i in prev_ids if i not in round_ids]
+                .union(labels.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+                .repartition(*(
+                    (loop_width, "src") if loop_width is not None else ("src",)
+                )),
+                sym_ids,
             )
-            prev_ids = round_ids
-            labels = jumped
-            s = jumped.agg(lbl_sum).collect()[0][0]
-            if round_stats is not None:
-                round_stats.append(
-                    {
-                        "round": round_no,
-                        "changed": changed,
-                        "n_labels": labels.select("lbl").distinct().count(),
-                    }
+            _release_rdds(spark, base_ids)
+
+            # Labels are per-vertex MONOTONE non-increasing (relax takes a
+            # min that includes self; jump follows pointers downward), so
+            # "no label changed" ⟺ "the label sum is unchanged" — one
+            # cheap aggregate over the materialized round result replaces
+            # carrying an old_lbl column through every hop. decimal(38,0)
+            # keeps the sum exact at any vertex-id scale.
+            lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            prev_sum = labels.agg(lbl_sum).collect()[0][0]
+            schedule = (
+                (relax_per_round,)
+                if isinstance(relax_per_round, int)
+                else tuple(relax_per_round)
+            )
+            for round_no in range(max_rounds):
+                cur = labels
+                n_hops = schedule[min(round_no, len(schedule) - 1)]
+                for _hop in range(n_hops):
+                    # 1-hop: min over {self} ∪ neighbors, keyed on dst.
+                    cur = (
+                        sym.join(cur, sym["src"] == cur["v"])
+                        .groupBy("dst")
+                        .agg(F.min("lbl").alias("lbl"))
+                        .select(F.col("dst").alias("v"), "lbl")
+                    )
+                # Pointer jump: label(v) <- label(label(v)). Labels are
+                # always live vertex ids, so the self-join total-resolves.
+                m = cur.select(F.col("v").alias("mv"), F.col("lbl").alias("mlbl"))
+                round_ids: list = []
+                jumped = _tracked_checkpoint(
+                    cur.join(m, cur["lbl"] == m["mv"]).select(
+                        "v", F.col("mlbl").alias("lbl")
+                    ),
+                    round_ids,
                 )
-            if s == prev_sum:
-                converged = True
-                break
-            prev_sum = s
-        if not converged:
-            raise RuntimeError(
-                f"connected_components: no fixpoint in {max_rounds} rounds"
-            )
+                # From here until the promote below, BOTH rounds' ids are
+                # in prev_ids, so a throwing action (the stats join needs
+                # the previous round's blocks alive) cannot leak either.
+                prev_ids.extend(round_ids)
+                if round_stats is not None:
+                    changed = (
+                        jumped.join(
+                            labels.select("v", F.col("lbl").alias("prev_lbl")),
+                            "v",
+                        )
+                        .filter(F.col("lbl") != F.col("prev_lbl"))
+                        .count()
+                    )
+                _release_rdds(
+                    spark, [i for i in prev_ids if i not in round_ids]
+                )
+                prev_ids = round_ids
+                labels = jumped
+                s = jumped.agg(lbl_sum).collect()[0][0]
+                if round_stats is not None:
+                    round_stats.append(
+                        {
+                            "round": round_no,
+                            "changed": changed,
+                            "n_labels": labels.select("lbl").distinct().count(),
+                        }
+                    )
+                if s == prev_sum:
+                    converged = True
+                    break
+                prev_sum = s
+            if not converged:
+                raise RuntimeError(
+                    f"connected_components: no fixpoint in {max_rounds} rounds"
+                )
     finally:
-        spark.conf.set(conf_key, saved_width)
         _release_rdds(spark, sym_ids)
         _release_rdds(spark, base_ids)  # no-op unless sym build failed
         if not converged:  # error path: the last round's blocks are dead too
@@ -378,11 +364,19 @@ def integer_pagerank(
     symmetric graphs satisfy this by construction.
 
     Scale shape: per iteration one equi-join of the mass frame with
-    the (static, checkpointed) out-degree-annotated edge list and one
-    dst-keyed aggregation — hash-partitioned all the way, AQE splits
-    hub nodes; an eager ``localCheckpoint`` every SECOND round (plus
-    the final round) truncates lineage while paying half the
-    materialization round-trips — two rounds of join+agg lineage is
+    the (static, checkpointed) edge list and one dst-keyed
+    aggregation — hash-partitioned all the way. The edge side is
+    exchanged fresh each round rather than pinned pre-partitioned: a
+    per-round exchange is what lets AQE split a hub src's partition
+    EVERY round, where a frozen checkpoint partitioning would lock
+    the hub into one task for the whole loop. Out-degree is a
+    NODE-sized aggregate carried on the mass frame, not joined onto
+    the edges: annotating the edge list would cost a second
+    edge-scale materialization (the r10 layout, +2 s setup at sf0.1)
+    while the per-node column adds one bigint to the small side of
+    every join. An eager ``localCheckpoint`` every THIRD round (plus
+    the final round) truncates lineage while paying a third of the
+    materialization round-trips — three rounds of join+agg lineage is
     well inside planner comfort, and the blocks of the superseded
     checkpoint are released as soon as the next materializes (the
     same storage discipline as :func:`connected_components`). Overflow bound: the binding
@@ -401,78 +395,83 @@ def integer_pagerank(
     base = node_mass * (damp_den - damp_num) // damp_den
 
     owned: list = []
-    # static per-round probe side: (src, dst, outdeg), checkpointed
-    # once. outdeg via groupBy+join rather than count().over(
+    # SINGLE edge-scale materialization (VERDICT r10 item 1): the
+    # caller's edge plan (often a scan + explode + distinct) is pinned
+    # exactly once, as-is — no pre-partitioning; each round's join
+    # exchanges the pinned blocks at the narrowed loop width, which is
+    # both cheaper than a session-width setup repartition at small
+    # scale and strictly MORE skew-safe at large scale (AQE re-splits
+    # a hub src's partition on every round's exchange, where a frozen
+    # checkpoint partitioning would pin the hub to one task for the
+    # whole loop). outdeg via groupBy rather than count().over(
     # Window.partitionBy("src")): a window partition cannot be
-    # skew-split by AQE, so a hub src's entire edge set would have to
-    # fit one task — the exact skew story this operator documents.
-    # groupBy partials combine map-side and the join is AQE-splittable.
-    # The CALLER's edge plan (often a scan + explode + distinct) is
-    # pinned first so the outdeg aggregate and the annotate join both
-    # read the materialized blocks instead of executing that plan
-    # twice; the pin is released as soon as the annotated frame
-    # supersedes it.
-    raw_ids: list = []
-    try:
-        raw = _tracked_checkpoint(edges, raw_ids)
-        outdeg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        ed = _tracked_checkpoint(raw.join(outdeg, "src"), owned)
-    finally:
-        # superseded by ed (or dead on failure) either way
-        _release_rdds(spark, raw_ids)
-    # node set from the checkpointed blocks, not the raw edge plan
-    nodes = _tracked_checkpoint(
-        ed.select(F.col("src").alias("v")).distinct(), owned
-    )
-
-    mass = nodes.select("v", F.lit(node_mass).cast("bigint").alias("mass"))
-    # Same loop-width discipline as connected_components: size the
-    # per-round exchanges to the checkpointed edge frame, restore on
-    # exit (serial planning assumption documented there).
-    conf_key = "spark.sql.shuffle.partitions"
-    saved_width = spark.conf.get(conf_key)
-    loop_width = min(int(saved_width), max(8, 1 + ed.count() // 1_000_000))
+    # skew-split by AQE at all. The aggregate's result is NODE-sized,
+    # so it rides the mass frame through the loop instead of being
+    # joined back onto the edge list (the r10 annotate-the-edges
+    # layout paid a second edge-scale checkpoint for it, +2 s setup
+    # at sf0.1).
+    ed = _tracked_checkpoint(edges, owned)
+    n_edge_rows = ed.count()
     prev_ids: list = []
     ok = False
     try:
-        spark.conf.set(conf_key, str(loop_width))
-        for i in range(iterations):
-            shares = ed.join(
-                mass, ed["src"] == mass["v"]
-            ).select(
-                F.col("dst").alias("v"),
-                # integer multiply-then-DIV, never double division:
-                # damp_num * mass stays < 2^63 for total graph mass
-                # < 5e17, and DIV keeps every bit exact where a double
-                # round-trip loses precision past 2^53
-                F.expr(
-                    f"mass * {damp_num} DIV ({damp_den} * outdeg)"
-                ).alias("share"),
+        # Same loop-width discipline as connected_components: size the
+        # per-round exchanges to the edge frame, restored on exit
+        # (serial-planning assumption documented in
+        # storage.scoped_shuffle_width). The count above is one cheap
+        # job over the already-pinned blocks.
+        with scoped_shuffle_width(spark, n_edge_rows):
+            # node set AND out-degree in one pass over the pinned
+            # blocks, built at loop width so the per-round left join
+            # stays narrow
+            nodes = _tracked_checkpoint(
+                ed.groupBy(F.col("src").alias("v")).agg(
+                    F.count(F.lit(1)).alias("outdeg")
+                ),
+                owned,
             )
-            incoming = shares.groupBy("v").agg(
-                F.sum("share").alias("inc")
+            mass = nodes.select(
+                "v", F.lit(node_mass).cast("bigint").alias("mass"), "outdeg"
             )
-            mass = nodes.join(incoming, "v", "left").select(
-                "v",
-                (
-                    F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
-                ).cast("bigint").alias("mass"),
-            )
-            # checkpoint every second round + the final round:
-            # localCheckpoint is EAGER, so the blocks of the superseded
-            # checkpoint are dead as soon as this returns
-            if i % 2 == 1 or i == iterations - 1:
-                round_ids: list = []
-                mass = _tracked_checkpoint(mass, round_ids)
-                _release_rdds(spark, prev_ids)
-                prev_ids = round_ids
+            for i in range(iterations):
+                shares = ed.join(
+                    mass, ed["src"] == mass["v"]
+                ).select(
+                    F.col("dst").alias("v"),
+                    # integer multiply-then-DIV, never double division:
+                    # damp_num * mass stays < 2^63 for total graph mass
+                    # < 5e17, and DIV keeps every bit exact where a
+                    # double round-trip loses precision past 2^53
+                    F.expr(
+                        f"mass * {damp_num} DIV ({damp_den} * outdeg)"
+                    ).alias("share"),
+                )
+                incoming = shares.groupBy("v").agg(
+                    F.sum("share").alias("inc")
+                )
+                mass = nodes.join(incoming, "v", "left").select(
+                    "v",
+                    (
+                        F.lit(base) + F.coalesce(F.col("inc"), F.lit(0))
+                    ).cast("bigint").alias("mass"),
+                    "outdeg",
+                )
+                # checkpoint every third round + the final round:
+                # localCheckpoint is EAGER, so the blocks of the
+                # superseded checkpoint are dead as soon as this
+                # returns
+                if i % 3 == 2 or i == iterations - 1:
+                    round_ids: list = []
+                    mass = _tracked_checkpoint(mass, round_ids)
+                    _release_rdds(spark, prev_ids)
+                    prev_ids = round_ids
         ok = True
-        return mass
+        # outdeg was loop plumbing, never part of the contract
+        return mass.select("v", "mass")
     finally:
-        spark.conf.set(conf_key, saved_width)
-        # statics (edge list, node set) are never part of the returned
-        # frame — always released; the FINAL round's blocks back the
-        # returned frame and stay, except on failure
+        # statics (edge list, node/outdeg set) are never part of the
+        # returned frame — always released; the FINAL round's blocks
+        # back the returned frame and stay, except on failure
         _release_rdds(spark, owned)
         if not ok:
             _release_rdds(spark, prev_ids)
@@ -525,23 +524,13 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
     pair_ids: list = []
     result_ids: list = []  # adj: backs the returned frame
     ok = False
-    conf_key = "spark.sql.shuffle.partitions"
-    saved_width = spark.conf.get(conf_key)
+    n_pair_rows = 0
     try:
         if checkpoint:
             pairs = _tracked_checkpoint(pairs, pair_ids)
-            # Same width discipline as connected_components: ~6 shuffle
-            # stages over the edge list pay scheduling proportional to
-            # width even when partitions are tiny — one partition per
-            # ~1M edges, floored at 8, capped at the session width
-            # (measured 4.0 s → 3.1 s at sf0.1's 1.2M edges just from
-            # 32 → 8 idle-stage narrowing; a 100 TB edge list keeps
-            # full width). The count is one cheap job over the pinned
-            # blocks; the conf is restored in the finally block.
-            loop_width = min(
-                int(saved_width), max(8, 1 + pairs.count() // 1_000_000)
-            )
-            spark.conf.set(conf_key, str(loop_width))
+            # one cheap job over the pinned blocks; sizes the
+            # adjacency-build narrowing below
+            n_pair_rows = pairs.count()
         # symmetric degree via one exploded scan (not a 2-arm union)
         deg = (
             pairs.select(F.explode(F.array("a", "b")).alias("v"))
@@ -562,7 +551,17 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
 
         adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         if checkpoint:
-            adj = _tracked_checkpoint(adj, result_ids)
+            # Width discipline (storage.scoped_shuffle_width): the
+            # adjacency build — the ONE eager job here: degree +
+            # orient + collect_list over the edge list — pays ~6
+            # shuffle stages whose scheduling cost is proportional to
+            # width even when partitions are tiny (measured 4.0 s →
+            # 3.1 s at sf0.1's 1.2M edges from 32 → 8 idle-stage
+            # narrowing; a 100 TB edge list keeps full width). Only
+            # this materialization is wrapped: the returned closure
+            # plan executes later, at the caller's session width.
+            with scoped_shuffle_width(spark, n_pair_rows):
+                adj = _tracked_checkpoint(adj, result_ids)
 
         # Edge probe derived FROM adj: (u, N+(u), v) per oriented edge —
         # the u-side adjacency rides along map-side, so the closure is
@@ -595,7 +594,6 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
             F.count("*").cast("bigint").alias("n_triangles")
         )
     finally:
-        spark.conf.set(conf_key, saved_width)
         # pairs is no longer in the returned frame's lineage (adj is
         # the checkpoint root) — always release it; on failure also
         # release the frames that would have backed the returned
@@ -657,59 +655,58 @@ def bfs_distances(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
 
-    conf_key = "spark.sql.shuffle.partitions"
-    saved_width = spark.conf.get(conf_key)
     statics: list = []
     layer_ids: list = []
     ok = False
     try:
         sym = _tracked_checkpoint(sym, statics)
-        n_edges = sym.count()
-        loop_width = min(int(saved_width), max(8, 1 + n_edges // 1_000_000))
-        spark.conf.set(conf_key, str(loop_width))
-
-        frontier = _tracked_checkpoint(
-            seeds.select(
-                F.col(seeds.columns[0]).cast("bigint").alias("v"),
-                F.lit(0).cast("bigint").alias("hops"),
-            ).distinct(),
-            layer_ids,
-        )
-        frontier.count()
-        layers = [frontier]
-        visited = frontier.select("v")
-        for i in range(1, max_hops + 1):
-            round_ids: list = []
-            nxt = _tracked_checkpoint(
-                frontier.select("v")
-                .join(sym, F.col("v") == F.col("src"))
-                .select(F.col("dst").alias("v"))
-                .distinct()
-                .join(visited, "v", "left_anti")
-                .select("v", F.lit(i).cast("bigint").alias("hops")),
-                round_ids,
+        n_sym_rows = sym.count()
+        # Width discipline (storage.scoped_shuffle_width): the eager
+        # work is the per-round frontier-expansion checkpoints inside
+        # this block; the returned union-of-layers plan executes
+        # later, at the caller's session width, reading pinned blocks.
+        with scoped_shuffle_width(spark, n_sym_rows):
+            frontier = _tracked_checkpoint(
+                seeds.select(
+                    F.col(seeds.columns[0]).cast("bigint").alias("v"),
+                    F.lit(0).cast("bigint").alias("hops"),
+                ).distinct(),
+                layer_ids,
             )
-            try:
-                n_new = nxt.count()  # eager + convergence probe in one
-            except Exception:
-                _release_rdds(spark, round_ids)
-                raise
-            if round_stats is not None:
-                round_stats.append({"round": i, "frontier": n_new})
-            if n_new == 0:
-                _release_rdds(spark, round_ids)
-                break
-            layer_ids.extend(round_ids)
-            layers.append(nxt)
-            visited = visited.unionAll(nxt.select("v"))
-            frontier = nxt
+            frontier.count()
+            layers = [frontier]
+            visited = frontier.select("v")
+            for i in range(1, max_hops + 1):
+                round_ids: list = []
+                nxt = _tracked_checkpoint(
+                    frontier.select("v")
+                    .join(sym, F.col("v") == F.col("src"))
+                    .select(F.col("dst").alias("v"))
+                    .distinct()
+                    .join(visited, "v", "left_anti")
+                    .select("v", F.lit(i).cast("bigint").alias("hops")),
+                    round_ids,
+                )
+                try:
+                    n_new = nxt.count()  # eager + convergence probe in one
+                except Exception:
+                    _release_rdds(spark, round_ids)
+                    raise
+                if round_stats is not None:
+                    round_stats.append({"round": i, "frontier": n_new})
+                if n_new == 0:
+                    _release_rdds(spark, round_ids)
+                    break
+                layer_ids.extend(round_ids)
+                layers.append(nxt)
+                visited = visited.unionAll(nxt.select("v"))
+                frontier = nxt
         out = layers[0]
         for lay in layers[1:]:
             out = out.unionAll(lay)
         ok = True
         return out
     finally:
-        spark.conf.set(conf_key, saved_width)
         _release_rdds(spark, statics)
         if not ok:
             _release_rdds(spark, layer_ids)

@@ -19,6 +19,8 @@ swaps in for fault tolerance; the tracking discipline is identical.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -39,6 +41,49 @@ def tracked_checkpoint(df: DataFrame, owned_ids: list) -> DataFrame:
     ck = df.localCheckpoint()
     owned_ids.extend(persistent_rdd_ids(spark) - before)
     return ck
+
+
+@contextmanager
+def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 1_000_000, floor: int = 8):
+    """Temporarily narrow ``spark.sql.shuffle.partitions`` for an
+    iterative loop, restoring the session value on exit.
+
+    Iterative operators (connected components, BFS, PageRank, triangle
+    counting) pay a few shuffle stages PER ROUND; with the session
+    width (e.g. 32 or a cluster's thousands) each stage costs
+    scheduling latency proportional to width even when the data is
+    tiny after contraction. Width = one partition per
+    ``rows_per_partition`` input rows (16 B/row keeps partitions well
+    under shuffle-spill territory), floored at ``floor`` (width 1
+    serializes each round onto one core) and capped at the session
+    width — a 100 TB edge list keeps full cluster parallelism while a
+    small graph stops paying rounds × idle-stage scheduling.
+
+    Yields the chosen width, or ``None`` when the session value is not
+    an integer (e.g. a future AQE ``auto``) — in that case the conf is
+    left untouched and the caller should fall back to unsized
+    repartitions. Scoping caveat: the conf is session-global for the
+    duration of the ``with`` block; this engine plans queries serially
+    within a session, so the narrowed width cannot leak into a
+    concurrently-planned query. Restore rides the ``finally`` even on
+    mid-loop task failures.
+    """
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    try:
+        session_width = int(saved)
+    except (TypeError, ValueError):
+        # non-numeric session setting: skip the narrowing entirely
+        # rather than guess — the caller's loop still runs correctly,
+        # just at the session's own width
+        yield None
+        return
+    width = min(session_width, max(floor, 1 + n_rows // rows_per_partition))
+    try:
+        spark.conf.set(conf_key, str(width))
+        yield width
+    finally:
+        spark.conf.set(conf_key, saved)
 
 
 def release_rdds(spark, ids) -> None:
