@@ -2481,12 +2481,34 @@ def x10_stream_custom_source(spark, sf_dir):
     batch on replay (SURVEY §7 streaming-state discipline)."""
     from .sources.solver_out import (
         build_solver_out_fixture,
+        make_solver_out_datasource,
         make_solver_out_stream_datasource,
     )
     from .streaming.windows import run_processing_time
 
     path = build_solver_out_fixture(spark, sf_dir)
     spark.dataSource.register(make_solver_out_stream_datasource())
+    # Pre-warm the Python data-source machinery (driver-side plan
+    # worker + executor workers) with a bounded 5-row read through the
+    # BATCH twin before the stream starts: batch 0 otherwise pays that
+    # spin-up inside its first trigger with a 1-4 s run-to-run spread
+    # — the widest escalated spread in the r10 bench (runs 4.05-9.69 s,
+    # VERDICT r10 item 6); measured, the warm path holds max/min <=
+    # 1.25 across repeated runs. A production stream amortizes this
+    # startup over its lifetime; a drain-bounded benchmark run pays it
+    # once, explicitly, here. (Conf dance as in s02_custom_datasource:
+    # Python-source pushdown is conf-gated and the reader declares
+    # pushFilters.)
+    spark.dataSource.register(make_solver_out_datasource())
+    _pd_conf = "spark.sql.python.filterPushdown.enabled"
+    _prev_pd = spark.conf.get(_pd_conf, "false")
+    spark.conf.set(_pd_conf, "true")
+    try:
+        spark.read.format("solverout").option("path", path).load().limit(
+            5
+        ).count()
+    finally:
+        spark.conf.set(_pd_conf, _prev_pd)
     lines = (
         spark.readStream.format("solverout_stream")
         .option("path", path)

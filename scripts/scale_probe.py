@@ -292,6 +292,83 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
     emb = scaled(load_table(spark, BASE, "embeddings"), "vec_id", k)
     events = scaled(load_table(spark, BASE, "events"), "user_id", k)
 
+    # --- FIXED-OUTPUT fixtures (r11, VERDICT r10 item 5) ---
+    # The replicated fixtures above make near-pair OUTPUT superlinear
+    # in K by construction (every copy of a document is a near-dup of
+    # every other copy), which is why d14/s12 carry time exponents > 1
+    # with an output-bound exemption. These variants keep the
+    # K-scaled corpus but make the extra copies UNMATCHABLE, so the
+    # emitted pair set stays exactly the base copy's across the whole
+    # ladder (rows_exponent ~ 0 in the artifact is the built-in
+    # check) — the exemption becomes self-proving: if cost tracks
+    # output, the time exponent collapses too.
+    def fixed_output_docs():
+        # copies 1..k-1 suffix EVERY token with the document's own id:
+        # a bijective per-document token map, so within-copy Jaccard
+        # structure is destroyed and no shingle is shared between any
+        # two documents outside the unsalted base copy.
+        base_docs = load_table(spark, BASE, "documents")
+        parts = [base_docs]
+        for i in range(1, k):
+            shifted = base_docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(
+                shifted.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda t: F.concat(
+                                t,
+                                F.lit("~"),
+                                F.col("doc_id").cast("string"),
+                            ),
+                        ),
+                    ),
+                )
+            )
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def fixed_output_emb():
+        # copies 1..k-1 replace each vector with deterministic
+        # pseudo-random values keyed on (vec_id, dim): at d=64 random
+        # pairs' |cos| concentrates near 1/8, so at threshold 0.85 no
+        # salted pair (nor salted x base) qualifies. The base copy
+        # ships with ONE exact-twin copy (planted, identical vectors,
+        # present at every rung), so the constant output is a real
+        # 2000-pair set, not a vacuous zero — the natural corpus has
+        # no pairs at 0.85.
+        base_emb = load_table(spark, BASE, "embeddings")
+        twin = base_emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(5_000_000)
+        )
+        parts = [base_emb, twin]
+        for i in range(1, k):
+            shifted = base_emb.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(
+                shifted.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda _x, j: (
+                            F.pmod(F.hash(F.col("vec_id"), j), F.lit(1000))
+                            .cast("float")
+                            / F.lit(500.0)
+                            - F.lit(1.0)
+                        ).cast("float"),
+                    ),
+                )
+            )
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def stream_tumbling():
         from echem_dft_etl_spark.streaming.windows import (
             run_to_memory,
@@ -388,12 +465,52 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
             "d14_ngram_jaccard",
             lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
         ),
+        # fixed-output twin: constant emitted pairs across K (base
+        # copy only); time = K-scaled shingling/indexing + a
+        # candidate join whose volume no longer grows. Expected
+        # exponent well below 1 — the self-proving form of d14's
+        # output-bound exemption.
+        (
+            "lsh",
+            "d14_ngram_jaccard_fixed_output",
+            lambda: dedup.ngram_jaccard_pairs(
+                fixed_output_docs(), threshold=0.5
+            ),
+        ),
+        # fixed-output twin for the PRUNED near-pair path (the 100 TB
+        # production shape): banded-LSH candidates over K-scaled
+        # corpus where only the base copy can match — buckets spread
+        # the pseudo-random copies, so candidate volume and output
+        # both stay ~constant.
+        (
+            "lsh",
+            "s12_near_pairs_pruned_fixed_output",
+            lambda: similarity.lsh_near_pairs(
+                fixed_output_emb(), threshold=0.85
+            ),
+        ),
         # --- exact-grid baseline the LSH paths are pruning ---
         (
             "ann",
             "s12_cosine_near_pairs",
             lambda: similarity.cosine_near_pairs_blocked_pandas(
                 emb, 0.45, n_blocks=max(8, 2 * k)
+            ),
+        ),
+        # fixed-output twin of the EXACT kernel: output stays at the
+        # base copy's pairs, but the dense block-grid still computes
+        # every one of the (K n)^2/2 dots — expected exponent ~2
+        # REGARDLESS of output. That is the honest story: the exact
+        # baseline is compute-bound, not output-bound; its scale
+        # path is the pruned twin above, whose fixed-output exponent
+        # collapses. Committing both numbers side by side is the
+        # documented 'reason it's impossible' for an output-flat
+        # exact variant (VERDICT r10 item 5).
+        (
+            "ann",
+            "s12_cosine_near_pairs_fixed_output",
+            lambda: similarity.cosine_near_pairs_blocked_pandas(
+                fixed_output_emb(), 0.85, n_blocks=max(8, 2 * k)
             ),
         ),
         (
