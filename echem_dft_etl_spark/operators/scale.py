@@ -111,6 +111,13 @@ def binned_range_join(
     hi``) raises AT RUNTIME via a per-row check folded into the bin
     expression — ``F.sequence`` would otherwise emit a silent
     DESCENDING bin list, i.e. garbage candidates, not an error.
+    NULL-bounded intervals are NOT an error: they match nothing under
+    the theta join this operator replaces (SQL comparison semantics),
+    and are dropped by an explicit filter on the interval side — made
+    explicit in r11 (ADVICE r10) rather than left to Catalyst's
+    inferred isnotnull constraints, so the behavior survives any
+    planner change and the raise stays reserved for inverted non-NULL
+    intervals.
     Replication per interval is ``len/bin_width + 1`` exploded rows;
     Spark caps a single ``sequence`` at ~2^31 elements and buffers it
     in one task, so keep ``max_len/bin_width`` in the thousands — pick
@@ -126,7 +133,15 @@ def binned_range_join(
     pts = points.withColumn(
         bcol, F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
     )
-    ivs = intervals.withColumn(
+    # NULL-bounded intervals match nothing under the theta join this
+    # operator replaces (SQL comparison semantics), so drop them
+    # EXPLICITLY rather than relying on Catalyst's inferred
+    # isnotnull() constraints to prune them before the bin expression
+    # — and so _checked_bin's raise stays reserved for genuinely
+    # inverted (non-NULL) intervals.
+    ivs = intervals.filter(
+        F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+    ).withColumn(
         bcol,
         F.explode(
             F.sequence(
@@ -158,19 +173,29 @@ def _fresh_col_name(base: str, *column_sets: list[str]) -> str:
 
 
 def _checked_bin(lo_col: str, hi_col: str, bin_width: int, side: str) -> F.Column:
-    """``floor(lo/w)`` that RAISES on an inverted interval instead of
-    letting ``F.sequence(lo_bin, hi_bin)`` emit a silent descending
-    bin list (garbage join candidates). Cost: one comparison per row,
-    map-side, inside codegen."""
+    """``floor(lo/w)`` that RAISES on an inverted OR NULL-bounded
+    interval instead of letting ``F.sequence(lo_bin, hi_bin)`` emit a
+    silent descending bin list (garbage join candidates). Cost: one
+    comparison per row, map-side, inside codegen.
+
+    NULL bounds never reach this expression — callers drop them
+    explicitly (they match nothing under SQL comparison semantics).
+    The message args are still coalesced as a backstop (r10 ADVICE):
+    ``when(hi >= lo, ...)`` is NULL for a NULL bound so the otherwise
+    branch runs, and a bare ``raise_error(format_string(.., NULL))``
+    would evaluate to NULL instead of raising (format_string is
+    null-propagating) — silently dropping the row instead of
+    surfacing whatever caller bug let it through."""
     return F.when(
         F.col(hi_col) >= F.col(lo_col),
         F.floor(F.col(lo_col) / F.lit(bin_width)).cast("bigint"),
     ).otherwise(
         F.raise_error(
             F.format_string(
-                f"inverted interval on {side}: {lo_col}=%s > {hi_col}=%s",
-                F.col(lo_col).cast("string"),
-                F.col(hi_col).cast("string"),
+                f"inverted or NULL-bounded interval on {side}: "
+                f"{lo_col}=%s, {hi_col}=%s",
+                F.coalesce(F.col(lo_col).cast("string"), F.lit("NULL")),
+                F.coalesce(F.col(hi_col).cast("string"), F.lit("NULL")),
             )
         ).cast("bigint")
     )
@@ -515,7 +540,8 @@ def interval_overlap_join(
     Guards (same class as :func:`binned_range_join`): ``bin_width < 1``
     raises; inverted intervals (``lo > hi``) raise at runtime from
     inside the bin expression rather than emitting a descending —
-    garbage — bin list; replication is ``len/bin_width + 1`` and a
+    garbage — bin list; NULL-bounded intervals overlap nothing (SQL
+    semantics) and are explicitly filtered, not errored; replication is ``len/bin_width + 1`` and a
     single ``sequence`` is task-buffered (~2^31 hard cap), so size the
     bin to keep ``max_len/bin_width`` modest; the bin column name is
     generated collision-safe against both inputs.
@@ -527,6 +553,11 @@ def interval_overlap_join(
     bcol = _fresh_col_name("bin", left.columns, right.columns)
     lb = _checked_bin(l_lo, l_hi, bin_width, "left")
     rb = _checked_bin(r_lo, r_hi, bin_width, "right")
+    # explicit NULL-bound drop on both sides — same rationale as
+    # binned_range_join: NULL bounds overlap nothing in SQL, and the
+    # runtime raise is reserved for inverted non-NULL intervals
+    left = left.filter(F.col(l_lo).isNotNull() & F.col(l_hi).isNotNull())
+    right = right.filter(F.col(r_lo).isNotNull() & F.col(r_hi).isNotNull())
     lhs = left.withColumn(
         bcol,
         F.explode(

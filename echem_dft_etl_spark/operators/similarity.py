@@ -105,13 +105,18 @@ def cosine_topk(
     variance, and this hoist removes most of the work outright).
     """
     require_at_least("k", k, 1)
-    # limit(len(query_ids)) is a semantic no-op (vec_id is unique, so
-    # the isin filter yields at most that many rows) that writes the
-    # build side's cardinality bound INTO the logical plan — Catalyst's
-    # maxRows proves this BNLJ's broadcast is query-set-sized, which
-    # tests/test_plans.py asserts mechanically for every BNLJ.
+    # dropDuplicates + limit(len(query_ids)) writes the build side's
+    # cardinality bound INTO the logical plan — Catalyst's maxRows
+    # proves this BNLJ's broadcast is query-set-sized, which
+    # tests/test_plans.py asserts mechanically for every BNLJ. The
+    # dedup makes the bound safe BY CONSTRUCTION (r10 ADVICE): on a
+    # corpus that violated the vec_id-unique contract, a bare limit
+    # would silently drop arbitrary QUERY rows — wrong top-k, no
+    # error. The dedup shuffle touches only the filtered query-id
+    # rows, never the corpus.
     q = _with_norm(
         emb.filter(F.col("vec_id").isin(query_ids))
+        .dropDuplicates(["vec_id"])
         .limit(len(query_ids))
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -603,10 +608,11 @@ def cosine_topk_pandas(
     queries, map-side score, per-query rank), same results."""
     require_at_least("k", k, 1)
     cosine_pd = make_cosine_pandas_udf()
-    # no-op limit = static cardinality bound for the BNLJ build side
-    # (see cosine_topk)
+    # dedup + no-op limit = static cardinality bound for the BNLJ
+    # build side, safe even under duplicate vec_ids (see cosine_topk)
     q = (
         emb.filter(F.col("vec_id").isin(query_ids))
+        .dropDuplicates(["vec_id"])
         .limit(len(query_ids))
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

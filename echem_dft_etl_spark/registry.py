@@ -80,70 +80,69 @@ def _register(name, oracle, survey_ids=()):
 #: window was identical every round; its members all carry seven
 #: rounds of driver evidence already).
 PRIORITY: tuple[str, ...] = (
-    # --- round-10 rotation: 37 first-time window members (never had
-    # driver-grade evidence in r1-r9), the tranche VERDICT r9 item 1
-    # prescribed: layout/sink family, format round-trips, merge
-    # family, the mm_*/d15-d27 tails, plus graph/stat/misc fresh
-    # picks — ≥20 required, 37 delivered ---
-    # layout/sink family
-    "s01_partition_evolution",
-    "s01_zorder_scan",
-    "s01_compaction",
-    "s01_schema_evolution",
-    # format round-trips
-    "s02_csv_roundtrip",
-    "s02_jsonl_roundtrip",
-    "s02_orc_roundtrip",
-    "s02_xml_roundtrip",
-    # merge/managed-table family
-    "s03_snapshot_changes",
-    "s03_time_travel",
-    "s03_scd2_history",
-    # multimodal tails
-    "mm_resize_bmp",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "mm_audio_fingerprint_pairs",
-    # LLM-pipeline d15-d27 tails
-    "d15_decontaminate",
-    "d16_semdedup",
-    "d17_mixture_sample",
-    "d18_incremental_dedup",
-    "d19_fuzzy_join",
-    "d20_training_pipeline",
-    "d21_chunk_dedup",
-    "d22_token_budget_mix",
-    "d24_source_overlap",
-    "d25_entity_resolution",
-    "d27_matcher_eval",
-    # graph / stats / misc first-timers
-    "x05_pagerank",
-    "x06_weighted_median",
-    "q11_split_assign",
-    "x01_topk_orders",
-    "x03_pivot",
-    "x04_hampel_outliers",
-    "x08_feature_map",
-    "x09_funnel_conversion",
-    "s12_embed_quantize",
-    "t13_pii_redact",
-    "s18_profile_table",
+    # --- round-11 rotation: 42 first-time window members (never had
+    # driver-grade evidence in r1-r10) — the tranche VERDICT r10
+    # item 4 prescribed: the remaining sql_surface_* TPC-H shapes,
+    # the x10_stream_* family beyond cusum, the x04_* window tail,
+    # plus the r10-new operators that only had judge re-runs ---
+    # TPC-H-shape SQL surface (15 sql_surface_* + 3 sql_* natives)
+    "sql_surface_disjunct_revenue",
+    "sql_surface_dominant_supplier",
+    "sql_surface_global_avg_anti",
+    "sql_surface_large_orders",
+    "sql_surface_lateral_topk",
+    "sql_surface_priority_backlog",
+    "sql_surface_priority_mix",
+    "sql_surface_promo_share",
+    "sql_surface_returned_items",
+    "sql_surface_shipping_priority",
+    "sql_surface_small_qty_revenue",
+    "sql_surface_supplier_variety",
+    "sql_surface_trade_volume",
+    "sql_surface_value_share",
+    "sql_surface_waiting_supplier",
+    "sql_lateral_topk",
+    "sql_pipe_syntax",
+    "sql_recursive_hierarchy",
+    # streaming family beyond cusum
+    "x10_stream_custom_source",
+    "x10_stream_dedup_keys",
+    "x10_stream_foreach_merge",
+    "x10_stream_outer_join",
+    "x10_stream_sliding",
+    "x10_stream_static_join",
+    # analytic-window tail
+    "x04_ewma_dyadic",
+    "x04_interpolate",
+    "x04_max_drawdown",
+    "x04_missing_ranges",
+    "x04_rolling_range",
+    "x04_time_weighted_avg",
+    # similarity-eval + r10-new operators (judge-rerun only so far)
+    "s12_negative_pairs",
+    "d23_source_priority_dedup",
+    "d30_group_split",
+    "s18_benford_digits",
+    "x01_skyline_pareto",
+    "x06_magnitude_hist",
+    "x09_event_gaps",
+    # first-time fillers keeping X2/X13/X14/Q10 claims fresh
+    "x02_union_by_name",
+    "t13_pack_firstfit",
+    "t13_heavy_hitters",
+    "mm_video_frames",
+    "q10_serializer_pandas_udf",
     # --- carried core: minimal greedy cover so every SURVEY §2 id
     # keeps >=1 claimant inside the 50-slot window
     # (tests/test_registry_order.py) ---
     "pipeline_reference_e2e",
     "echem_flagship",
-    "x03_time_rollup",
-    "sql_surface_top_supplier",
-    "s02_custom_datasource",
-    "q08_scalar_arithmetic",
-    "s05_chart_sink",
-    "x10_stream_cusum",
-    "s02_fixed_width",
-    "x03_unpivot",
-    "q02_keylist_semijoin",
+    "q01_pushdown_scan",
+    "q02_keylist_scan",
     "q04_string_to_digits",
-    "q10_serializer_expr",
+    "q05_last_match_per_key",
+    "q09_path_strings",
+    "s05_chart_sink",
 )
 
 

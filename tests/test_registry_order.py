@@ -63,6 +63,20 @@ def test_window_retains_every_canonical_survey_id():
 #: window to give driver-grade evidence to queries that never had it.
 PREVIOUS_WINDOW_MEMBERS = frozenset(
     {
+        # round-10 window (CORRECTNESS_r10.json)
+        "s01_partition_evolution", "s01_zorder_scan", "s01_compaction",
+        "s01_schema_evolution", "s02_csv_roundtrip", "s02_jsonl_roundtrip",
+        "s02_orc_roundtrip", "s02_xml_roundtrip", "s03_snapshot_changes",
+        "s03_time_travel", "s03_scd2_history", "mm_resize_bmp",
+        "mm_frame_sample", "mm_audio_chunks", "mm_audio_fingerprint_pairs",
+        "d15_decontaminate", "d16_semdedup", "d17_mixture_sample",
+        "d18_incremental_dedup", "d19_fuzzy_join", "d20_training_pipeline",
+        "d21_chunk_dedup", "d22_token_budget_mix", "d24_source_overlap",
+        "d25_entity_resolution", "d27_matcher_eval", "x05_pagerank",
+        "x06_weighted_median", "q11_split_assign", "x01_topk_orders",
+        "x03_pivot", "x04_hampel_outliers", "x08_feature_map",
+        "x09_funnel_conversion", "s12_embed_quantize", "t13_pii_redact",
+        "s18_profile_table",
         # round-9 window additions (CORRECTNESS_r09.json; names also
         # present in earlier windows are listed in their first block)
         "sql_surface_market_share", "sql_surface_min_cost_supplier",

@@ -727,15 +727,27 @@ def test_binned_joins_raise_on_inverted_interval(spark):
     bad_itv = spark.createDataFrame(
         [(2, 9, 1)], "id2 bigint, lo bigint, hi bigint"
     )
-    with pytest.raises((Py4JJavaError, Exception), match="inverted interval"):
+    with pytest.raises((Py4JJavaError, Exception), match="inverted or NULL-bounded"):
         binned_range_join(pts, bad_itv, "v", "lo", "hi", bin_width=4).collect()
 
     a = spark.createDataFrame([(1, 8, 2)], "ia bigint, a_lo bigint, a_hi bigint")
     b = spark.createDataFrame([(2, 0, 9)], "ib bigint, b_lo bigint, b_hi bigint")
-    with pytest.raises((Py4JJavaError, Exception), match="inverted interval"):
+    with pytest.raises((Py4JJavaError, Exception), match="inverted or NULL-bounded"):
         interval_overlap_join(
             a, b, [], "a_lo", "a_hi", "b_lo", "b_hi", 4
         ).collect()
+
+    # NULL bounds are NOT an error: they match nothing under the
+    # theta-join semantics this operator replaces (r10 ADVICE made
+    # the drop explicit rather than inference-dependent). A valid
+    # interval alongside still matches.
+    null_itv = spark.createDataFrame(
+        [(3, None, 7), (4, 1, 9)], "id2 bigint, lo bigint, hi bigint"
+    )
+    got = binned_range_join(
+        pts, null_itv, "v", "lo", "hi", bin_width=4
+    ).collect()
+    assert [r["id2"] for r in got] == [4]
 
 
 def test_binned_joins_preserve_user_bin_column(spark):
