@@ -499,13 +499,17 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
         ),
         # fixed-output twin of the EXACT kernel: output stays at the
         # base copy's pairs, but the dense block-grid still computes
-        # every one of the (K n)^2/2 dots — expected exponent ~2
-        # REGARDLESS of output. That is the honest story: the exact
-        # baseline is compute-bound, not output-bound; its scale
-        # path is the pruned twin above, whose fixed-output exponent
-        # collapses. Committing both numbers side by side is the
-        # documented 'reason it's impossible' for an output-flat
-        # exact variant (VERDICT r10 item 5).
+        # every one of the (K n)^2/2 dots — the (Kn)^2 term is
+        # algebraically guaranteed (exponent -> 2 at corpus scale;
+        # at probe scale the SIMD grid is cheap enough that per-group
+        # overheads dominate the fit — r11 measured 0.62 with convex
+        # per-doubling ratios). The honest story either way: the
+        # exact baseline is compute-bound, not output-bound; its
+        # scale path is the pruned twin above, whose fixed-output
+        # exponent collapses for the RIGHT reason. Committing both
+        # numbers side by side is the documented 'reason it's
+        # impossible' for an output-flat exact variant (VERDICT r10
+        # item 5).
         (
             "ann",
             "s12_cosine_near_pairs_fixed_output",
