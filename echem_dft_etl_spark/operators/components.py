@@ -550,6 +550,7 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
         )
 
         adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        closure_width = None
         if checkpoint:
             # Width discipline (storage.scoped_shuffle_width): the
             # adjacency build — the ONE eager job here: degree +
@@ -560,7 +561,7 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
             # narrowing; a 100 TB edge list keeps full width). Only
             # this materialization is wrapped: the returned closure
             # plan executes later, at the caller's session width.
-            with scoped_shuffle_width(spark, n_pair_rows):
+            with scoped_shuffle_width(spark, n_pair_rows) as closure_width:
                 adj = _tracked_checkpoint(adj, result_ids)
 
         # Edge probe derived FROM adj: (u, N+(u), v) per oriented edge —
@@ -575,6 +576,23 @@ def triangle_counts(pairs: DataFrame, checkpoint: bool = True) -> DataFrame:
             F.explode("nbrs").alias("v"),
         )
         av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+        if closure_width is not None:
+            # Pin the closure join's width into the PLAN: the returned
+            # frame executes after this function exits (and after the
+            # scoped conf is restored), so session-conf narrowing
+            # cannot reach it — instead both join inputs are
+            # explicitly hash-partitioned on the probe key at the same
+            # graph-sized width, EnsureRequirements adds no further
+            # exchange, and the closure's one wide shuffle runs at the
+            # width the edge list justifies instead of the session
+            # default (r11: 6.56 → 5.82 s min same-session A/B at
+            # sf0.1 — the idle-stage story again). The corner count's
+            # own exchange stays at session width deliberately: its
+            # map-side partial combine shrinks the stream to |V| rows
+            # per partition first. At 100 TB the computed width equals
+            # the session width, so the pin is a no-op there.
+            e = e.repartition(closure_width, "v")
+            av = av.repartition(closure_width, "v")
         tri_base = (
             e.join(av, "v")
             .select("u", "v", F.array_intersect("nu", "nv").alias("apexes"))
