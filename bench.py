@@ -273,7 +273,7 @@ def main() -> None:
     # measures ~5 s isolated but 6-7 s behind 200 queries of JVM
     # debris; the pair of numbers is the evidence that separates plan
     # cost from context cost (the d20 cold-start lesson, r10).
-    EARLY_PROBES = ("x05_triangle_counts",)
+    EARLY_PROBES = ("x05_triangle_counts", "x05_pagerank")
     early_probe: dict[str, dict] = {}
     for name in EARLY_PROBES:
         if name in names:
