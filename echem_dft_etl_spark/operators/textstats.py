@@ -448,3 +448,73 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("n_emails", emails.cast("bigint")).withColumn(
         "n_phones", phones.cast("bigint")
     ).withColumn("redacted", red)
+
+
+def boilerplate_shingle_scores(
+    docs: DataFrame, n: int = 5, min_df: int = 3
+) -> DataFrame:
+    """Per-source boilerplate detection + per-document boilerplate
+    ratio (LLM-pipeline op): the shingle-level analog of C4/RefinedWeb
+    line-frequency boilerplate removal for corpora without line
+    structure. A word ``n``-gram that appears in ≥ ``min_df`` DISTINCT
+    documents of the SAME source is template content (footers, nav
+    chrome, license banners — whatever the source stamps on everything
+    it emits), not prose; each document is scored by how much of it is
+    such template material, the signal a cleaning pipeline thresholds
+    on before near-dup detection ever runs.
+
+    Shape (and why it scales): per-document-distinct shingles come out
+    of one zero-shuffle projection (``explode(array_distinct(...))``
+    inline in the generator — the dedup.doc_shingles_local discipline;
+    exploding an attribute that aliases the ngram expression is the
+    known 40x InferFiltersFromGenerate trap). Per-doc totals and the
+    per-(source, shingle) document-frequency table are two map-side-
+    combinable aggregations of that stream; the join back ships ONLY
+    the boilerplate shingles (df ≥ min_df — a tiny, heavily-filtered
+    build side: template grams are by definition few and frequent), so
+    the 100 TB cost is two aggregations of the shingle stream plus a
+    join whose right side is the template dictionary. The ratio is
+    emitted in exact integer parts-per-million (multiply-then-DIV) —
+    no float summation anywhere.
+
+    Requires ``doc_id``, ``source``, and ``text`` columns. Documents
+    with fewer than ``n`` tokens have no shingles and drop out (same
+    convention as every shingle consumer here).
+    """
+    from .guards import require_at_least
+
+    require_at_least("n", n, 1)
+    require_at_least("min_df", min_df, 1)
+    toked = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    sh = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("toks"), n))
+        ).alias("shingle"),
+    )
+    totals = sh.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_shingles")
+    )
+    boiler = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count("*").alias("df"))  # shingles distinct per doc
+        .filter(F.col("df") >= min_df)
+        .select("source", "shingle")
+    )
+    nb = (
+        sh.join(boiler, ["source", "shingle"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return totals.join(nb, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        F.expr(
+            "CAST(coalesce(n_boiler, 0) * 1000000 DIV n_shingles AS BIGINT)"
+        ).alias("boiler_ppm"),
+    )

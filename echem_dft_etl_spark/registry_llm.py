@@ -3071,3 +3071,82 @@ def d30_group_split(spark, sf_dir):
             F.when(F.col("split") != F.col("doc_split"), 1).otherwise(0)
         ).cast("bigint").alias("n_rehomed"),
     )
+
+
+#: Deterministic per-source footer planted on every 7th document (7 is
+#: coprime to the 20-source assignment, so each source gets ~1/7 of its
+#: docs stamped). The natural corpus's max same-source shingle df is 2
+#: (measured at sf0.01), below any sane boilerplate threshold — the
+#: plant gives the operator real template content to find, identically
+#: in the Spark query and the oracle (the planted-data-beats-0-rows
+#: rule; s12_near_pairs_pruned precedent).
+_BOILER_FOOTER = "© %s footer terms apply contact support email"
+
+
+@_register(
+    "t13_boilerplate_shingles",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' © ' || source
+                       || ' footer terms apply contact support email'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, source, {_TOKS} AS toks FROM aug),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  unnest(list_transform(range(1, len(toks) - 3),
+                         i -> toks[i] || ' ' || toks[i+1] || ' '
+                              || toks[i+2] || ' ' || toks[i+3] || ' '
+                              || toks[i+4])) AS shingle
+           FROM t WHERE len(toks) >= 5),
+    totals AS (SELECT doc_id, source, COUNT(*) AS n_shingles
+               FROM sh GROUP BY doc_id, source),
+    boiler AS (SELECT source, shingle
+               FROM sh GROUP BY source, shingle
+               HAVING COUNT(*) >= 3),
+    nb AS (SELECT sh.doc_id, COUNT(*) AS n_boiler
+           FROM sh JOIN boiler USING (source, shingle)
+           GROUP BY sh.doc_id)
+    SELECT t.doc_id, t.source, t.n_shingles,
+           CAST(COALESCE(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(COALESCE(nb.n_boiler, 0) * 1000000 // t.n_shingles
+                AS BIGINT) AS boiler_ppm
+    FROM totals t LEFT JOIN nb USING (doc_id)
+    """,
+    survey_ids=("X13", "X11"),
+)
+def t13_boilerplate_shingles(spark, sf_dir):
+    """Per-source boilerplate/template detection (X13 quality signal ×
+    X11 repeated-content family): the shingle-level analog of C4-style
+    line-frequency boilerplate removal — a word 5-gram appearing in ≥3
+    distinct documents of the SAME source is template chrome, and each
+    document is scored by its template fraction in exact integer ppm.
+    A deterministic per-source footer is planted on every 7th document
+    (identically in the oracle) so the detector has real template
+    content to find — the natural corpus's max same-source df is 2.
+    Scale shape: one zero-shuffle distinct-shingle projection, two
+    map-side-combinable aggregations, and a join whose build side is
+    only the template dictionary (df-filtered, by definition small).
+    operators/textstats.py::boilerplate_shingle_scores."""
+    from .operators.textstats import boilerplate_shingle_scores
+
+    docs = _ld(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.lit("©"),
+                F.col("source"),
+                F.lit("footer terms apply contact support email"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return boilerplate_shingle_scores(aug, n=5, min_df=3)

@@ -1887,3 +1887,35 @@ def test_skyline_two_phase_matches_bruteforce(spark):
         for r in skyline(local).collect()
     }
     assert got == want
+
+
+def test_boilerplate_shingles_flags_planted_template(spark):
+    """A footer stamped on 3+ docs of one source is boilerplate for
+    that source only; a doc made ENTIRELY of template scores 1e6 ppm;
+    sources without repeats score zero."""
+    from echem_dft_etl_spark.operators.textstats import (
+        boilerplate_shingle_scores,
+    )
+
+    footer = "terms apply contact support email now"  # 6 toks -> 2 5-grams
+    rows = [
+        # srcA: three docs sharing the footer + unique prose
+        (1, "srcA", "alpha beta gamma delta epsilon zeta " + footer),
+        (2, "srcA", "one two three four five six seven " + footer),
+        (3, "srcA", "red green blue cyan magenta yellow " + footer),
+        # srcA: pure-template doc
+        (4, "srcA", footer),
+        # srcB: same footer but only ONE doc -> not boilerplate there
+        (5, "srcB", "lorem ipsum dolor sit amet consectetur " + footer),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_shingle_scores(docs, n=5, min_df=3).collect()
+    }
+    assert got[4]["n_boiler"] == got[4]["n_shingles"]
+    assert got[4]["boiler_ppm"] == 1_000_000
+    # the three srcA prose docs share ONLY the footer 5-grams
+    assert got[1]["n_boiler"] == 2 and got[1]["boiler_ppm"] > 0
+    # srcB never crosses min_df: zero boilerplate despite the same text
+    assert got[5]["n_boiler"] == 0 and got[5]["boiler_ppm"] == 0
