@@ -728,3 +728,76 @@ def bfs_distances(
         _release_rdds(spark, statics)
         if not ok:
             _release_rdds(spark, layer_ids)
+
+
+def kcore_nodes(
+    pairs: DataFrame, k: int = 3, rounds: int = 8
+) -> DataFrame:
+    """Fixed-round k-core peeling: nodes surviving ``rounds`` rounds of
+    "drop every node with degree < k, recompute degrees" over an
+    undirected edge list (canonical a < b, distinct).
+
+    The k-core is the classic graph-quality filter (spam/link-farm
+    pruning keeps the dense core; sparse tendrils fall away), and
+    peeling is its textbook distributed form: each round is one
+    map-side-combinable degree aggregation plus two semi-joins that
+    shrink the edge list — cost tracks the SURVIVING edges, so rounds
+    get cheaper as the graph contracts. Like
+    :func:`integer_pagerank`, the round count is FIXED rather than
+    converged: a fixed-round fixpoint prefix is bit-identical in any
+    engine (and in the unrolled-CTE oracle), where a "loop until no
+    change" would make the oracle inexpressible in one SQL statement.
+    On graphs this corpus shape produces, peeling stabilizes well
+    inside 8 rounds; callers needing certainty compare round r and
+    r-1 degrees or raise ``rounds``.
+
+    Returns (v, core_degree): the node's degree within the surviving
+    subgraph after the final round (NOT its original degree). Storage
+    discipline: the edge frame is re-checkpointed every second round
+    (the shrink makes later checkpoints cheap), superseded blocks
+    released immediately; loop exchanges are sized to the edge list
+    (storage.scoped_shuffle_width).
+    """
+    require_at_least("k", k, 1)
+    require_at_least("rounds", rounds, 1)
+    spark = pairs.sparkSession
+    prev_ids: list = []
+    ok = False
+    try:
+        ed = _tracked_checkpoint(pairs, prev_ids)
+        n_edge_rows = ed.count()
+        with scoped_shuffle_width(spark, n_edge_rows):
+            for i in range(rounds):
+                deg = (
+                    ed.select(F.explode(F.array("a", "b")).alias("v"))
+                    .groupBy("v")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                )
+                keep = deg.filter(F.col("deg") >= k).select("v")
+                ed = (
+                    ed.join(
+                        keep.select(F.col("v").alias("a")), "a", "left_semi"
+                    ).join(
+                        keep.select(F.col("v").alias("b")), "b", "left_semi"
+                    )
+                )
+                # checkpoint every second round + the final round: the
+                # peel's lineage otherwise stacks two joins + an agg
+                # per round, and the frame only ever SHRINKS, so later
+                # materializations are cheap
+                if i % 2 == 1 or i == rounds - 1:
+                    round_ids: list = []
+                    ed = _tracked_checkpoint(ed, round_ids)
+                    _release_rdds(spark, prev_ids)
+                    prev_ids = round_ids
+            out = (
+                ed.select(F.explode(F.array("a", "b")).alias("v"))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+            )
+        ok = True
+        # the FINAL round's blocks back the returned frame and stay
+        return out
+    finally:
+        if not ok:
+            _release_rdds(spark, prev_ids)

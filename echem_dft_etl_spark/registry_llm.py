@@ -3150,3 +3150,81 @@ def t13_boilerplate_shingles(spark, sf_dir):
         .alias("text"),
     )
     return boilerplate_shingle_scores(aug, n=5, min_df=3)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled fixed-round k-core peel as chained CTEs — recursive
+    CTEs cannot aggregate in the recursive term (the pagerank-oracle
+    constraint), so the ``rounds`` peels unroll into generated stages.
+    Constants mirror operators/components.py::kcore_nodes."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each stage
+    # references its predecessor three times — inlined, e0 would
+    # expand ~3^rounds-fold and exhaust file handles re-scanning the
+    # parquet. Materialization pins each peel once (exactly the
+    # semantics the Spark loop's checkpoints give).
+    parts = [
+        """
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+               GREATEST(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey <> l2.l_partkey
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM (
+                 SELECT a AS v FROM e{r - 1}
+                 UNION ALL SELECT b FROM e{r - 1}) GROUP BY v),
+    k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r - 1} e
+             WHERE e.a IN (SELECT v FROM k{r})
+               AND e.b IN (SELECT v FROM k{r}))""")
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+        SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY v
+    """
+    )
+
+
+@_register(
+    "x05_kcore",
+    oracle=_kcore_sql(80, 8),
+    survey_ids=("X5", "X11"),
+)
+def x05_kcore(spark, sf_dir):
+    """Fixed-round k-core decomposition (X5's iterative-join family;
+    the classic web-graph quality filter — spam/link-farm pruning
+    keeps the dense core) over the co-order part graph: 8 rounds of
+    "drop nodes with degree < 80, recompute" peeling. The co-order graph is dense (min degree ~40, median ~115), so the threshold is calibrated to the measured core structure: k=80 peels a 143-node cascade over five rounds into a stable 1857-node core (k>=90 collapses the whole graph; k<=(min degree) peels nothing) — a fixpoint with real dynamics inside the fixed 8 rounds. Each round is one
+    map-side-combinable degree aggregation plus two semi-joins that
+    only ever SHRINK the edge list, re-checkpointed every second round
+    with tracked release (the components.py storage discipline); round
+    count fixed rather than converged so the result is bit-identical
+    to the unrolled-CTE oracle in any engine (the integer_pagerank
+    design). Pairs construction reuses the single-scan collect_set
+    expansion from x05_triangle_counts; the oracle keeps the naive
+    self-join spelling, so parity also proves the constructions
+    equivalent. operators/components.py::kcore_nodes."""
+    from .operators.components import kcore_nodes
+
+    li = _ld(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.col("ps"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    pairs = (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    return kcore_nodes(pairs, k=80, rounds=8)

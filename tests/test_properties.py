@@ -1919,3 +1919,24 @@ def test_boilerplate_shingles_flags_planted_template(spark):
     assert got[1]["n_boiler"] == 2 and got[1]["boiler_ppm"] > 0
     # srcB never crosses min_df: zero boilerplate despite the same text
     assert got[5]["n_boiler"] == 0 and got[5]["boiler_ppm"] == 0
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    """A 5-clique with a pendant chain: the 3-core is exactly the
+    clique (chain nodes peel in cascade), and every core node's
+    core_degree is its within-core degree (4), not its original one."""
+    from itertools import combinations
+
+    from echem_dft_etl_spark.operators.components import kcore_nodes
+
+    clique = list(combinations(range(5), 2))
+    chain = [(4, 10), (10, 11), (11, 12)]  # pendant path off node 4
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in clique + chain],
+        "a bigint, b bigint",
+    )
+    got = {
+        r["v"]: r["core_degree"]
+        for r in kcore_nodes(pairs, k=3, rounds=8).collect()
+    }
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
