@@ -284,6 +284,7 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
     from echem_dft_etl_spark.operators.components import (
         bfs_distances,
         duplicate_clusters,
+        kcore_nodes,
     )
     from echem_dft_etl_spark.operators.sessions import sessionize
     from echem_dft_etl_spark.sources import load_table
@@ -534,6 +535,16 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
             ),
         ),
         ("graph", "x05_bfs_distances", bfs_probe),
+        # fixed-round degree peeling over the same disjoint-copy
+        # co-order graph: per-copy core structure is identical, so the
+        # honest null is rows ~ K and time ~ K with a constant round
+        # count — the peel's cost tracks SURVIVING edges, which shrink
+        # identically in every copy.
+        (
+            "graph",
+            "x05_kcore",
+            lambda: kcore_nodes(coorder_edges(), k=80, rounds=8),
+        ),
         # --- join-diet operators (bloom prune, binned range join) ---
         (
             "join",
