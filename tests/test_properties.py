@@ -1940,3 +1940,47 @@ def test_kcore_peels_tendrils_keeps_clique(spark):
         for r in kcore_nodes(pairs, k=3, rounds=8).collect()
     }
     assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 4),
+)
+def test_kcore_matches_bruteforce_peel(spark, raw_edges, k):
+    """Fixed-round kcore_nodes with a round budget past convergence
+    equals the classic peel-to-fixpoint on arbitrary small graphs —
+    degrees included. (On ≤15 nodes, peeling converges well inside 12
+    rounds: each non-final round removes ≥1 node.)"""
+    from echem_dft_etl_spark.operators.components import kcore_nodes
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    # brute force: peel until fixpoint
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect: dict[int, int] = {}
+    for a, b in cur:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+
+    pairs = spark.createDataFrame(list(edges), "a bigint, b bigint")
+    got = {
+        r["v"]: r["core_degree"]
+        for r in kcore_nodes(pairs, k=k, rounds=12).collect()
+    }
+    assert got == expect
