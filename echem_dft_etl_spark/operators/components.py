@@ -748,8 +748,15 @@ def kcore_nodes(
     engine (and in the unrolled-CTE oracle), where a "loop until no
     change" would make the oracle inexpressible in one SQL statement.
     On graphs this corpus shape produces, peeling stabilizes well
-    inside 8 rounds; callers needing certainty compare round r and
-    r-1 degrees or raise ``rounds``.
+    inside 8 rounds, and the loop EXITS EARLY at a proven fixpoint:
+    edge counts are monotone non-increasing under peeling, so an
+    unchanged count between two materialization points proves no node
+    was dropped in between — in particular not in the first round
+    after the earlier point — hence every later round is the identity
+    and the early exit is bit-identical to running all ``rounds``
+    (what the unrolled oracle does). At corpus scale this is the
+    difference between paying the full round budget and paying only
+    the cascade's true depth.
 
     Returns (v, core_degree): the node's degree within the surviving
     subgraph after the final round (NOT its original degree). Storage
@@ -790,6 +797,14 @@ def kcore_nodes(
                     ed = _tracked_checkpoint(ed, round_ids)
                     _release_rdds(spark, prev_ids)
                     prev_ids = round_ids
+                    # the count over the fresh blocks doubles as the
+                    # convergence probe (docstring: equal counts
+                    # across any gap prove the fixpoint, so breaking
+                    # here cannot change the result)
+                    n_now = ed.count()
+                    if n_now == n_edge_rows:
+                        break
+                    n_edge_rows = n_now
             out = (
                 ed.select(F.explode(F.array("a", "b")).alias("v"))
                 .groupBy("v")
