@@ -6650,3 +6650,100 @@ def d23_source_priority_dedup(spark, sf_dir):
         F.col("n_copies").cast("bigint").alias("n_copies"),
         F.col("prio_span").cast("bigint").alias("prio_span"),
     )
+
+
+@_register(
+    "x10_stream_custom_sink",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(user_id) AS BIGINT) AS user_checksum
+        FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS manifest_rows FROM events)
+    SELECT a.event_type, a.n_events, a.n_users, a.user_checksum,
+           t.manifest_rows
+    FROM agg a CROSS JOIN tot t
+    """,
+    survey_ids=("X10", "S4"),
+)
+def x10_stream_custom_sink(spark, sf_dir):
+    """Structured Streaming INTO a custom Python connector — the
+    streaming half of the Python Data Source WRITER API
+    (sources/report_sink.py::make_report_stream_sink_datasource),
+    completing the surface square whose other corners are the batch
+    writer (s04_custom_sink), the batch reader (s02_custom_datasource)
+    and the stream reader (x10_stream_custom_source). The events table
+    replays as a bounded availableNow stream, each micro-batch's
+    partitions write task-side part files (in-progress rename), and
+    the driver publishes per-batch manifests atomically; a REPLAYED
+    batchId overwrites its own manifest, so the manifest-honoring
+    read-back below never sees replay duplicates — the idempotent
+    per-batchId contract a streaming sink owes the engine. The result
+    is assembled ONLY from what the sink committed: manifests are
+    parsed for the committed row total, their referenced parts re-read
+    and aggregated; the oracle replays the same aggregation from the
+    events table, so a green row proves stream → write → commit →
+    manifest → read-back end-to-end. Reentrant via the s01 pattern
+    (per-invocation scratch dirs, deleted before return); one retry
+    for the local-master transient-worker-death class
+    (run_to_memory's rationale)."""
+    import shutil
+
+    from .sources.report_sink import make_report_stream_sink_datasource
+    from .streaming.windows import read_events_stream
+
+    spark.dataSource.register(make_report_stream_sink_datasource())
+    last_exc: Exception | None = None
+    for _attempt in range(2):
+        out = _scratch_dir("echem_stream_sink_")
+        ck = _scratch_dir("echem_stream_sink_ck_")
+        try:
+            lines = read_events_stream(spark, sf_dir).select(
+                F.concat_ws(
+                    ",", "event_type", F.col("user_id").cast("string")
+                ).alias("value")
+            )
+            q = (
+                lines.writeStream.format("reportsink_stream")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+            manifests = spark.read.option("multiLine", "true").json(
+                f"{out}/manifest-*.json"
+            )
+            committed = manifests.select(
+                F.explode("parts").alias("p")
+            ).select("p.file", "p.n_rows")
+            files = [r["file"] for r in committed.select("file").collect()]
+            manifest_rows = committed.agg(
+                F.sum("n_rows").cast("bigint")
+            ).collect()[0][0]
+            parsed = spark.read.text(
+                [f"{out}/{name}" for name in files]
+            ).select(
+                F.split("value", ",").alias("f")
+            ).select(
+                F.col("f")[0].alias("event_type"),
+                F.col("f")[1].cast("bigint").alias("user_id"),
+            )
+            result = parsed.groupBy("event_type").agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum("user_id").cast("bigint").alias("user_checksum"),
+            ).withColumn(
+                "manifest_rows", F.lit(manifest_rows).cast("bigint")
+            )
+            return _literal_result(spark, result)
+        except Exception as exc:  # pragma: no cover - transient worker death
+            last_exc = exc
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+    raise last_exc

@@ -147,3 +147,106 @@ def make_report_sink_datasource():
             return ReportSinkWriter(self.options, overwrite)
 
     return ReportSinkDataSource
+
+
+STREAM_FORMAT_NAME = "reportsink_stream"
+
+
+def make_report_stream_sink_datasource():
+    """Build the STREAMING sink class (Spark 4 ``DataSourceStreamWriter``
+    — the streaming half of the Python Data Source writer API; classes
+    closure-defined for by-value pickling, as in the batch sink above).
+
+    Per micro-batch: each partition's ``write(iterator)`` streams its
+    rows to a part file under a dot-prefixed in-progress name, renamed
+    only when the task finishes, and returns ``(filename, n_rows)``;
+    the driver's ``commit(messages, batchId)`` publishes the batch by
+    atomically renaming ``manifest-<batchId>.json`` into place. The
+    EXACTLY-ONCE story rides the manifest, not the files: a replayed
+    batch (post-crash re-run of the same batchId) writes fresh part
+    files but OVERWRITES that batchId's manifest, and a
+    manifest-honoring reader reads only manifest-referenced parts — so
+    duplicates from replays are never visible, which is precisely the
+    idempotent-per-batchId contract Structured Streaming requires of a
+    sink. ``abort(messages, batchId)`` removes exactly the named parts
+    of the failed batch; committed batches are untouched.
+
+    Local-filesystem paths are the demo surface; on a cluster ``path``
+    must be storage every node mounts (same contract as the batch
+    sink).
+    """
+    import json
+    import os
+    import uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class BatchPartCommit(WriterCommitMessage):
+        filename: str
+        n_rows: int
+
+    class ReportStreamWriter(DataSourceStreamWriter):
+        """Writes the single string column ``value`` line-per-row."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError(
+                    f"{STREAM_FORMAT_NAME} sink requires option 'path'"
+                )
+
+        def write(self, iterator):
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.txt"
+            tmp = os.path.join(self.path, f".{name}.inprogress")
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(str(row[0]) + "\n")
+                    n += 1
+            os.rename(tmp, os.path.join(self.path, name))
+            return BatchPartCommit(filename=name, n_rows=n)
+
+        def commit(self, messages, batchId):
+            manifest = {
+                "batch_id": batchId,
+                "parts": [
+                    {"file": m.filename, "n_rows": m.n_rows}
+                    for m in messages
+                    if m is not None
+                ],
+            }
+            tmp = os.path.join(
+                self.path, f".manifest-{batchId}.inprogress"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            # atomic publish; a replayed batchId overwrites its own
+            # manifest, never another batch's
+            os.replace(
+                tmp, os.path.join(self.path, f"manifest-{batchId}.json")
+            )
+
+        def abort(self, messages, batchId):
+            for m in messages or []:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.filename))
+                    except OSError:
+                        pass
+
+    class ReportStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return STREAM_FORMAT_NAME
+
+        def streamWriter(self, schema, overwrite):
+            return ReportStreamWriter(self.options)
+
+    return ReportStreamSinkDataSource

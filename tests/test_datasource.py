@@ -393,3 +393,53 @@ def test_ignore_corrupt_files_skips_only_bad_file(spark, tmp_path):
     strict = spark.read.schema("id bigint").parquet(str(d))
     with pytest.raises(Exception):
         strict.collect()
+
+
+def test_stream_sink_reader_ignores_unreferenced_parts(spark, tmp_path):
+    """The exactly-once contract rides the manifest: part files not
+    referenced by any committed manifest (a replayed batch's
+    duplicates, a crashed task's leftovers) must be invisible to a
+    manifest-honoring read-back."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from echem_dft_etl_spark.sources.report_sink import (
+        make_report_stream_sink_datasource,
+    )
+
+    spark.dataSource.register(make_report_stream_sink_datasource())
+    out = tmp_path / "sink"
+    ck = tmp_path / "ck"
+    src = spark.createDataFrame(
+        [(i,) for i in range(20)], "v bigint"
+    )
+    path = tmp_path / "in"
+    src.coalesce(1).write.parquet(str(path))
+    stream = spark.readStream.schema("v bigint").parquet(str(path))
+    q = (
+        stream.select(F.col("v").cast("string").alias("value"))
+        .writeStream.format("reportsink_stream")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # plant an orphan part (simulating a pre-commit replay duplicate)
+    (out / "part-orphan.txt").write_text("999\n")
+
+    manifests = [
+        json.loads(p.read_text()) for p in out.glob("manifest-*.json")
+    ]
+    files = [pt["file"] for m in manifests for pt in m["parts"]]
+    assert files, "no committed parts"
+    assert "part-orphan.txt" not in files
+    got = sorted(
+        int(r["value"])
+        for r in spark.read.text([str(out / f) for f in files]).collect()
+    )
+    assert got == list(range(20))  # 999 never read
+    total = sum(pt["n_rows"] for m in manifests for pt in m["parts"])
+    assert total == 20
