@@ -80,69 +80,75 @@ def _register(name, oracle, survey_ids=()):
 #: window was identical every round; its members all carry seven
 #: rounds of driver evidence already).
 PRIORITY: tuple[str, ...] = (
-    # --- round-11 rotation: 42 first-time window members (never had
-    # driver-grade evidence in r1-r10) — the tranche VERDICT r10
-    # item 4 prescribed: the remaining sql_surface_* TPC-H shapes,
-    # the x10_stream_* family beyond cusum, the x04_* window tail,
-    # plus the r10-new operators that only had judge re-runs ---
-    # TPC-H-shape SQL surface (15 sql_surface_* + 3 sql_* natives)
-    "sql_surface_disjunct_revenue",
-    "sql_surface_dominant_supplier",
-    "sql_surface_global_avg_anti",
-    "sql_surface_large_orders",
-    "sql_surface_lateral_topk",
-    "sql_surface_priority_backlog",
-    "sql_surface_priority_mix",
-    "sql_surface_promo_share",
-    "sql_surface_returned_items",
-    "sql_surface_shipping_priority",
-    "sql_surface_small_qty_revenue",
-    "sql_surface_supplier_variety",
-    "sql_surface_trade_volume",
-    "sql_surface_value_share",
-    "sql_surface_waiting_supplier",
-    "sql_lateral_topk",
-    "sql_pipe_syntax",
-    "sql_recursive_hierarchy",
-    # streaming family beyond cusum
-    "x10_stream_custom_source",
-    "x10_stream_dedup_keys",
-    "x10_stream_foreach_merge",
-    "x10_stream_outer_join",
-    "x10_stream_sliding",
-    "x10_stream_static_join",
-    # analytic-window tail
-    "x04_ewma_dyadic",
-    "x04_interpolate",
-    "x04_max_drawdown",
-    "x04_missing_ranges",
-    "x04_rolling_range",
-    "x04_time_weighted_avg",
-    # similarity-eval + r10-new operators (judge-rerun only so far)
-    "s12_negative_pairs",
-    "d23_source_priority_dedup",
-    "d30_group_split",
-    "s18_benford_digits",
-    "x01_skyline_pareto",
-    "x06_magnitude_hist",
-    "x09_event_gaps",
-    # first-time fillers keeping X2/X13/X14/Q10 claims fresh
-    "x02_union_by_name",
-    "t13_pack_firstfit",
-    "t13_heavy_hitters",
-    "mm_video_frames",
-    "q10_serializer_pandas_udf",
+    # --- round-12 rotation: 41 first-time window members — the final
+    # tranche of the never-driver-windowed pool (VERDICT r11 item 1).
+    # 4 pool members with heavily-evidenced siblings ride to r13
+    # (q11_threshold_sample, mm_decode_features_png,
+    # s19_incremental_rollup, x14_map_in_arrow) because the minimal
+    # SURVEY-id anchor cover needs 9 slots, not 5: Q19 lives only in
+    # echem_flagship, and Q4/Q9/Q10/S5/X1 + the Q5-Q8 pairs have no
+    # shared claimant among the fresh 41.
+    # storage / table-maintenance tail
+    "s01_corrupt_tolerant_read",
+    "s01_dynamic_overwrite",
+    "s01_sorted_layout_scan",
+    "s02_csv_quarantine",
+    "s02_multi_format_union",
+    "s03_merge_delete",
+    "s15_bloom_prune",
+    "s15_skew_report",
+    # audit / data-quality tail
+    "s18_dq_audit",
+    "s18_fd_violations",
+    "s18_l_diversity",
+    "s18_snapshot_diff",
+    "s18_table_checksum",
+    "s19_retractable_rollup",
+    "q21_observed_load",
+    # sampling
+    "q11_weighted_sample",
+    # graph quality filters
+    "x05_bfs_distances",
+    "x05_hierarchy_flatten",
+    "x05_interval_overlap",
+    "x05_kcore",
+    "x05_triangle_counts",
+    # calendar / sessionization tail
+    "x07_activity_streaks",
+    "x07_calendar_spine",
+    "x08_json_quarantine",
+    "x09_funnel_steps",
+    "x09_interval_merge",
+    "x09_session_window_native",
+    # text-analysis tail
+    "t13_bm25_topk",
+    "t13_boilerplate_shingles",
+    "t13_difficulty_buckets",
+    "t13_pack_sequences",
+    "t13_quality_gate",
+    "t13_rare_bigram_score",
+    "t13_repetition",
+    # UDF/UDTF surface tail + multimodal
+    "x14_batch_inference",
+    "x14_polymorphic_udtf",
+    "x14_udaf_median",
+    "x14_udtf_chunks",
+    "x14_udtf_table_args",
+    "mm_decode_features_parquet",
+    # streaming custom sink (completes the 2x2 data-source surface)
+    "x10_stream_custom_sink",
     # --- carried core: minimal greedy cover so every SURVEY §2 id
     # keeps >=1 claimant inside the 50-slot window
     # (tests/test_registry_order.py) ---
     "pipeline_reference_e2e",
     "echem_flagship",
-    "q01_pushdown_scan",
-    "q02_keylist_scan",
     "q04_string_to_digits",
     "q05_last_match_per_key",
+    "q08_scalar_arithmetic",
     "q09_path_strings",
+    "q10_serializer_expr",
     "s05_chart_sink",
+    "x01_group_topk",
 )
 
 

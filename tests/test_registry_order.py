@@ -63,6 +63,26 @@ def test_window_retains_every_canonical_survey_id():
 #: window to give driver-grade evidence to queries that never had it.
 PREVIOUS_WINDOW_MEMBERS = frozenset(
     {
+        # round-11 window (CORRECTNESS_r11.json; names already in
+        # earlier windows are listed in their first block)
+        "d23_source_priority_dedup", "d30_group_split", "mm_video_frames",
+        "q10_serializer_pandas_udf", "s12_negative_pairs",
+        "s18_benford_digits", "sql_lateral_topk", "sql_pipe_syntax",
+        "sql_recursive_hierarchy", "sql_surface_disjunct_revenue",
+        "sql_surface_dominant_supplier", "sql_surface_global_avg_anti",
+        "sql_surface_large_orders", "sql_surface_lateral_topk",
+        "sql_surface_priority_backlog", "sql_surface_priority_mix",
+        "sql_surface_promo_share", "sql_surface_returned_items",
+        "sql_surface_shipping_priority", "sql_surface_small_qty_revenue",
+        "sql_surface_supplier_variety", "sql_surface_trade_volume",
+        "sql_surface_value_share", "sql_surface_waiting_supplier",
+        "t13_heavy_hitters", "t13_pack_firstfit", "x01_skyline_pareto",
+        "x02_union_by_name", "x04_ewma_dyadic", "x04_interpolate",
+        "x04_max_drawdown", "x04_missing_ranges", "x04_rolling_range",
+        "x04_time_weighted_avg", "x06_magnitude_hist", "x09_event_gaps",
+        "x10_stream_custom_source", "x10_stream_dedup_keys",
+        "x10_stream_foreach_merge", "x10_stream_outer_join",
+        "x10_stream_sliding", "x10_stream_static_join",
         # round-10 window (CORRECTNESS_r10.json)
         "s01_partition_evolution", "s01_zorder_scan", "s01_compaction",
         "s01_schema_evolution", "s02_csv_roundtrip", "s02_jsonl_roundtrip",
@@ -125,13 +145,19 @@ PREVIOUS_WINDOW_MEMBERS = frozenset(
 
 
 def test_window_rotation_gives_fresh_driver_evidence():
-    """≥15 of this round's window slots must be occupied by queries
-    that never had driver-grade evidence before (VERDICT r7 item 6) —
-    and the never-checked e2e composition must be among them."""
+    """This round's window must give first-time driver evidence to
+    min(15, |remaining fresh pool|) queries (VERDICT r7 item 6). The
+    floor degrades as the never-windowed pool drains: once every query
+    has been driver-checked at least once, the window can't contain
+    fresh members at all, and the invariant becomes vacuous — the
+    rotation's purpose is to exhaust the pool, not to churn forever."""
     specs = _ordered_specs()
     window = {s.name for s in specs[:DRIVER_WINDOW]}
+    pool = {s.name for s in specs} - PREVIOUS_WINDOW_MEMBERS
     fresh = window - PREVIOUS_WINDOW_MEMBERS
-    assert len(fresh) >= 15, (
-        f"only {len(fresh)} first-time window members: {sorted(fresh)}"
+    need = min(15, len(pool))
+    assert len(fresh) >= need, (
+        f"only {len(fresh)} first-time window members (need {need}, "
+        f"pool {len(pool)}): {sorted(fresh)}"
     )
     assert "pipeline_reference_e2e" in window
