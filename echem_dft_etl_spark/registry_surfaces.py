@@ -6701,9 +6701,13 @@ def x10_stream_custom_sink(spark, sf_dir):
         out = _scratch_dir("echem_stream_sink_")
         ck = _scratch_dir("echem_stream_sink_ck_")
         try:
+            # Tab-delimited, not comma: an event_type containing a
+            # comma would shift user_id into the wrong field and
+            # silently corrupt the checksum. Tab cannot appear in a
+            # line-oriented text sink's fields.
             lines = read_events_stream(spark, sf_dir).select(
                 F.concat_ws(
-                    ",", "event_type", F.col("user_id").cast("string")
+                    "\t", "event_type", F.col("user_id").cast("string")
                 ).alias("value")
             )
             q = (
@@ -6728,7 +6732,7 @@ def x10_stream_custom_sink(spark, sf_dir):
             parsed = spark.read.text(
                 [f"{out}/{name}" for name in files]
             ).select(
-                F.split("value", ",").alias("f")
+                F.split("value", "\t").alias("f")
             ).select(
                 F.col("f")[0].alias("event_type"),
                 F.col("f")[1].cast("bigint").alias("user_id"),

@@ -214,6 +214,10 @@ def make_report_stream_sink_datasource():
             return BatchPartCommit(filename=name, n_rows=n)
 
         def commit(self, messages, batchId):
+            # A zero-partition micro-batch (e.g. an empty availableNow
+            # replay) reaches commit() without any executor-side
+            # write() having created the directory.
+            os.makedirs(self.path, exist_ok=True)
             manifest = {
                 "batch_id": batchId,
                 "parts": [
@@ -240,6 +244,23 @@ def make_report_stream_sink_datasource():
                         os.remove(os.path.join(self.path, m.filename))
                     except OSError:
                         pass
+            # A task that died mid-write never produced a commit
+            # message; its dot-prefixed temp file is invisible to
+            # manifest readers but would accumulate under repeated
+            # failures/replays. Part files rename atomically on
+            # success, so any .part-*.inprogress left at abort time
+            # is garbage from this or an earlier failed attempt.
+            try:
+                for fn in os.listdir(self.path):
+                    if fn.startswith(".part-") and fn.endswith(
+                        ".inprogress"
+                    ):
+                        try:
+                            os.remove(os.path.join(self.path, fn))
+                        except OSError:
+                            pass
+            except OSError:
+                pass
 
     class ReportStreamSinkDataSource(DataSource):
         @classmethod

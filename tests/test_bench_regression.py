@@ -82,8 +82,14 @@ def _current_min(samples, loads, load_bar):
     the one case where a slow-looking min might still be the host's
     fault rather than the plan's, which the caller resolves with the
     sample-consistency test."""
-    la = loads if loads else [None] * len(samples)
+    la = list(loads) if loads else []
+    # Pad rather than zip-truncate: a loadavg list shorter than the
+    # samples list (partial instrumentation) must not silently drop
+    # trailing samples from the min.
+    la += [None] * (len(samples) - len(la))
     pairs = [(s, l) for s, l in zip(samples, la) if s > 0]
+    if not pairs:
+        return None, False
     best, best_la = min(pairs, key=lambda p: p[0])
     return best, best_la is not None and best_la > load_bar
 
@@ -106,6 +112,8 @@ def find_regressions(
             continue
         best = entry["min_seconds"]
         cur, under_load = _current_min(samples, loads.get(name), load_bar)
+        if cur is None:  # no positive sample recorded: nothing to judge
+            continue
         if best <= noise_floor or cur <= noise_floor:
             continue
         pos = [s for s in samples if s > 0]
