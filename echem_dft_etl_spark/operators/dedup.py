@@ -463,6 +463,100 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 3,
+    threshold_ppm: int = 500_000,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training documents whose
+    word-``shingle_n``-gram set CONTAINS at least ``threshold_ppm``
+    (parts-per-million) of some eval item's shingle set.
+
+    :func:`decontaminate` is exact-match at shingle granularity — one
+    shared n-gram flags the pair, and zero shared n-grams clears it.
+    A paraphrased leak (reworded prompt, inserted boilerplate, light
+    edits) shares MANY but not necessarily consecutive-identical
+    shingles; the real-world contamination rule is therefore a set-
+    overlap threshold, and the metric is CONTAINMENT toward the eval
+    item (|∩| / |eval shingles|): a training doc that embeds a whole
+    eval question inside a longer page is 100 % contaminated even
+    though its Jaccard vs the page is low.
+
+    Pipeline (all stages shared with the d12 MinHash-LSH family, same
+    hashing conventions, so the DuckDB oracle reproduces every stage
+    verbatim):
+
+    1. MinHash signatures per side (pure projections — zero shuffle).
+    2. Banded bucket join, eval side BROADCAST: candidates are train
+       docs sharing ≥1 band with ≥1 eval item. The 100 TB training
+       side reaches this join with zero exchanges.
+    3. Exact verification of candidates only: shared-shingle counts
+       via a second broadcast join against the exploded eval shingles,
+       integer-ppm containment, threshold filter.
+
+    Output: one row per contaminated (train_id, eval_id) pair with the
+    exact evidence (n_shared, eval_n_sh, overlap_ppm) — change-sized,
+    deterministic. Scale shape: the only exchanges in the plan are the
+    candidate ``distinct()`` and the per-pair count — both sized by
+    the candidate set (LSH-bounded, ~linear), never by the corpus
+    cross product. Recall is the LSH guarantee, not 100 %: a ≥τ pair
+    that agrees on NO band is missed — P(band hit | jaccard j) =
+    1 - (1 - j^r)^b, the documented d12 trade-off.
+    """
+    require_in_range("threshold_ppm", threshold_ppm, 1, 1_000_000)
+    sig_cols = [f"mh_{j}" for j in range(n_perms)]
+    ev_meta = doc_minhash_meta(eval_docs, shingle_n, n_perms)
+    tr_sigs = minhash_signatures_from_arrays(
+        doc_shingle_arrays(train, shingle_n), n_perms
+    )
+    ev_bands = _band_entries(
+        ev_meta.select("doc_id", *sig_cols), n_bands, rows_per_band
+    ).withColumnRenamed("doc_id", "eval_id")
+    tr_bands = _band_entries(tr_sigs, n_bands, rows_per_band).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    cand = (
+        tr_bands.join(F.broadcast(ev_bands), ["band", "band_key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    tr_sh = doc_shingles_local(train, shingle_n).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    ev_sh = doc_shingles_local(eval_docs, shingle_n).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    inter = (
+        cand.join(tr_sh, "train_id")
+        .join(F.broadcast(ev_sh), ["eval_id", "shingle"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ev_sizes = ev_meta.select(
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("eval_n_sh")
+    )
+    # Integer ppm via integer division — exact in any engine; a double
+    # division could land on either side of the threshold at exact
+    # multiples.
+    return (
+        inter.join(F.broadcast(ev_sizes), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("eval_n_sh").cast("bigint").alias("eval_n_sh"),
+            F.expr("(n_shared * 1000000) DIV eval_n_sh")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+        .filter(F.col("overlap_ppm") >= threshold_ppm)
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): SimHash over token hashes, no row explosion.
 

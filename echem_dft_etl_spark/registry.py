@@ -991,6 +991,56 @@ def x02_set_ops(spark, sf_dir):
 
 
 @_register(
+    "x02_set_ops_oneshot",
+    oracle="""
+    WITH k95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-01-01'),
+         k96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT 'both' AS bucket, o_custkey FROM (SELECT * FROM k95 INTERSECT SELECT * FROM k96)
+    UNION ALL
+    SELECT 'only95' AS bucket, o_custkey FROM (SELECT * FROM k95 EXCEPT SELECT * FROM k96)
+    UNION ALL
+    SELECT 'only96' AS bucket, o_custkey FROM (SELECT * FROM k96 EXCEPT SELECT * FROM k95)
+    """,
+    survey_ids=("X2",),
+)
+def x02_set_ops_oneshot(spark, sf_dir):
+    """Single-scan twin of x02_set_ops (VERDICT r11 item 4): the same
+    three membership buckets from ONE pass over ``orders`` —
+    ``groupBy(o_custkey).agg(max(in95), max(in96))`` + a bucket CASE —
+    instead of four scans feeding INTERSECT / EXCEPT ALL. The set-op
+    spelling stays registered as the X2 surface exemplar; this twin
+    documents the scale-preferred plan (the relationship
+    x09_session_window_native has to the lag-gap composition): at
+    100 TB the one scan reads each row once and shuffles once on
+    o_custkey with map-side partial max, where the set-op form pays
+    two scans per year set plus a distinct-aggregate per set operation
+    on the same key. The oracle is x02_set_ops's VERBATIM
+    INTERSECT/EXCEPT SQL — a green row proves the two spellings agree
+    row-for-row, not merely that each matches itself."""
+    o = _ld(spark, sf_dir, "orders")
+    ts = lambda y: F.lit(f"{y}-01-01").cast("timestamp")  # noqa: E731
+    d = F.col("o_orderdate")
+    flags = (
+        o.filter((d >= ts(1995)) & (d < ts(1997)))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((d < ts(1996)).cast("int")).alias("in95"),
+            F.max((d >= ts(1996)).cast("int")).alias("in96"),
+        )
+    )
+    bucket = (
+        F.when((F.col("in95") == 1) & (F.col("in96") == 1), F.lit("both"))
+        .when(F.col("in95") == 1, F.lit("only95"))
+        .otherwise(F.lit("only96"))
+    )
+    return flags.select(bucket.alias("bucket"), "o_custkey")
+
+
+@_register(
     "x03_pivot",
     oracle="""
     SELECT o_orderpriority,

@@ -788,6 +788,69 @@ def d15_decontaminate(spark, sf_dir):
     return dedup.decontaminate(train, evals, shingle_n=5)
 
 
+@_register(
+    "d15_decontaminate_fuzzy",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000,
+               'paraphrase note ' || text || ' end of copy'
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+           FROM t WHERE len(toks) >= 3),
+    hh AS (SELECT doc_id, {_HSTR.format(e='shingle')} AS h FROM sh),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    evb AS (SELECT * FROM bands
+            WHERE doc_id % 97 = 0 AND doc_id < 2000000),
+    trb AS (SELECT * FROM bands
+            WHERE NOT (doc_id % 97 = 0 AND doc_id < 2000000)),
+    cand AS (SELECT DISTINCT trb.doc_id AS train_id, evb.doc_id AS eval_id
+             FROM trb JOIN evb
+               ON trb.band = evb.band AND trb.band_key = evb.band_key),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.train_id, c.eval_id, COUNT(*) AS n_shared
+              FROM cand c
+              JOIN sh st ON st.doc_id = c.train_id
+              JOIN sh se ON se.doc_id = c.eval_id
+                        AND se.shingle = st.shingle
+              GROUP BY c.train_id, c.eval_id)
+    SELECT i.train_id, i.eval_id,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(z.n_sh AS BIGINT) AS eval_n_sh,
+           CAST((i.n_shared * 1000000) // z.n_sh AS BIGINT) AS overlap_ppm
+    FROM inter i JOIN sizes z ON z.doc_id = i.eval_id
+    WHERE (i.n_shared * 1000000) // z.n_sh >= 500000
+    """,
+    survey_ids=("X11",),
+)
+def d15_decontaminate_fuzzy(spark, sf_dir):
+    """NEAR-dup decontamination (VERDICT r11 item 5): d15's exact
+    shingle-hit rule misses paraphrased leaks, so this variant flags
+    training docs whose 3-gram set contains ≥50 % of some eval item's
+    shingle set, with MinHash-LSH candidate pruning (the d12 banding)
+    so the training side is never self-joined. The natural corpus has
+    no cross-split near-dups, so every eval doc is planted as a
+    paraphrased training twin (prefix + suffix words, doc_id +
+    2,000,000) IDENTICALLY here and in the oracle (the _AUG_EMB_SQL
+    convention) — the driver row exercises real contaminated pairs
+    with full-containment evidence, not a 0=0 match.
+    operators/dedup.py::decontaminate_fuzzy."""
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("paraphrase note "), F.col("text"), F.lit(" end of copy")
+        ).alias("text"),
+    )
+    aug = docs.unionByName(twins)
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 2_000_000)
+    return dedup.decontaminate_fuzzy(aug.filter(~is_eval), aug.filter(is_eval))
+
+
 #: Mixture weights as pure INTEGER ppm — survival rate per source
 #: bucket, {0.1, 0.3, 0.5, 0.7, 0.9} over source index mod 5. Integer
 #: end-to-end so no float weight can round differently across engines.

@@ -435,6 +435,50 @@ def test_decontaminate_edges(spark):
     assert got[3] == (0, False)
 
 
+def test_decontaminate_fuzzy_flags_paraphrase_not_single_shingle(spark):
+    """The planted-paraphrase contract (VERDICT r11 item 5): a training
+    doc embedding a whole eval item inside extra words is contaminated
+    (containment 1.0 of the eval shingle set even though it is not an
+    exact duplicate); a verbatim copy scores exactly 1,000,000 ppm; a
+    doc sharing a SINGLE 3-gram — which the exact-match decontaminate
+    flags — stays below the 50 % containment bar; disjoint text is
+    clean. All hashing is deterministic, so LSH candidate generation is
+    reproducible, not flaky."""
+    from echem_dft_etl_spark.operators.dedup import decontaminate_fuzzy
+
+    eval_text = (
+        "quantum flux capacitors resonate beneath crystalline "
+        "lattice arrays while spectral harmonics drift across "
+        "ionized plasma membranes tonight"
+    )
+    evals = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # paraphrased leak: full eval text inside extra words
+            (1, "note that " + eval_text + " end quote"),
+            # one shared 3-gram ("quantum flux capacitors"): exact-match
+            # decontamination flags this; the fuzzy rule must not
+            (2, "quantum flux capacitors were sold cheaply at the "
+                "annual hardware fair downtown yesterday evening okay"),
+            # disjoint
+            (3, "completely unrelated sentences about cooking pasta "
+                "with garlic butter sauce in rome kitchens"),
+            # verbatim copy
+            (4, eval_text),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.train_id, r.eval_id): r
+        for r in decontaminate_fuzzy(train, evals).collect()
+    }
+    assert (1, 100) in out and out[(1, 100)].overlap_ppm >= 500_000
+    assert (4, 100) in out and out[(4, 100)].overlap_ppm == 1_000_000
+    assert all(t not in (2, 3) for t, _ in out)
+
+
 def test_repetition_stats_known_values(spark):
     """Hand-computed duplicate fractions on crafted docs."""
     from echem_dft_etl_spark.operators.textstats import repetition_stats
