@@ -25,6 +25,96 @@ from ..functions.text import tokens
 CHUNK_W = 16
 CHUNK_S = 8
 
+#: Content-defined chunking (CDC) parameters: a polynomial rolling hash
+#: over the last CDC_W characters, cut where ``h % CDC_MASK`` hits the
+#: sentinel — expected chunk length = CDC_MASK chars, matching the
+#: 64-char fixed-width baseline (d21_chunk_dedup) it is measured
+#: against. All integer: coefficients are ``CDC_B^k mod CDC_P`` (< 2^20)
+#: and per-term products stay far below 2^63, so the arithmetic is
+#: bit-identical in any engine.
+CDC_W = 8
+CDC_B = 257
+CDC_P = 1_000_003
+CDC_MASK = 64
+#: Precomputed B^k mod P, k = 0..W-1 — shared with the SQL oracle.
+CDC_POWS = [pow(CDC_B, k, CDC_P) for k in range(CDC_W)]
+
+
+def cdc_boundary_expr(codes, n):
+    """Array of 1-based cut positions for one document.
+
+    Position ``i`` (``CDC_W <= i <= n``) ends a chunk iff the rolling
+    hash of the window ``codes[i-W+1 .. i]`` — ``sum(code[i-k] *
+    B^k) mod P`` — lands on ``CDC_MASK - 1`` modulo ``CDC_MASK``. The
+    hash depends ONLY on the last W characters, which is the whole
+    point of content-defined chunking: an insertion early in the
+    document shifts every fixed-width chunk after it, but here the
+    cut positions re-synchronize as soon as the window clears the
+    edit, so the tail chunks keep their content hashes (the
+    shift-robustness property test in tests/test_properties.py).
+
+    ``n < W`` must short-circuit to an empty array BEFORE sequence())
+    is built: ``F.sequence(8, 5)`` silently emits a DESCENDING list
+    (the documented inverted-interval trap), not an error.
+    """
+
+    def _h(i):
+        acc = None
+        for k, pw in enumerate(CDC_POWS):
+            term = F.element_at(codes, (i - F.lit(k)).cast("int")) * F.lit(pw)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(CDC_P)
+
+    cuts = F.filter(
+        F.sequence(F.lit(CDC_W), n),
+        lambda i: _h(i) % CDC_MASK == CDC_MASK - 1,
+    )
+    return F.when(n >= CDC_W, cuts).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def cdc_chunk_hashes(docs: DataFrame) -> DataFrame:
+    """(source, chash): md5 content address of every CDC chunk.
+
+    Three stacked projections, one generate, zero shuffles — the
+    100 TB shape is identical to the fixed-width d21 explode. The
+    char-code array and the boundary array are each materialized in
+    their OWN projection (multiply-referenced non-cheap aliases;
+    CollapseProject would otherwise inline the whole rolling-hash
+    expression once per reference — the doc_shingles lesson), while
+    the chunk-hash array stays INLINE in the generator so
+    InferFiltersFromGenerate cannot substitute it into a per-row
+    Filter (the doc_shingles_local lesson). Zero-length tail chunks
+    (final boundary exactly at end-of-text) are dropped in-row in both
+    engines.
+    """
+    p1 = docs.filter(F.length("text") > 0).select(
+        "source",
+        "text",
+        F.length("text").alias("n"),
+        F.transform(F.split(F.col("text"), ""), F.ascii).alias("codes"),
+    )
+    p2 = p1.select(
+        "source",
+        "text",
+        "n",
+        cdc_boundary_expr(F.col("codes"), F.col("n")).alias("bounds"),
+    )
+    starts = F.concat(F.array(F.lit(0)), F.col("bounds"))
+    ends = F.concat(F.col("bounds"), F.array(F.col("n")))
+    chunk_md5s = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e > s, F.md5(F.col("text").substr(s + 1, e - s))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return p2.select("source", F.explode(chunk_md5s).alias("chash"))
+
 
 def _py_tokens(text: str) -> list[str]:
     """Python replica of ``functions.text.tokens`` (lower → collapse

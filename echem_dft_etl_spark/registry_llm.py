@@ -1802,6 +1802,86 @@ def d21_chunk_dedup(spark, sf_dir):
     )
 
 
+def _cdc_hash_sql() -> str:
+    """DuckDB spelling of chunking.cdc_boundary_expr's rolling hash at
+    1-based position i — same B^k mod P coefficients, same window."""
+    from .operators import chunking
+
+    terms = " + ".join(
+        f"ascii(substr(text, CAST(i - {k} AS INTEGER), 1)) * {pw}"
+        for k, pw in enumerate(chunking.CDC_POWS)
+    )
+    return f"(({terms}) % {chunking.CDC_P})"
+
+
+def _d21_cdc_oracle() -> str:
+    from .operators import chunking
+
+    return f"""
+    WITH d AS (SELECT doc_id, source, text, length(text) AS n
+               FROM documents WHERE length(text) > 0),
+    p AS (SELECT doc_id, text,
+                 unnest(range({chunking.CDC_W}, n + 1)) AS i
+          FROM d),
+    b AS (SELECT doc_id, i FROM p
+          WHERE {_cdc_hash_sql()} % {chunking.CDC_MASK}
+                = {chunking.CDC_MASK - 1}),
+    bl AS (SELECT doc_id, list_sort(list(i)) AS bounds
+           FROM b GROUP BY doc_id),
+    w AS (SELECT d.doc_id, d.source, d.text, d.n,
+                 coalesce(bl.bounds, CAST([] AS BIGINT[])) AS bounds
+          FROM d LEFT JOIN bl USING (doc_id)),
+    c AS (SELECT source, text,
+                 unnest(list_prepend(CAST(0 AS BIGINT), bounds)) AS s,
+                 unnest(list_append(bounds, CAST(n AS BIGINT))) AS e
+          FROM w),
+    chunks AS (SELECT source,
+                      md5(substr(text, CAST(s + 1 AS INTEGER),
+                                 CAST(e - s AS INTEGER))) AS chash
+               FROM c WHERE e > s)
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chash) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT chash) AS BIGINT)
+             AS n_dedupable
+    FROM chunks GROUP BY source
+    """
+
+
+@_register(
+    "d21_chunk_dedup_cdc",
+    oracle=_d21_cdc_oracle(),
+    survey_ids=("X11",),
+)
+def d21_chunk_dedup_cdc(spark, sf_dir):
+    """Content-defined chunking twin of d21_chunk_dedup (VERDICT r11
+    item 6): chunk boundaries fall where a polynomial rolling hash over
+    the last 8 characters hits a sentinel residue mod 64 (expected
+    chunk = 64 chars, the fixed-width baseline's width), so an
+    insertion early in a document re-chunks only until the hash window
+    clears the edit and the tail keeps its content addresses — the
+    property that makes CDC the storage-dedup standard where
+    fixed-width chunking loses every chunk after the first edit.
+    Boundary detection, cutting and md5 addressing are pure column
+    expressions (zero Python, zero shuffles before the final
+    per-source distinct-count); the oracle re-derives the identical
+    integer hash from the shared CDC_POWS coefficients.
+    operators/chunking.py::cdc_chunk_hashes. Production CDC adds
+    min/max chunk bounds (FastCDC); this keeps the textbook rule so
+    both engines stay expression-exact."""
+    from .operators import chunking
+
+    docs = _ld(spark, sf_dir, "documents")
+    chunks = chunking.cdc_chunk_hashes(docs)
+    return chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct(F.col("chash")).alias("n_unique"),
+        (F.count("*") - F.count_distinct(F.col("chash")))
+        .cast("bigint")
+        .alias("n_dedupable"),
+    )
+
+
 @_register(
     "s15_skew_report",
     oracle="""

@@ -479,6 +479,48 @@ def test_decontaminate_fuzzy_flags_paraphrase_not_single_shingle(spark):
     assert all(t not in (2, 3) for t, _ in out)
 
 
+def test_cdc_chunking_shift_robust(spark):
+    """The content-defined-chunking contract: inserting ONE character
+    early in a document must not re-chunk the tail. Cut positions
+    depend only on the last CDC_W characters, so they re-synchronize
+    once the rolling window clears the edit — every chunk after the
+    edited one keeps its content hash. Fixed-width chunking (the d21
+    baseline) loses essentially every chunk after the edit, which is
+    the contrast this test also pins down."""
+    import hashlib
+    import random
+
+    from echem_dft_etl_spark.operators.chunking import cdc_chunk_hashes
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    text = " ".join(rng.choice(words) for _ in range(400))
+    edited = text[:5] + "X" + text[5:]
+
+    def chunks_of(t):
+        df = spark.createDataFrame([("s", t)], "source string, text string")
+        return [r.chash for r in cdc_chunk_hashes(df).collect()]
+
+    a, b = chunks_of(text), chunks_of(edited)
+    assert len(a) > 5, "fixture must produce several chunks"
+    # common suffix: everything after the edited chunk is preserved
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= len(a) - 2, (
+        f"tail not preserved: only {k} of {len(a)} chunks survive the edit"
+    )
+    # the fixed-width baseline under the same edit: every 64-char chunk
+    # after the insertion shifts, so almost nothing survives
+    fixed = lambda t: {  # noqa: E731
+        hashlib.md5(t[i : i + 64].encode()).hexdigest()
+        for i in range(0, len(t), 64)
+    }
+    surviving_fixed = len(fixed(text) & fixed(edited))
+    assert surviving_fixed <= 2, "fixed-width unexpectedly shift-robust"
+
+
 def test_repetition_stats_known_values(spark):
     """Hand-computed duplicate fractions on crafted docs."""
     from echem_dft_etl_spark.operators.textstats import repetition_stats
