@@ -816,3 +816,102 @@ def kcore_nodes(
     finally:
         if not ok:
             _release_rdds(spark, prev_ids)
+
+
+def coreness_grid(
+    pairs: DataFrame, ks: tuple = (60, 80, 90), rounds: int = 8
+) -> DataFrame:
+    """Graded coreness over a fixed k-grid: (v, coreness) for EVERY
+    node, where coreness = the largest grid value k such that v
+    survives fixed-round k-core peeling (0 if below the smallest).
+
+    This turns :func:`kcore_nodes`' boolean quality filter into the
+    graded signal production dedup pipelines rank with (keep grade-80
+    pages outright, down-weight grade-60, drop grade-0 tendrils).
+
+    The scale property is NESTING: k-cores satisfy core_{k+1} ⊆
+    core_k, and the k-core of any subgraph containing core_k(G)
+    equals core_k(G) — so each grade peels the PREVIOUS grade's
+    surviving edge list, not the original graph. The expensive first
+    grade pays the full edge list once; every later grade starts from
+    an already-contracted graph (at corpus shape, grade 2+ inputs are
+    a fraction of the original edges), instead of ``len(ks)``
+    independent full-graph peels. Round counts are FIXED per grade
+    (the kcore_nodes / integer_pagerank design) so the result is
+    bit-identical to the unrolled-CTE oracle, with the same proven
+    early exits: an unchanged edge count mid-grade proves that
+    grade's fixpoint, and a zero edge count proves every HIGHER grade
+    is empty (peeling an empty graph is the identity), so the loop
+    stops outright.
+
+    Storage discipline matches kcore_nodes: per-grade checkpoints
+    every second round with tracked release of superseded blocks; the
+    blocks backing each grade's survivor frame (and the base edges,
+    which back the grade-0 node set) live until the caller drops the
+    returned frame.
+    """
+    require_at_least("rounds", rounds, 1)
+    if not ks or list(ks) != sorted(set(ks)) or min(ks) < 1:
+        raise ValueError(
+            f"ks must be strictly ascending positive grades, got {ks!r}"
+        )
+    spark = pairs.sparkSession
+    keep_ids: list = []  # blocks the RETURNED frame depends on
+    ok = False
+
+    # no per-frame distinct(): every (v, grade) stream feeds ONE final
+    # max-aggregate whose map-side partial combine collapses duplicates
+    # before the single shuffle — five distincts' worth of exchanges
+    # replaced by one (measured ~5 s at sf0.1)
+    def _nodes(ed):
+        return ed.select(F.explode(F.array("a", "b")).alias("v"))
+
+    try:
+        ed = _tracked_checkpoint(pairs, keep_ids)
+        n_edges = ed.count()
+        grades = [_nodes(ed).select("v", F.lit(0).alias("grade"))]
+        with scoped_shuffle_width(spark, n_edges):
+            for k in ks:
+                if n_edges == 0:
+                    break  # higher grades peel an empty graph: empty
+                loop_ids: list = []
+                cur = n_edges
+                for i in range(rounds):
+                    deg = (
+                        ed.select(F.explode(F.array("a", "b")).alias("v"))
+                        .groupBy("v")
+                        .agg(F.count(F.lit(1)).alias("deg"))
+                    )
+                    keep = deg.filter(F.col("deg") >= k).select("v")
+                    ed = ed.join(
+                        keep.select(F.col("v").alias("a")), "a", "left_semi"
+                    ).join(
+                        keep.select(F.col("v").alias("b")), "b", "left_semi"
+                    )
+                    if i % 2 == 1 or i == rounds - 1:
+                        round_ids: list = []
+                        ed = _tracked_checkpoint(ed, round_ids)
+                        _release_rdds(spark, loop_ids)
+                        loop_ids = round_ids
+                        n_now = ed.count()
+                        if n_now == cur:
+                            break
+                        cur = n_now
+                # this grade's final blocks back its survivor frame
+                keep_ids.extend(loop_ids)
+                n_edges = cur
+                if cur > 0:
+                    grades.append(
+                        _nodes(ed).select("v", F.lit(k).alias("grade"))
+                    )
+            out = grades[0]
+            for g in grades[1:]:
+                out = out.unionByName(g)
+            out = out.groupBy("v").agg(
+                F.max("grade").cast("bigint").alias("coreness")
+            )
+        ok = True
+        return out
+    finally:
+        if not ok:
+            _release_rdds(spark, keep_ids)

@@ -3333,6 +3333,95 @@ def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
     )
 
 
+def _coreness_sql(ks: tuple = (60, 80, 90), rounds: int = 8) -> str:
+    """Unrolled NESTED peeling for the graded coreness decomposition:
+    grade g's round 0 edge list is grade g-1's final one (the k-core
+    nesting property components.py::coreness_grid exploits), so the
+    generated stages chain across grades exactly like the Spark loop.
+    Same MATERIALIZED discipline as _kcore_sql."""
+    parts = [
+        """
+    e0_r0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+               GREATEST(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey <> l2.l_partkey
+    )"""
+    ]
+    for g, k in enumerate(ks, start=1):
+        for r in range(1, rounds + 1):
+            # grade g's round 0 IS the previous grade's final edge list
+            prev = f"e{g}_r{r - 1}" if r > 1 else (
+                f"e{g - 1}_r{rounds}" if g > 1 else "e0_r0"
+            )
+            parts.append(f"""
+    d{g}_r{r} AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM (
+                 SELECT a AS v FROM {prev}
+                 UNION ALL SELECT b FROM {prev}) GROUP BY v),
+    k{g}_r{r} AS MATERIALIZED (SELECT v FROM d{g}_r{r} WHERE deg >= {k}),
+    e{g}_r{r} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e
+             WHERE e.a IN (SELECT v FROM k{g}_r{r})
+               AND e.b IN (SELECT v FROM k{g}_r{r}))""")
+    graded = [
+        "SELECT a AS v, 0 AS grade FROM e0_r0 UNION ALL "
+        "SELECT b, 0 FROM e0_r0"
+    ]
+    for g, k in enumerate(ks, start=1):
+        graded.append(
+            f"SELECT a AS v, {k} AS grade FROM e{g}_r{rounds} UNION ALL "
+            f"SELECT b, {k} FROM e{g}_r{rounds}"
+        )
+    return (
+        "WITH" + ",".join(parts) + f"""
+    SELECT v, CAST(MAX(grade) AS BIGINT) AS coreness FROM (
+        {" UNION ALL ".join(graded)}
+    ) GROUP BY v
+    """
+    )
+
+
+@_register(
+    "x05_coreness",
+    oracle=_coreness_sql((60, 80, 90), 8),
+    survey_ids=("X5", "X11"),
+)
+def x05_coreness(spark, sf_dir):
+    """Graded coreness decomposition (VERDICT r11 item 7): x05_kcore's
+    boolean filter turned into the (node, coreness) signal production
+    dedup pipelines rank with — coreness = largest grid k ∈ {60, 80,
+    90} whose fixed-round k-core keeps the node, 0 for tendrils below
+    the smallest grade (the grid starts at 60 because this graph's
+    minimum degree ≈ 40 makes a 40-grade indistinguishable from
+    membership while costing a full-graph pass). Each grade peels the
+    PREVIOUS grade's
+    surviving edges (k-core nesting), so the full edge list is paid
+    once and later grades start contracted; round budgets are fixed
+    with the proven early exits, bit-identical to this nested
+    unrolled-CTE oracle. Same co-order part graph and pairs
+    construction as x05_kcore.
+    operators/components.py::coreness_grid."""
+    from .operators.components import coreness_grid
+
+    li = _ld(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.col("ps"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    pairs = (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    return coreness_grid(pairs, ks=(60, 80, 90), rounds=8)
+
+
 @_register(
     "x05_kcore",
     oracle=_kcore_sql(80, 8),

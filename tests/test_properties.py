@@ -938,6 +938,57 @@ def test_doc_shingles_local_equivalence_and_plan_shape(spark):
     )
 
 
+def test_coreness_grid_matches_bruteforce_peeling(spark):
+    """Graded coreness on a seeded random graph must equal brute-force
+    converged peeling per grid value (max grade whose k-core keeps the
+    node). rounds is set to the node count so every fixed-round peel
+    provably converges, making the nested-peeling + early-exit
+    machinery comparable against the textbook definition."""
+    import random
+
+    from echem_dft_etl_spark.operators.components import coreness_grid
+
+    rng = random.Random(7)
+    n_v = 24
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                sorted(rng.sample(range(n_v), 2)) for _ in range(70)
+            )
+        }
+    )
+
+    def brute_core(k):
+        adj = {v: set() for v in range(n_v)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = {v for v in adj if adj[v]}
+        changed = True
+        while changed:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            changed = bool(drop)
+            alive -= drop
+        return alive
+
+    ks = (2, 3, 4)
+    want = {}
+    for v in range(n_v):
+        if any(v in (a, b) for a, b in edges):
+            want[v] = 0
+    for k in ks:
+        for v in brute_core(k):
+            want[v] = k
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.v: r.coreness for r in coreness_grid(df, ks=ks, rounds=n_v).collect()}
+    assert got == want
+    assert set(want.values()) == {0, 2, 3, 4} or len(set(want.values())) >= 3, (
+        "fixture too degenerate to exercise multiple grades"
+    )
+
+
 def test_bfs_distances_levels_cycle_and_disconnected(spark):
     """Hand-built graph: a path 1-2-3-4-5, a cycle 6-7-8, and an
     isolated vertex 9. Multi-source BFS from {1, 6, 99} must return
