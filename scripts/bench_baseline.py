@@ -13,6 +13,9 @@ Usage::
 
     python scripts/bench_baseline.py rebuild   # walk git history
     python scripts/bench_baseline.py update    # fold in ./BENCH_DETAIL.json
+    python scripts/bench_baseline.py refresh   # update + re-anchor
+                                               # null-loadavg minima to
+                                               # the current calm run
 
 ``rebuild`` walks every commit that touched BENCH_DETAIL.json, parses
 each vintage, and records per query the smallest min-of-runs observed
@@ -129,12 +132,43 @@ def update() -> dict[str, dict]:
     return base
 
 
+def refresh() -> dict[str, dict]:
+    """Re-anchor LOAD-CONTEXT-FREE minima to the current artifact
+    (VERDICT r11 item 8): entries whose ``loadavg_1m`` is null are
+    pre-protocol idle-host bests nobody can match under today's
+    instrumented runs — as a regression bar they only inflate ratio
+    noise. For each such entry, REPLACE it with the current clean
+    sample (even if slower) and keep the superseded value in the entry
+    for audit; entries that already carry a loadavg keep normal
+    min-folding. Run this only on a calm-gated artifact — the caller
+    is re-defining the floor, not recording a best."""
+    base = json.loads(BASELINE.read_text()) if BASELINE.exists() else {}
+    detail = json.loads(DETAIL.read_text())
+    cur = _best_from_detail(detail, "worktree")
+    replaced = lowered = 0
+    for name, entry in cur.items():
+        old = base.get(name)
+        if old is None or entry["min_seconds"] < old["min_seconds"]:
+            base[name] = entry
+            lowered += 1
+        elif old.get("loadavg_1m") is None and entry["loadavg_1m"] is not None:
+            entry["superseded_min_seconds"] = old["min_seconds"]
+            base[name] = entry
+            replaced += 1
+    print(
+        f"refresh: {lowered} lowered/added, {replaced} null-loadavg "
+        f"entries re-anchored, {len(base)} total"
+    )
+    return base
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "update"
-    if mode not in ("rebuild", "update"):
+    modes = {"rebuild": rebuild, "update": update, "refresh": refresh}
+    if mode not in modes:
         print(__doc__)
         return 2
-    base = rebuild() if mode == "rebuild" else update()
+    base = modes[mode]()
     BASELINE.write_text(
         json.dumps(dict(sorted(base.items())), indent=1) + "\n"
     )

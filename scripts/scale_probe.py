@@ -461,10 +461,23 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
             "s12_near_pairs_pruned",
             lambda: similarity.lsh_near_pairs(emb, threshold=0.85),
         ),
+        # The df cap SCALES WITH K (VERDICT r11 item 3): max_df is a
+        # constant-corpus-fraction selectivity rule, and K-fold
+        # duplication multiplies every shingle's df by K — at a FIXED
+        # cap the K=8 rung silently changes the operator's semantics
+        # (base-df > max_df/K shingles fall out of the representation)
+        # while the planted duplication still inflates posting lists
+        # ~K², which is why r11's rung read 5.0 s → 47.4 s with a 3.03
+        # rows exponent and no clean interpretation. Scaling the cap
+        # keeps the INDEXED SHINGLE SET identical across rungs, so
+        # candidates grow exactly with the planted pair structure and
+        # the honest read is cost-per-emitted-pair, same as d13.
         (
             "lsh",
             "d14_ngram_jaccard",
-            lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_df=dedup.DEFAULT_MAX_DF * k
+            ),
         ),
         # fixed-output twin: constant emitted pairs across K (base
         # copy only); time = K-scaled shingling/indexing + a

@@ -691,3 +691,51 @@ def test_supplier_variety_not_in_avoids_null_aware_fallback(spark):
     plan = plans.inspect.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_set_ops_oneshot_single_scan_single_shuffle(spark):
+    """The scale-preferred twin of x02_set_ops: ONE orders scan with
+    the two-year date bracket pushed to the parquet reader, one
+    map-side-combinable flag aggregate, zero joins — vs the set-op
+    spelling's four scans + three join-shaped set operations."""
+    df = all_queries()["x02_set_ops_oneshot"].fn(spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    assert s["shuffle_exchanges"] == 1, s
+    assert (
+        s["sort_merge_joins"] + s["broadcast_joins"]
+        + s["nested_loop_joins"] + s["cartesian_products"] == 0
+    ), s
+    pushed = " ".join(s["pushed_filters"])
+    assert "o_orderdate" in pushed, s["pushed_filters"]
+    plan = plans.inspect.physical_plan(df)
+    assert plan.count("FileScan") <= 1, "oneshot twin must scan orders once"
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_side(spark):
+    """The 100 TB shape: every eval-side relation (band entries,
+    exploded shingles, set sizes) reaches its join as a broadcast, so
+    the training corpus is never shuffled for candidate generation —
+    the only exchanges are sized by the candidate set. No sort-merge
+    join and no cartesian may appear."""
+    df = all_queries()["d15_decontaminate_fuzzy"].fn(spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    assert s["broadcast_joins"] >= 3, s
+    assert s["cartesian_products"] == 0, s
+    assert s["sort_merge_joins"] == 0, s
+
+
+def test_cdc_chunking_plan_shape(spark):
+    """CDC boundary detection + cutting + md5 addressing are pure
+    per-row expressions: the only exchanges are the two-phase
+    per-source distinct-count (same as the fixed-width d21 baseline);
+    no join, no window, and the non-empty-text filter reaches the
+    scan."""
+    df = all_queries()["d21_chunk_dedup_cdc"].fn(spark, SF_SMOKE)
+    s = plans.plan_summary(df)
+    assert s["shuffle_exchanges"] <= 2, s
+    assert s["windows"] == 0, s
+    assert (
+        s["sort_merge_joins"] + s["broadcast_joins"]
+        + s["nested_loop_joins"] + s["cartesian_products"] == 0
+    ), s
+    assert any("text" in f for f in s["pushed_filters"]), s["pushed_filters"]
