@@ -145,6 +145,28 @@ def refresh() -> dict[str, dict]:
     base = json.loads(BASELINE.read_text()) if BASELINE.exists() else {}
     detail = json.loads(DETAIL.read_text())
     cur = _best_from_detail(detail, "worktree")
+    # Fallback anchors for queries whose every current sample recorded
+    # a load above the bar: the lagging 1-min average mostly measures
+    # the bench's own preceding burst (the r11 gate lesson), and load
+    # only INFLATES a sample, so the fastest one is still a valid —
+    # merely conservative — floor. Its loadavg rides along so a reader
+    # can judge comparability; a later calmer run will lower it via
+    # normal min-folding.
+    runs = detail.get("runs") or {}
+    loads = detail.get("run_loadavg") or {}
+    hot: dict[str, dict] = {}
+    for name, samples in runs.items():
+        if name in cur or not samples:
+            continue
+        la = (loads.get(name) or []) + [None] * len(samples)
+        pairs = [(s, l) for s, l in zip(samples, la) if s > 0]
+        if pairs:
+            best, best_la = min(pairs, key=lambda p: p[0])
+            hot[name] = {
+                "min_seconds": best,
+                "commit": "worktree",
+                "loadavg_1m": best_la,
+            }
     replaced = lowered = 0
     for name, entry in cur.items():
         old = base.get(name)
@@ -152,6 +174,12 @@ def refresh() -> dict[str, dict]:
             base[name] = entry
             lowered += 1
         elif old.get("loadavg_1m") is None and entry["loadavg_1m"] is not None:
+            entry["superseded_min_seconds"] = old["min_seconds"]
+            base[name] = entry
+            replaced += 1
+    for name, entry in hot.items():
+        old = base.get(name)
+        if old is not None and old.get("loadavg_1m") is None:
             entry["superseded_min_seconds"] = old["min_seconds"]
             base[name] = entry
             replaced += 1
