@@ -680,6 +680,16 @@ def main() -> None:
                 # blocks (bfs measured 45 s polluted vs 16-22 s clean)
                 pinned_before = _persistent_rdd_ids(spark)
                 ctx = setup(setup_ids) if setup else None
+                # loadavg beside every sample (the bench/calm_probe
+                # protocol): r12's first artifact carried a 6x K=8
+                # knee on a FIXED-OUTPUT twin that an isolated re-run
+                # measured at ~1.2x — pure suite-context inflation,
+                # indistinguishable without per-rung load context.
+                try:
+                    with open("/proc/loadavg") as fh:
+                        la = float(fh.read().split()[0])
+                except Exception:
+                    la = None
                 t0 = time.perf_counter()
                 n = (build(ctx) if setup else build()).count()
                 dt = round(time.perf_counter() - t0, 2)
@@ -688,12 +698,19 @@ def main() -> None:
                 )
                 print(f"K={k} {name}: {n} rows in {dt}s", flush=True)
                 slot = results.setdefault(
-                    name, {"family": family, "seconds": {}, "rows": {}}
+                    name,
+                    {
+                        "family": family,
+                        "seconds": {},
+                        "rows": {},
+                        "loadavg_1m": {},
+                    },
                 )
                 if setup:
                     slot["timed_path"] = "serve-only (index setup untimed)"
                 slot["seconds"][str(k)] = dt
                 slot["rows"][str(k)] = n
+                slot["loadavg_1m"][str(k)] = la
             if cc_stats:
                 cc_rounds[k] = cc_stats
                 print(
