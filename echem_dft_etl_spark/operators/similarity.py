@@ -1021,6 +1021,103 @@ def semdedup(
     )
 
 
+def semdedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    threshold: float = 0.4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup: screen a NEW batch of vectors against an
+    already-clustered corpus WITHOUT re-clustering — the embedding-side
+    mirror of :func:`dedup`'s ``d18`` incremental MinHash path, and the
+    shape a production ingest actually runs (the corpus index is a
+    persisted artifact; re-running Lloyd over 100 TB per arriving batch
+    would dwarf the ingest itself).
+
+    Contract: a batch vector is dominated iff some CORPUS vector in
+    its assigned cell has cosine ≥ ``threshold`` with it. Cells come
+    from the corpus's own k-means fit (deterministic seeds = the
+    corpus ids below ``k``, the d16/kmeans convention; ``rounds``
+    Lloyd rounds — identical arithmetic
+    to :func:`semdedup` / the kmeans oracle CTE); batch vectors are
+    assigned by broadcast-argmin against those FROZEN centroids, the
+    incremental step. Batch-internal duplicates are deliberately NOT
+    judged here (same convention as d18: that's the intra-batch dedup
+    pass's job; this operator answers "is it new relative to the
+    corpus").
+
+    Returns every batch id with ``(vec_id, cell, n_dominators,
+    is_kept)``. Scale shape: centroid fit and both assignments are
+    broadcast-argmin projections (zero data-sized shuffles; the Lloyd
+    update shuffles k·d per-dimension sums, never vectors); the verify
+    join is an equi-join on ``cell`` whose cost is |batch|·(cell
+    population) — linear in the batch for a well-sized k, never
+    corpus-quadratic. In production the corpus side arrives
+    pre-assigned (cells are part of the persisted index); here it is
+    derived in-plan and checkpointed once (the semdedup discipline) so
+    the centroid fit isn't re-run per consumer branch.
+    """
+    require_at_least("k", k, 1)
+    require_at_least("rounds", rounds, 0)
+    require_in_range("threshold", threshold, -1.0, 1.0)
+    from .kmeans import assign, quantize_micro, update_centroids
+
+    pts_c = corpus.select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("qv")
+    )
+    cent_arr = (
+        pts_c.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform("qv", lambda v: v.cast("double")).alias("c_vec"),
+        )
+        .agg(F.collect_list(F.struct("cent_id", "c_vec")).alias("cents"))
+    )
+    assigned_c = assign(pts_c, cent_arr)
+    for _ in range(rounds):
+        cent_arr = update_centroids(assigned_c)
+        assigned_c = assign(pts_c, cent_arr)
+    c_side = corpus.select("vec_id", "embedding").join(
+        assigned_c.select("vec_id", "cell"), "vec_id"
+    )
+    if checkpoint:
+        c_side = c_side.localCheckpoint(eager=True)
+    pts_b = batch.select(
+        "vec_id", quantize_micro(F.col("embedding")).alias("qv")
+    )
+    b_side = batch.select("vec_id", "embedding").join(
+        assign(pts_b, cent_arr).select("vec_id", "cell"), "vec_id"
+    )
+    cos = make_cosine_pandas_udf()
+    dom = (
+        b_side.select(
+            F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"), "cell"
+        )
+        .join(
+            c_side.select(
+                F.col("vec_id").alias("a"),
+                F.col("embedding").alias("a_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .select("b", cos(F.col("a_emb"), F.col("b_emb")).alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .groupBy("b")
+        .agg(F.count("*").alias("n_dominators"))
+    )
+    return b_side.join(dom, b_side["vec_id"] == dom["b"], "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce("n_dominators", F.lit(0)).cast("bigint").alias(
+            "n_dominators"
+        ),
+        F.col("n_dominators").isNull().alias("is_kept"),
+    )
+
+
 def _pq_subdist(vec_col: Column, cm_col: Column, j: int, sub: int) -> Column:
     """Exact bigint squared distance between subspace ``j`` of two
     integer micro-unit vectors (elements < ~4e6, so the per-subspace

@@ -1445,6 +1445,88 @@ def d16_semdedup(spark, sf_dir):
 
 
 @_register(
+    "d16_semdedup_incremental",
+    oracle=f"""
+    WITH p AS (SELECT vec_id,
+                 list_transform(embedding,
+                      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS qv
+          FROM embeddings),
+    pc AS (SELECT * FROM p WHERE vec_id % 10 <> 7),
+    pb AS (SELECT * FROM p WHERE vec_id % 10 = 7),
+    c0 AS (SELECT vec_id AS cent_id,
+                  list_transform(qv, v -> CAST(v AS DOUBLE)) AS c_vec
+           FROM pc WHERE vec_id < {_KM_K}),
+    d0 AS (SELECT pc.vec_id, pc.qv, c.cent_id,
+                  {_sqd_sql('pc.qv', 'c.c_vec')} AS d
+           FROM pc CROSS JOIN c0 c),
+    r0 AS (SELECT vec_id, qv, cent_id AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY d ASC, cent_id ASC) AS rk
+           FROM d0),
+    asg0 AS (SELECT vec_id, qv, cell FROM r0 WHERE rk = 1),
+    pd AS (SELECT cell,
+                  unnest(range(1, len(qv) + 1)) AS dim,
+                  unnest(qv) AS v
+           FROM asg0),
+    sums AS (SELECT cell, dim, SUM(v) AS s, COUNT(*) AS n
+             FROM pd GROUP BY cell, dim),
+    c1 AS (SELECT cell AS cent_id,
+                  list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       ORDER BY dim) AS c_vec
+           FROM sums GROUP BY cell),
+    d1c AS (SELECT pc.vec_id, c.cent_id,
+                   {_sqd_sql('pc.qv', 'c.c_vec')} AS d
+            FROM pc CROSS JOIN c1 c),
+    asgc AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cent_id AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, cent_id ASC) AS rk
+                FROM d1c) WHERE rk = 1),
+    d1b AS (SELECT pb.vec_id, c.cent_id,
+                   {_sqd_sql('pb.qv', 'c.c_vec')} AS d
+            FROM pb CROSS JOIN c1 c),
+    asgb AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cent_id AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, cent_id ASC) AS rk
+                FROM d1b) WHERE rk = 1),
+    bv AS (SELECT a.vec_id, a.cell, e.embedding
+           FROM asgb a JOIN embeddings e ON e.vec_id = a.vec_id),
+    cv AS (SELECT a.vec_id, a.cell, e.embedding
+           FROM asgc a JOIN embeddings e ON e.vec_id = a.vec_id),
+    dom AS (SELECT b.vec_id, COUNT(*) AS n_dominators
+            FROM bv b JOIN cv c ON c.cell = b.cell
+            WHERE {_cosine_sql('c.embedding', 'b.embedding')} >= 0.4
+            GROUP BY b.vec_id)
+    SELECT t.vec_id, t.cell,
+           CAST(coalesce(d.n_dominators, 0) AS BIGINT) AS n_dominators,
+           d.vec_id IS NULL AS is_kept
+    FROM bv t LEFT JOIN dom d ON d.vec_id = t.vec_id
+    """,
+    survey_ids=("X11", "X12"),
+)
+def d16_semdedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup: the vec_id%10==7 slice arrives as a NEW
+    batch and is screened against the corpus's FROZEN k-means fit —
+    assign by broadcast-argmin against the existing centroids, compare
+    only within the landed cell, never re-cluster (the d18 incremental
+    convention moved to embedding space: a production ingest amortizes
+    the index, it doesn't rebuild it per batch). Batch-internal dups
+    are deliberately out of contract — this answers "new relative to
+    the corpus". operators/similarity.py::semdedup_incremental."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 7
+    return similarity.semdedup_incremental(
+        emb.filter(~is_batch),
+        emb.filter(is_batch),
+        k=_KM_K,
+        rounds=1,
+        threshold=0.4,
+    )
+
+
+@_register(
     "s12_ann_lsh_multiprobe",
     oracle=f"""
     WITH be AS (SELECT vec_id, embedding,

@@ -673,6 +673,46 @@ def test_semdedup_drops_planted_semantic_twins(spark):
     assert {v for v, r in out.items() if not r.is_kept} == {100, 101, 102, 103, 104}
 
 
+def test_semdedup_incremental_screens_batch_against_frozen_corpus(spark):
+    """Incremental contract: a batch vector that clones a corpus
+    vector lands in that vector's cell (assignment against FROZEN
+    corpus centroids) and is dropped; a batch direction the corpus
+    has never seen is kept; and two identical batch vectors are BOTH
+    kept — batch-internal duplication is out of contract (the d18
+    convention: this operator answers "new relative to the corpus")."""
+    import numpy as np
+
+    from echem_dft_etl_spark.operators.similarity import semdedup_incremental
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((30, 16))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    novel = rng.standard_normal(16)
+    batch_rows = [
+        (200, [float(x * 1.2) for x in base[5]]),   # clone of corpus 5
+        (201, [float(x) for x in novel]),           # novel direction
+        (202, [float(x) for x in novel]),           # its batch twin
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup_incremental(
+            corpus, batch, k=4, rounds=1, threshold=0.99
+        ).collect()
+    }
+    assert set(out) == {200, 201, 202}, "verdict for every batch id only"
+    assert not out[200].is_kept and out[200].n_dominators >= 1
+    assert out[201].is_kept, "novel direction must survive"
+    assert out[202].is_kept, (
+        "batch-internal twins are out of contract and must both survive"
+    )
+
+
 def test_mixture_sample_rate_and_determinism(spark):
     """Weighted sampling keeps ~weight_ppm/1e6 of each group (binomial
     tolerance) and selects an identical key set on re-run and under a
