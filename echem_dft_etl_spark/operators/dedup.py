@@ -251,6 +251,30 @@ def _band_entries(
     )
 
 
+def doc_band_entries(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band, band_key) straight off the text — the banded
+    signature index as ONE chain of pure projections (tokenize →
+    shingle arrays → minhash lanes → band-key explode). No aggregation
+    and no shuffle anywhere in the chain, which is what makes the same
+    expression legal over a STREAMING DataFrame: a stream computes its
+    band entries per micro-batch and probes a static index
+    (x10_stream_near_dup), while a batch corpus materializes this
+    frame as the persisted index artifact."""
+    return _band_entries(
+        minhash_signatures_from_arrays(
+            doc_shingle_arrays(docs, shingle_n), n_perms
+        ),
+        n_bands,
+        rows_per_band,
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     n_bands: int = N_BANDS,

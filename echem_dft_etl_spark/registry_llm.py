@@ -851,6 +851,85 @@ def d15_decontaminate_fuzzy(spark, sf_dir):
     return dedup.decontaminate_fuzzy(aug.filter(~is_eval), aug.filter(is_eval))
 
 
+@_register(
+    "x10_stream_near_dup",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 30 = 7
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+           FROM t WHERE len(toks) >= 3),
+    hh AS (SELECT doc_id, {_HSTR.format(e='shingle')} AS h FROM sh),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    sb AS (SELECT * FROM bands
+           WHERE doc_id % 10 = 7 AND doc_id < 3000000),
+    cb AS (SELECT * FROM bands
+           WHERE NOT (doc_id % 10 = 7 AND doc_id < 3000000)),
+    cand AS (SELECT DISTINCT sb.doc_id AS batch_id, cb.doc_id AS corpus_id
+             FROM sb JOIN cb
+               ON sb.band = cb.band AND sb.band_key = cb.band_key)
+    SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MIN(corpus_id) AS BIGINT) AS best_corpus_id
+    FROM cand GROUP BY batch_id
+    """,
+    survey_ids=("X10", "X11"),
+)
+def x10_stream_near_dup(spark, sf_dir):
+    """STREAMING near-dup screening: arriving documents (the
+    vec-style doc_id%10==7 slice replayed as a bounded availableNow
+    stream) compute their MinHash band keys per micro-batch — the
+    whole tokenize → shingle → signature → band chain is pure
+    projections (dedup.doc_band_entries), which is exactly what makes
+    it legal over a stream — and probe a BROADCAST static band index
+    built from the corpus. This is the ingest-time dedup gate of a
+    production pipeline: candidates surface while the data lands,
+    stateless per micro-batch (the join is stream-static, no state
+    store), with exact verification left to the batch layer (d12/d14's
+    job). Every 3rd batch doc is planted as an exact corpus twin
+    (doc_id + 3,000,000) IDENTICALLY here and in the oracle, so the
+    driver row exercises real stream-hits-index candidates. The
+    memory-sink pairs dedup batch-side after replay (one row per
+    agreeing band per pair in flight — first-band dedup needs no
+    streaming state because the downstream distinct is
+    candidate-sized). operators/dedup.py::doc_band_entries;
+    streaming/windows.py::read_table_stream."""
+    from .streaming.windows import read_table_stream, run_to_memory
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 30 == 7).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"), "text"
+    )
+    is_batch = (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 3_000_000)
+    corpus = docs.unionByName(twins).filter(~is_batch)
+    corpus_bands = dedup.doc_band_entries(corpus).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    sdocs = (
+        read_table_stream(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    s_bands = dedup.doc_band_entries(sdocs).withColumnRenamed(
+        "doc_id", "batch_id"
+    )
+    pairs = s_bands.join(
+        F.broadcast(corpus_bands), ["band", "band_key"]
+    ).select("batch_id", "corpus_id")
+    mem = run_to_memory(pairs, spark, mode="append")
+    return (
+        mem.distinct()
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.min("corpus_id").cast("bigint").alias("best_corpus_id"),
+        )
+    )
+
+
 #: Mixture weights as pure INTEGER ppm — survival rate per source
 #: bucket, {0.1, 0.3, 0.5, 0.7, 0.9} over source index mod 5. Integer
 #: end-to-end so no float weight can round differently across engines.

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table, prepare_session
 
 
-def _as_stream_dir(sf_dir: str) -> str:
+def _as_stream_dir(sf_dir: str, table: str = "events") -> str:
     """The file stream source requires a *directory*; the corpus ships
     one parquet file per table. Stage a per-sf symlink directory under
     /tmp (data is never copied or modified)."""
@@ -31,12 +31,26 @@ def _as_stream_dir(sf_dir: str) -> str:
     import os
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = f"/tmp/echem_stream_src_{key}/events"
+    d = f"/tmp/echem_stream_src_{key}/{table}"
     os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
+    link = f"{d}/{table}.parquet"
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
     return d
+
+
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """Open ANY corpus table as a bounded stream (availableNow replay)
+    — schema from a batch peek (streaming readers need it up front),
+    no column normalization. Use :func:`read_events_stream` for events
+    (it additionally normalizes the ts vintage)."""
+    prepare_session(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return spark.readStream.schema(raw_schema).parquet(
+        _as_stream_dir(sf_dir, table)
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,12 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schema comes from a batch peek (streaming readers need it up
     front); the nanos→µs truncation matches the batch loader.
     """
-    prepare_session(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(_as_stream_dir(sf_dir))
-    )
+    stream = read_table_stream(spark, sf_dir, "events")
     ts_dtype = dict(stream.dtypes)["ts"]
     if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
