@@ -1079,6 +1079,17 @@ def semdedup_incremental(
     for _ in range(rounds):
         cent_arr = update_centroids(assigned_c)
         assigned_c = assign(pts_c, cent_arr)
+    if checkpoint:
+        # Pin the fitted centroids — THE persisted index artifact of a
+        # production deployment — so neither assignment re-embeds the
+        # Lloyd-fit lineage (without this the batch-side argmin's plan
+        # re-derived the whole corpus fit: +5 exchanges). The no-op
+        # limit(1) writes the one-row bound back into the plan — a
+        # localCheckpoint is a LogicalRDD with no static maxRows, and
+        # the broadcast in assign() must stay classifiable as a
+        # bounded BNLJ build side (plans.bnlj_build_side_bounds).
+        cent_arr = cent_arr.localCheckpoint(eager=True).limit(1)
+        assigned_c = assign(pts_c, cent_arr)
     c_side = corpus.select("vec_id", "embedding").join(
         assigned_c.select("vec_id", "cell"), "vec_id"
     )
