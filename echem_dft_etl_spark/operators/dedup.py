@@ -970,3 +970,232 @@ def containment_pairs(
         ),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+#: Content-defined duplicated-span detection geometry: 32-char match
+#: window sampled at anchor positions where the 48-bit hash of the
+#: 8-char seed under the anchor is ≡ 0 (mod 4) — one anchor per ~4
+#: positions in expectation, chosen by CONTENT, so two copies of the
+#: same span anchor at the same offsets regardless of how the span is
+#: aligned inside each document (the winnowing/CDC property; byte
+#: insertions before the span cannot de-synchronize the sample the way
+#: a fixed-stride grid does).
+DUP_SPAN_WINDOW = 32
+DUP_SPAN_SEED = 8
+DUP_SPAN_MOD = 4
+
+
+def _dup_span_islands(
+    docs: DataFrame,
+    window: int,
+    seed: int,
+    mod: int,
+    min_docs: int,
+    non_keeper_only: bool = False,
+) -> DataFrame:
+    """Shared core of the duplicated-span family: content-defined
+    anchor sampling → cross-doc gram index → per-doc island merge.
+    Returns one row per maximal span: ``(doc_id, _island, _ss, _se,
+    _n)``. With ``non_keeper_only`` the canonical copy of each gram
+    (its minimum-doc_id holder) is exempt — the survivor convention of
+    the excision path."""
+    require_at_least("window", window, 2)
+    require_at_least("seed", seed, 1)
+    require_at_least("mod", mod, 1)
+    require_at_least("min_docs", min_docs, 2)
+    d = docs.filter(F.length("text") >= window).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    # NB: sequence() guarded by the length filter above — lo > hi would
+    # silently emit a DESCENDING position list, not an error.
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.col("n") - (window - 1)),
+        lambda p: det_hash_str(F.col("text").substr(p, F.lit(seed))) % mod == 0,
+    )
+    g = d.select(
+        "doc_id",
+        "n",
+        "text",
+        # the filter expression lives INSIDE the explode: aliasing it
+        # first would let InferFiltersFromGenerate clone the whole
+        # array computation into a per-row Filter (see
+        # doc_shingles_local)
+        F.explode(anchors).alias("p"),
+    ).select(
+        "doc_id",
+        "n",
+        F.col("p").cast("bigint").alias("s"),
+        (F.col("p") + (window - 1)).cast("bigint").alias("e"),
+        F.col("text").substr(F.col("p"), F.lit(window)).alias("gram"),
+    )
+    dup_grams = (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("_nd"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram", "_keeper")
+    )
+    hits = g.join(dup_grams, "gram")
+    if non_keeper_only:
+        hits = hits.filter(F.col("doc_id") != F.col("_keeper"))
+    hits = hits.select("doc_id", "n", "s", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn("_pme", F.max("e").over(w_prev)).withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                F.col("_pme").isNull() | (F.col("s") > F.col("_pme") + 1), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("s").alias("_ss"),
+        F.max("e").alias("_se"),
+        F.max("n").alias("_n"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = DUP_SPAN_WINDOW,
+    seed: int = DUP_SPAN_SEED,
+    mod: int = DUP_SPAN_MOD,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN accounting (X11): per document,
+    the merged character intervals whose content also appears verbatim
+    in ≥ ``min_docs - 1`` OTHER documents, with an integer-exact
+    duplicated-chars ppm. The span-granular complement to the
+    document-granular near-dup family — the signal "dedup to the
+    substring level" pipelines (Lee et al., *Deduplicating Training
+    Data Makes Language Models Better*) act on: a doc can be 95%
+    boilerplate yet unique as a whole, and only span accounting sees
+    it. Generalizes the reference's whole-record conflict skip
+    (``my_dag.py:201-202``) to sub-record content.
+
+    Plan shape (suffix arrays don't distribute; this is the inverted-
+    index re-expression, quadratic NOWHERE):
+
+    1. **Anchor sampling** — per doc, candidate positions
+       ``1..len-window+1`` are filtered INSIDE a row-local array
+       expression (``F.filter(F.sequence(...))``: no row explosion for
+       the non-anchors) to positions where
+       ``det_hash_str(seed-gram) % mod == 0``. Content-defined, so
+       shared spans anchor identically in every copy — a fixed-stride
+       grid would miss copies at different phases
+       (tests/test_dedup.py::test_dup_spans_shift_invariant).
+    2. **Inverted index** — explode only the anchors (~len/mod rows),
+       groupBy the ``window``-char gram, keep grams seen in ≥
+       ``min_docs`` distinct docs. The ONE corpus-wide exchange; at
+       100 TB the group key would be ``xxhash64(gram)`` (8-byte
+       shuffle rows, collision-tolerated) — kept as the exact string
+       here so the DuckDB oracle replays it verbatim.
+    3. **Hit join** — equi-join anchors against the duplicated-gram
+       set: output ≤ anchor count by construction (each anchor matches
+       at most one gram row), so unlike a posting-list SELF-join there
+       is no df² fan-out and no df cap is needed.
+    4. **Island merge** — per-doc gaps-and-islands (running ``max(e)``
+       + island counter) merges overlapping/adjacent ``[p, p+window)``
+       hits into maximal spans. Window partitions are per-document,
+       bounded by doc length — never corpus-skewed.
+
+    Output: ``(doc_id, n_spans, dup_chars, n_chars, dup_ppm)`` for
+    docs with ≥1 duplicated span; ``dup_ppm = dup_chars·10⁶ ÷ n_chars``
+    floor-divided (integer-exact cross-engine).
+    """
+    spans = _dup_span_islands(docs, window, seed, mod, min_docs)
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint").alias("dup_chars"),
+        F.max("_n").cast("bigint").alias("n_chars"),
+        F.floor(
+            F.sum(F.col("_se") - F.col("_ss") + 1) * 1000000 / F.max("_n")
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+
+
+def excise_duplicated_spans(
+    docs: DataFrame,
+    window: int = DUP_SPAN_WINDOW,
+    seed: int = DUP_SPAN_SEED,
+    mod: int = DUP_SPAN_MOD,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTIONABLE twin of :func:`duplicated_spans`: rewrite each
+    document with its duplicated spans cut out — what an ExactSubstr
+    pass actually does to a corpus — under a survivor convention that
+    keeps content represented exactly once: for every duplicated gram
+    the minimum-doc_id holder is canonical and keeps its copy; only
+    non-canonical occurrences are excised. Deterministic, and
+    idempotent on the result (a second pass finds the surviving copies
+    unique and removes nothing —
+    tests/test_properties.py::test_dup_spans_excise_idempotent).
+
+    The cut itself is row-local: the per-doc span list (already merged
+    to maximal islands) lands as a sorted array, and one
+    ``F.aggregate`` walks it building the complement —
+    ``substr(text, cur, ss-cur)`` per gap, then the tail — so no
+    per-character rows and no Python ever run; beyond
+    :func:`_dup_span_islands`'s gram groupBy, the only addition is the
+    per-doc span collect (bounded by doc length) and a left join back
+    to the corpus. Docs with nothing to cut pass through byte-identical.
+
+    Output: ``(doc_id, clean_text, n_chars, clean_chars,
+    removed_chars)`` for EVERY input document.
+    """
+    spans = _dup_span_islands(
+        docs, window, seed, mod, min_docs, non_keeper_only=True
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_ss").alias("ss"), F.col("_se").alias("se")))
+        ).alias("_spans")
+    )
+    base = docs.select("doc_id", "text").join(per_doc, "doc_id", "left")
+    walked = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit("").alias("acc"), F.lit(1).cast("bigint").alias("cur")
+        ),
+        lambda a, sp: F.struct(
+            F.concat(
+                a["acc"], F.col("text").substr(a["cur"], sp["ss"] - a["cur"])
+            ).alias("acc"),
+            (sp["se"] + 1).alias("cur"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("text").substr(
+                a["cur"], F.length("text") - a["cur"] + 1
+            ),
+        ),
+    )
+    out = base.select(
+        "doc_id",
+        F.when(F.col("_spans").isNull(), F.col("text"))
+        .otherwise(walked)
+        .alias("clean_text"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        "n_chars",
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+        (F.col("n_chars") - F.length("clean_text")).cast("bigint").alias(
+            "removed_chars"
+        ),
+    )

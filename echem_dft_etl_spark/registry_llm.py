@@ -560,6 +560,133 @@ def d14_ngram_jaccard(spark, sf_dir):
     )
 
 
+_SEED_H = _HSTR.format(e=f"substr(text, p, {dedup.DUP_SPAN_SEED})")
+
+
+@_register(
+    "d29_dup_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= {dedup.DUP_SPAN_WINDOW}),
+    anch AS (SELECT doc_id, text, n,
+                    unnest(list_filter(
+                      range(1, n - {dedup.DUP_SPAN_WINDOW - 1} + 1),
+                      p -> {_SEED_H} % {dedup.DUP_SPAN_MOD} = 0)) AS p
+             FROM d),
+    g AS (SELECT doc_id, n, CAST(p AS BIGINT) AS s,
+                 CAST(p + {dedup.DUP_SPAN_WINDOW - 1} AS BIGINT) AS e,
+                 substr(text, p, {dedup.DUP_SPAN_WINDOW}) AS gram
+          FROM anch),
+    dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    h AS (SELECT g.doc_id, g.n, g.s, g.e FROM g JOIN dup USING (gram)),
+    m AS (SELECT doc_id, n, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM h),
+    isl AS (SELECT doc_id, n, s, e,
+                   SUM(CASE WHEN pme IS NULL OR s > pme + 1
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM m),
+    sp AS (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se,
+                  MAX(n) AS n
+           FROM isl GROUP BY doc_id, island)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(se - ss + 1) AS BIGINT) AS dup_chars,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(SUM(se - ss + 1) * 1000000 // MAX(n) AS BIGINT) AS dup_ppm
+    FROM sp GROUP BY doc_id
+    """,
+    survey_ids=("X11",),
+)
+def d29_dup_spans(spark, sf_dir):
+    """Substring-level dedup accounting: per-doc maximal character
+    spans whose 32-char content recurs verbatim in other documents,
+    sampled at content-defined anchors (hash-gated seed grams, the
+    winnowing/CDC property — alignment-independent), merged by
+    per-doc gaps-and-islands. operators/dedup.py::duplicated_spans."""
+    return dedup.duplicated_spans(_ld(spark, sf_dir, "documents"))
+
+
+@_register(
+    "d29_dup_spans_excise",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+               WHERE length(text) >= {dedup.DUP_SPAN_WINDOW}),
+    anch AS (SELECT doc_id, text, n,
+                    unnest(list_filter(
+                      range(1, n - {dedup.DUP_SPAN_WINDOW - 1} + 1),
+                      p -> {_SEED_H} % {dedup.DUP_SPAN_MOD} = 0)) AS p
+             FROM d),
+    g AS (SELECT doc_id, n, CAST(p AS BIGINT) AS s,
+                 CAST(p + {dedup.DUP_SPAN_WINDOW - 1} AS BIGINT) AS e,
+                 substr(text, p, {dedup.DUP_SPAN_WINDOW}) AS gram
+          FROM anch),
+    dup AS (SELECT gram, MIN(doc_id) AS keeper FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    h AS (SELECT g.doc_id, g.n, g.s, g.e FROM g JOIN dup USING (gram)
+          WHERE g.doc_id <> dup.keeper),
+    m AS (SELECT doc_id, n, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM h),
+    isl AS (SELECT doc_id, n, s, e,
+                   SUM(CASE WHEN pme IS NULL OR s > pme + 1
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM m),
+    sp AS (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se,
+                  MAX(n) AS n
+           FROM isl GROUP BY doc_id, island),
+    segs AS (
+      SELECT doc_id,
+             coalesce(LAG(se) OVER (PARTITION BY doc_id ORDER BY ss) + 1,
+                      1) AS gs,
+             ss - 1 AS ge
+      FROM sp
+      UNION ALL
+      SELECT doc_id, MAX(se) + 1 AS gs, MAX(n) AS ge
+      FROM sp GROUP BY doc_id
+    ),
+    cl AS (SELECT segs.doc_id,
+                  string_agg(substr(dd.text, CAST(gs AS INT),
+                                    CAST(ge - gs + 1 AS INT)),
+                             '' ORDER BY gs) AS clean_text
+           FROM segs JOIN documents dd USING (doc_id)
+           WHERE ge >= gs GROUP BY segs.doc_id),
+    spanned AS (SELECT DISTINCT doc_id FROM sp)
+    SELECT dd.doc_id,
+           CASE WHEN sp2.doc_id IS NULL THEN dd.text
+                ELSE coalesce(cl.clean_text, '') END AS clean_text,
+           CAST(length(dd.text) AS BIGINT) AS n_chars,
+           CAST(length(CASE WHEN sp2.doc_id IS NULL THEN dd.text
+                            ELSE coalesce(cl.clean_text, '') END)
+                AS BIGINT) AS clean_chars,
+           CAST(length(dd.text)
+                - length(CASE WHEN sp2.doc_id IS NULL THEN dd.text
+                              ELSE coalesce(cl.clean_text, '') END)
+                AS BIGINT) AS removed_chars
+    FROM documents dd
+    LEFT JOIN spanned sp2 USING (doc_id)
+    LEFT JOIN cl USING (doc_id)
+    """,
+    survey_ids=("X11",),
+)
+def d29_dup_spans_excise(spark, sf_dir):
+    """The actionable twin of d29_dup_spans: rewrite the corpus with
+    non-canonical duplicated spans cut out (min-doc_id holder of each
+    gram keeps its copy — content survives exactly once; idempotent).
+    The cut is one row-local F.aggregate over the sorted span array.
+    operators/dedup.py::excise_duplicated_spans."""
+    return dedup.excise_duplicated_spans(_ld(spark, sf_dir, "documents"))
+
+
 @_register(
     "d18_incremental_dedup",
     oracle=_minhash_cte()

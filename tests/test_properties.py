@@ -2161,3 +2161,127 @@ def test_kcore_matches_bruteforce_peel(spark, raw_edges, k):
         for r in kcore_nodes(pairs, k=k, rounds=12).collect()
     }
     assert got == expect
+
+
+def _dup_span_fixture_texts():
+    """Deterministic span-sharing corpus: a 200-char span embedded at
+    DIFFERENT offsets inside two docs with unique flanks, plus one
+    unrelated doc and one below-window doc."""
+    import random
+    import string
+
+    rng = random.Random(7)
+
+    def chunk(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    span = chunk(200)
+    return {
+        0: chunk(50) + span + chunk(50),
+        1: chunk(37) + span + chunk(63),
+        2: chunk(300),
+        3: chunk(10),
+    }, span
+
+
+def test_dup_spans_shift_invariant(spark):
+    """The content-defined-anchor contract: a shared span is detected
+    with IDENTICAL duplicated-char accounting in every copy no matter
+    where the span sits inside each document — anchors are chosen by
+    content (hash-gated seed grams), so re-aligning the span cannot
+    de-synchronize the sample the way a fixed-stride grid does."""
+    from echem_dft_etl_spark.operators.dedup import duplicated_spans
+
+    texts, span = _dup_span_fixture_texts()
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in duplicated_spans(docs).collect()}
+    # only the two span-sharing docs are reported
+    assert set(rows) == {0, 1}, sorted(rows)
+    # identical accounting in both copies despite different offsets
+    assert rows[0].dup_chars == rows[1].dup_chars
+    assert rows[0].n_spans == rows[1].n_spans == 1
+    # covered chars lie inside the span, with only anchor-phase slack
+    # at the boundaries (expected gap ~ mod positions per side)
+    assert 140 <= rows[0].dup_chars <= 200
+    # integer-exact ppm recomputes from the reported counts
+    for r in rows.values():
+        assert r.dup_ppm == r.dup_chars * 1_000_000 // r.n_chars
+
+
+def test_dup_spans_single_char_shift(spark):
+    """One inserted byte before one copy must not change what is
+    detected (the failure mode of stride grids)."""
+    from echem_dft_etl_spark.operators.dedup import duplicated_spans
+
+    texts, span = _dup_span_fixture_texts()
+    base = texts[0]
+    docs = spark.createDataFrame(
+        [(0, base), (1, "Z" + base)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in duplicated_spans(docs).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].dup_chars == rows[1].dup_chars
+    # the whole 300-char doc is shared content
+    assert rows[0].dup_chars >= 240
+
+
+def test_dup_spans_requires_cross_document_repeat(spark):
+    """Within-doc repetition alone is NOT cross-doc duplication (that
+    signal belongs to t13_repetition): a doc made of an internally
+    repeated block reports nothing unless another doc shares it."""
+    from echem_dft_etl_spark.operators.dedup import duplicated_spans
+
+    import random
+    import string
+
+    rng = random.Random(11)
+    block = "".join(rng.choice(string.ascii_lowercase) for _ in range(80))
+    other = "".join(rng.choice(string.ascii_lowercase) for _ in range(300))
+    docs = spark.createDataFrame(
+        [(0, block * 4), (1, other)], "doc_id bigint, text string"
+    )
+    assert duplicated_spans(docs).count() == 0
+
+
+def test_dup_spans_excise_keeper_survives(spark):
+    """Excision removes the span only from the NON-canonical copy: the
+    minimum-doc_id holder of the shared content keeps its text
+    byte-identical, and the other copy loses exactly the chars the
+    accounting query attributes to it."""
+    from echem_dft_etl_spark.operators.dedup import (
+        duplicated_spans,
+        excise_duplicated_spans,
+    )
+
+    texts, span = _dup_span_fixture_texts()
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    acct = {r.doc_id: r for r in duplicated_spans(docs).collect()}
+    ex = {r.doc_id: r for r in excise_duplicated_spans(docs).collect()}
+    assert set(ex) == set(texts)  # every doc comes back
+    assert ex[0].clean_text == texts[0] and ex[0].removed_chars == 0
+    assert ex[1].removed_chars == acct[1].dup_chars
+    # untouched docs pass through byte-identical
+    assert ex[2].clean_text == texts[2] and ex[3].clean_text == texts[3]
+    for r in ex.values():
+        assert r.clean_chars == len(r.clean_text)
+        assert r.removed_chars == r.n_chars - r.clean_chars
+
+
+def test_dup_spans_excise_idempotent(spark):
+    """A second excision pass over the cleaned corpus removes nothing:
+    the surviving canonical copies are unique by construction."""
+    from echem_dft_etl_spark.operators.dedup import excise_duplicated_spans
+
+    texts, _ = _dup_span_fixture_texts()
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    once = excise_duplicated_spans(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = excise_duplicated_spans(once).collect()
+    assert sum(r.removed_chars for r in twice) == 0
