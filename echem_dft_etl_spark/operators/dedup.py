@@ -1006,6 +1006,23 @@ def _dup_span_islands(
     d = docs.filter(F.length("text") >= window).select(
         "doc_id", "text", F.length("text").alias("n")
     )
+    # Spread documents across the session width BEFORE the row-local
+    # anchor hashing: a compact corpus (one file, few input splits)
+    # otherwise runs the per-position hash enumeration — the CPU-bound
+    # stage — on a handful of tasks (measured 3.0 s single-task at
+    # sf0.1 vs ~0.3 s spread). The exchange is cheap relative to the
+    # gram exchange downstream (raw text, ~1/8 of the anchor-gram
+    # bytes), and partitioning by doc_id is exactly what the island
+    # window needs, so with a broadcast hit join the window adds NO
+    # further exchange — this one moves earlier onto smaller data.
+    # Explicit width (defaultParallelism tracks the cluster): a
+    # column-only repartition is an AQE-coalescible exchange, and the
+    # corpus text is so FEW BYTES relative to its hash work that AQE
+    # folds it back to one task — bytes are the wrong proxy for this
+    # stage's cost, so pin the task count.
+    d = d.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     # NB: sequence() guarded by the length filter above — lo > hi would
     # silently emit a DESCENDING position list, not an error.
     anchors = F.filter(
