@@ -491,6 +491,19 @@ def build_probes(spark, k: int, cc_stats: list, tmpdir: str,
                 fixed_output_docs(), threshold=0.5
             ),
         ),
+        # Duplicated-span accounting under MAXIMUM density: K-fold
+        # replication makes EVERY gram cross-doc duplicated (all
+        # anchors become hits), the regime where pair-enumerating
+        # dedup blows up quadratically. d29's hit join is anchor ⋈
+        # grouped-gram-set — output is bounded by anchor count, so the
+        # structural claim is time ~ K and rows ~ K even when 100% of
+        # the corpus is duplicated. No fixed-output twin needed: this
+        # IS the worst case.
+        (
+            "lsh",
+            "d29_dup_spans",
+            lambda: dedup.duplicated_spans(docs),
+        ),
         # fixed-output twin for the PRUNED near-pair path (the 100 TB
         # production shape): banded-LSH candidates over K-scaled
         # corpus where only the base copy can match — buckets spread
