@@ -985,51 +985,51 @@ DUP_SPAN_SEED = 8
 DUP_SPAN_MOD = 4
 
 
-def _dup_span_islands(
+def doc_anchor_grams(
     docs: DataFrame,
-    window: int,
-    seed: int,
-    mod: int,
-    min_docs: int,
-    non_keeper_only: bool = False,
+    window: int = DUP_SPAN_WINDOW,
+    seed: int = DUP_SPAN_SEED,
+    mod: int = DUP_SPAN_MOD,
+    spread: bool = True,
 ) -> DataFrame:
-    """Shared core of the duplicated-span family: content-defined
-    anchor sampling → cross-doc gram index → per-doc island merge.
-    Returns one row per maximal span: ``(doc_id, _island, _ss, _se,
-    _n)``. With ``non_keeper_only`` the canonical copy of each gram
-    (its minimum-doc_id holder) is exempt — the survivor convention of
-    the excision path."""
+    """Content-defined anchor grams per document: ``(doc_id, n, s, e,
+    gram)`` — one row per position where the 48-bit hash of the
+    ``seed``-char gram under it is ≡ 0 (mod ``mod``), carrying the
+    ``window``-char match gram at that anchor. The whole chain is pure
+    projections (the candidate positions are filtered INSIDE a
+    row-local array expression, then only anchors explode), which is
+    what makes it legal over a STREAMING frame too — the span family's
+    analogue of :func:`doc_band_entries`.
+
+    ``spread`` pins an explicit-width doc_id repartition before the
+    row-local hashing: a compact corpus (one file, few input splits)
+    otherwise runs the CPU-bound hash enumeration on a handful of
+    tasks (measured 3.0 s single-task at sf0.1 vs ~0.3 s spread), and
+    AQE cannot rescue a column-only repartition because the raw text
+    is few BYTES relative to its hash work — bytes are the wrong proxy
+    for this stage's cost, so the task count is pinned. The exchange
+    carries raw text (~1/8 of the anchor-gram bytes) and lands exactly
+    the doc_id partitioning the island window downstream needs. Pass
+    ``spread=False`` on streaming inputs (micro-batches are already
+    small) or when the caller controls partitioning.
+    """
     require_at_least("window", window, 2)
     require_at_least("seed", seed, 1)
     require_at_least("mod", mod, 1)
-    require_at_least("min_docs", min_docs, 2)
     d = docs.filter(F.length("text") >= window).select(
         "doc_id", "text", F.length("text").alias("n")
     )
-    # Spread documents across the session width BEFORE the row-local
-    # anchor hashing: a compact corpus (one file, few input splits)
-    # otherwise runs the per-position hash enumeration — the CPU-bound
-    # stage — on a handful of tasks (measured 3.0 s single-task at
-    # sf0.1 vs ~0.3 s spread). The exchange is cheap relative to the
-    # gram exchange downstream (raw text, ~1/8 of the anchor-gram
-    # bytes), and partitioning by doc_id is exactly what the island
-    # window needs, so with a broadcast hit join the window adds NO
-    # further exchange — this one moves earlier onto smaller data.
-    # Explicit width (defaultParallelism tracks the cluster): a
-    # column-only repartition is an AQE-coalescible exchange, and the
-    # corpus text is so FEW BYTES relative to its hash work that AQE
-    # folds it back to one task — bytes are the wrong proxy for this
-    # stage's cost, so pin the task count.
-    d = d.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    if spread:
+        d = d.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     # NB: sequence() guarded by the length filter above — lo > hi would
     # silently emit a DESCENDING position list, not an error.
     anchors = F.filter(
         F.sequence(F.lit(1), F.col("n") - (window - 1)),
         lambda p: det_hash_str(F.col("text").substr(p, F.lit(seed))) % mod == 0,
     )
-    g = d.select(
+    return d.select(
         "doc_id",
         "n",
         "text",
@@ -1045,6 +1045,24 @@ def _dup_span_islands(
         (F.col("p") + (window - 1)).cast("bigint").alias("e"),
         F.col("text").substr(F.col("p"), F.lit(window)).alias("gram"),
     )
+
+
+def _dup_span_islands(
+    docs: DataFrame,
+    window: int,
+    seed: int,
+    mod: int,
+    min_docs: int,
+    non_keeper_only: bool = False,
+) -> DataFrame:
+    """Shared core of the duplicated-span family: content-defined
+    anchor sampling → cross-doc gram index → per-doc island merge.
+    Returns one row per maximal span: ``(doc_id, _island, _ss, _se,
+    _n)``. With ``non_keeper_only`` the canonical copy of each gram
+    (its minimum-doc_id holder) is exempt — the survivor convention of
+    the excision path."""
+    require_at_least("min_docs", min_docs, 2)
+    g = doc_anchor_grams(docs, window, seed, mod)
     dup_grams = (
         g.groupBy("gram")
         .agg(
@@ -1057,7 +1075,15 @@ def _dup_span_islands(
     hits = g.join(dup_grams, "gram")
     if non_keeper_only:
         hits = hits.filter(F.col("doc_id") != F.col("_keeper"))
-    hits = hits.select("doc_id", "n", "s", "e")
+    return merge_hit_islands(hits.select("doc_id", "n", "s", "e"))
+
+
+def merge_hit_islands(hits: DataFrame) -> DataFrame:
+    """Per-doc gaps-and-islands merge of duplicated-gram hits
+    ``(doc_id, n, s, e)`` into maximal spans ``(doc_id, _island, _ss,
+    _se, _n)``: running ``max(e)`` marks island starts, a cumulative
+    counter numbers them. Window partitions are per-document — bounded
+    by doc length, never corpus-skewed."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s")
@@ -1080,6 +1106,22 @@ def _dup_span_islands(
         F.min("s").alias("_ss"),
         F.max("e").alias("_se"),
         F.max("n").alias("_n"),
+    )
+
+
+def span_accounting(spans: DataFrame) -> DataFrame:
+    """Fold merged spans into the per-doc accounting row: ``(doc_id,
+    n_spans, dup_chars, n_chars, dup_ppm)`` with integer-exact
+    floor-divided ppm."""
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint").alias("dup_chars"),
+        F.max("_n").cast("bigint").alias("n_chars"),
+        F.floor(
+            F.sum(F.col("_se") - F.col("_ss") + 1) * 1000000 / F.max("_n")
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
     )
 
 
@@ -1131,16 +1173,8 @@ def duplicated_spans(
     docs with ≥1 duplicated span; ``dup_ppm = dup_chars·10⁶ ÷ n_chars``
     floor-divided (integer-exact cross-engine).
     """
-    spans = _dup_span_islands(docs, window, seed, mod, min_docs)
-    return spans.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_spans"),
-        F.sum(F.col("_se") - F.col("_ss") + 1).cast("bigint").alias("dup_chars"),
-        F.max("_n").cast("bigint").alias("n_chars"),
-        F.floor(
-            F.sum(F.col("_se") - F.col("_ss") + 1) * 1000000 / F.max("_n")
-        )
-        .cast("bigint")
-        .alias("dup_ppm"),
+    return span_accounting(
+        _dup_span_islands(docs, window, seed, mod, min_docs)
     )
 
 

@@ -1057,6 +1057,101 @@ def x10_stream_near_dup(spark, sf_dir):
     )
 
 
+@_register(
+    "x10_stream_dup_spans",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 30 = 7
+    ),
+    co AS (SELECT doc_id, text, length(text) AS n FROM aug
+           WHERE NOT (doc_id % 10 = 7 AND doc_id < 3000000)
+             AND length(text) >= {dedup.DUP_SPAN_WINDOW}),
+    ba AS (SELECT doc_id, text, length(text) AS n FROM aug
+           WHERE doc_id % 10 = 7 AND doc_id < 3000000
+             AND length(text) >= {dedup.DUP_SPAN_WINDOW}),
+    canch AS (SELECT text,
+                     unnest(list_filter(
+                       range(1, n - {dedup.DUP_SPAN_WINDOW - 1} + 1),
+                       p -> {_SEED_H} % {dedup.DUP_SPAN_MOD} = 0)) AS p
+              FROM co),
+    cgs AS (SELECT DISTINCT
+                   substr(text, p, {dedup.DUP_SPAN_WINDOW}) AS gram
+            FROM canch),
+    banch AS (SELECT doc_id, text, n,
+                     unnest(list_filter(
+                       range(1, n - {dedup.DUP_SPAN_WINDOW - 1} + 1),
+                       p -> {_SEED_H} % {dedup.DUP_SPAN_MOD} = 0)) AS p
+              FROM ba),
+    bg AS (SELECT doc_id, n, CAST(p AS BIGINT) AS s,
+                  CAST(p + {dedup.DUP_SPAN_WINDOW - 1} AS BIGINT) AS e,
+                  substr(text, p, {dedup.DUP_SPAN_WINDOW}) AS gram
+           FROM banch),
+    h AS (SELECT bg.doc_id, bg.n, bg.s, bg.e FROM bg JOIN cgs USING (gram)),
+    m AS (SELECT doc_id, n, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+          FROM h),
+    isl AS (SELECT doc_id, n, s, e,
+                   SUM(CASE WHEN pme IS NULL OR s > pme + 1
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM m),
+    sp AS (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se,
+                  MAX(n) AS n
+           FROM isl GROUP BY doc_id, island)
+    SELECT doc_id AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(se - ss + 1) AS BIGINT) AS dup_chars,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(SUM(se - ss + 1) * 1000000 // MAX(n) AS BIGINT) AS dup_ppm
+    FROM sp GROUP BY doc_id
+    """,
+    survey_ids=("X10", "X11"),
+)
+def x10_stream_dup_spans(spark, sf_dir):
+    """STREAMING span screening — the d29 family's ingest-time gate,
+    completing the batch+stream symmetry the same way
+    x10_stream_near_dup does for MinHash: arriving documents compute
+    their content-defined anchor grams per micro-batch (the whole
+    anchor chain is pure projections, dedup.doc_anchor_grams — hence
+    stream-legal) and probe a BROADCAST static gram index built from
+    the corpus; per-hit character intervals land in the sink
+    stateless, and the island merge + ppm accounting run batch-side
+    on the replayed hits (island state is per-document and
+    hit-bounded — no streaming state store needed). Every 3rd batch
+    doc is planted as an exact corpus twin (doc_id + 3,000,000)
+    IDENTICALLY here and in the oracle, so the driver rows carry real
+    near-total-duplication evidence at ingest.
+    operators/dedup.py::doc_anchor_grams / merge_hit_islands /
+    span_accounting; streaming/windows.py::read_table_stream."""
+    from .streaming.windows import read_table_stream, run_to_memory
+
+    docs = _ld(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 30 == 7).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"), "text"
+    )
+    is_batch = (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 3_000_000)
+    corpus = docs.unionByName(twins).filter(~is_batch)
+    corpus_grams = dedup.doc_anchor_grams(corpus).select("gram").distinct()
+    sdocs = (
+        read_table_stream(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    s_grams = dedup.doc_anchor_grams(sdocs, spread=False)
+    hits = s_grams.join(F.broadcast(corpus_grams), "gram").select(
+        "doc_id", "n", "s", "e"
+    )
+    mem = run_to_memory(hits, spark, mode="append")
+    return dedup.span_accounting(
+        dedup.merge_hit_islands(mem)
+    ).withColumnRenamed("doc_id", "batch_id")
+
+
 #: Mixture weights as pure INTEGER ppm — survival rate per source
 #: bucket, {0.1, 0.3, 0.5, 0.7, 0.9} over source index mod 5. Integer
 #: end-to-end so no float weight can round differently across engines.

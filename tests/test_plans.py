@@ -162,6 +162,7 @@ def test_engine_wide_plan_hygiene(spark):
         "x10_stream_stream_join",
         "x10_stream_outer_join",
         "x10_stream_near_dup",
+        "x10_stream_dup_spans",
         "pipeline_reference_e2e",
     }
     # static-plan budgets above the default: the df-cut window in d14
