@@ -5844,6 +5844,88 @@ def s18_dq_audit(spark, sf_dir):
 
 
 @_register(
+    "s18_drift_report",
+    oracle="""
+    WITH src AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS cents,
+                        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                          AS yr
+                 FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)),
+    ext AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM src),
+    binned AS (SELECT yr, ((cents - mn) * 16) // (mx - mn + 1) AS bin
+               FROM src, ext),
+    counts AS (SELECT bin,
+                      COUNT(*) FILTER (WHERE yr = 1995) AS ref_n,
+                      COUNT(*) FILTER (WHERE yr = 1996) AS cur_n
+               FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM counts)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           CAST((ref_n * 1000000) // rt AS BIGINT) AS ref_ppm,
+           CAST((cur_n * 1000000) // ct AS BIGINT) AS cur_ppm,
+           CAST((cur_n * 1000000) // ct - (ref_n * 1000000) // rt
+                AS BIGINT) AS delta_ppm
+    FROM counts, tot
+    """,
+    survey_ids=("X6", "Q21"),
+)
+def s18_drift_report(spark, sf_dir):
+    """Distribution-drift report between two data vintages — the
+    check a 100 TB ingest runs before trusting that this month's data
+    still looks like last month's (total-variation distance in ppm =
+    Σ|delta_ppm|/2; the per-bin rows are the drill-down). Reference
+    period = 1995 orders, current = 1996, metric = o_totalprice in
+    integer cents (half-away-from-zero rounding, the repo convention).
+    16 fixed-width bins over the COMBINED min/max keep the histogram
+    comparable across both periods, and every arithmetic step —
+    binning ``(cents-mn)·16 div (mx-mn+1)``, per-side ppm
+    normalization — is integer division, so no float bin edge or
+    ratio can round differently across engines. Plan: ONE scan
+    (both periods' conditional counts fold into a single groupBy —
+    no per-period rescan, the dq_audit discipline), the min/max and
+    the totals each ride a broadcast one-row scalar frame
+    (crossJoin + limit(1), the bounded scalar-gate pattern). At
+    100 TB the scan is partition-pruned to the two periods and the
+    drift math touches only 16-row frames."""
+    o = (
+        _ld(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .filter(F.col("yr").isin(1995, 1996))
+    )
+    ext = o.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx")).limit(
+        1
+    )
+    binned = o.crossJoin(F.broadcast(ext)).withColumn(
+        "bin", F.expr("((cents - mn) * 16) div (mx - mn + 1)")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("cur_n"),
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")
+    ).limit(1)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("ref_n").cast("bigint").alias("ref_n"),
+        F.col("cur_n").cast("bigint").alias("cur_n"),
+        F.expr("CAST((ref_n * 1000000) div rt AS BIGINT)").alias("ref_ppm"),
+        F.expr("CAST((cur_n * 1000000) div ct AS BIGINT)").alias("cur_ppm"),
+        F.expr(
+            "CAST((cur_n * 1000000) div ct - (ref_n * 1000000) div rt"
+            " AS BIGINT)"
+        ).alias("delta_ppm"),
+    )
+
+
+@_register(
     "x14_batch_inference",
     oracle="""
     WITH u AS (
