@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions.hashing import det_hash_i64
 from .functions.text import DUCKDB_TOKENS
 from .operators import multimodal, pipe, udfs
 from .registry import _cents, _ld, _register
@@ -4460,6 +4461,134 @@ def x06_sketch_mergeable(spark, sf_dir):
     return partial.groupBy("c_mktsegment").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_nations"),
         F.sum("n").alias("n_customers"),
+    )
+
+
+#: Count-min geometry: 4 hash rows × 512 buckets. Seeds are spread by
+#: a large prime because det_hash_i64 mixes the seed ADDITIVELY before
+#: the multiply (seed j would make row j a shift of row 0); production
+#: sketches use genuinely independent row hashes, the documented swap.
+_CMS_D, _CMS_W, _CMS_SEED_STEP = 4, 512, 1_000_003
+
+
+def _cms_sql() -> str:
+    from .functions.hashing import duckdb_det_hash_i64
+
+    jb_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j,"
+        f" {duckdb_det_hash_i64('l_partkey', j * _CMS_SEED_STEP)}"
+        f" % {_CMS_W} AS bucket FROM lineitem"
+        for j in range(_CMS_D)
+    )
+    q_rows = " UNION ALL ".join(
+        f"SELECT partkey, {j} AS j,"
+        f" {duckdb_det_hash_i64('partkey', j * _CMS_SEED_STEP)}"
+        f" % {_CMS_W} AS bucket FROM q"
+        for j in range(_CMS_D)
+    )
+    return f"""
+    WITH q AS (SELECT CAST(unnest(range(1, 41)) AS BIGINT) AS partkey),
+    jb AS ({jb_rows}),
+    sk AS (SELECT j, bucket, COUNT(*) AS n FROM jb GROUP BY j, bucket),
+    qjb AS ({q_rows}),
+    est AS (SELECT partkey, MIN(COALESCE(sk.n, 0)) AS est_count
+            FROM qjb LEFT JOIN sk USING (j, bucket) GROUP BY partkey),
+    ex AS (SELECT l_partkey AS partkey, COUNT(*) AS n FROM lineitem
+           WHERE l_partkey BETWEEN 1 AND 40 GROUP BY l_partkey)
+    SELECT q.partkey,
+           CAST(est.est_count AS BIGINT) AS est_count,
+           CAST(COALESCE(ex.n, 0) AS BIGINT) AS exact_count,
+           CAST(est.est_count - COALESCE(ex.n, 0) AS BIGINT)
+             AS overcount
+    FROM q JOIN est USING (partkey) LEFT JOIN ex USING (partkey)
+    """
+
+
+@_register(
+    "x06_countmin_est",
+    oracle=_cms_sql(),
+    survey_ids=("X6", "Q21"),
+)
+def x06_countmin_est(spark, sf_dir):
+    """Count-min frequency sketch as RELATIONAL state — the frequency
+    counterpart to x06_sketch_mergeable's distinct-count HLL: the
+    sketch IS a (row, bucket, n) table built by one groupBy (map-side
+    combinable, so partial sketches per partition/day merge by SUM —
+    the mergeability that lets a 100 TB pipeline answer "how often
+    does key k appear" from a few-KB artifact without re-scanning the
+    fact table). Estimates for a fixed 40-key probe list come from an
+    equi-join on (row, bucket) + MIN over rows; the exact counts ride
+    along (pushed-down IN scan), so the driver rows carry the CMS
+    guarantee est ≥ exact with the overcount visible per key. All
+    arithmetic is the cross-engine split-multiply integer hash —
+    bit-identical in the oracle, which replays sketch construction,
+    probe, and guarantee verbatim."""
+    li = _ld(spark, sf_dir, "lineitem")
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        det_hash_i64(
+                            F.col("l_partkey"), j * _CMS_SEED_STEP
+                        )
+                        % _CMS_W
+                    ).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    )
+    sketch = (
+        li.select(jb.alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = spark.range(1, 41).select(F.col("id").cast("bigint").alias("partkey"))
+    qjb = q.select(
+        "partkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            det_hash_i64(
+                                F.col("partkey"), j * _CMS_SEED_STEP
+                            )
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("partkey", "p.j", "p.bucket")
+    est = (
+        qjb.join(sketch, ["j", "bucket"], "left")
+        .groupBy("partkey")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey").between(1, 40))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        q.join(est, "partkey")
+        .join(exact, "partkey", "left")
+        .select(
+            "partkey",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_count"),
+            (F.col("est_count") - F.coalesce(F.col("n_exact"), F.lit(0)))
+            .cast("bigint")
+            .alias("overcount"),
+        )
     )
 
 

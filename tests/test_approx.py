@@ -179,3 +179,16 @@ def test_ivfpq_prebuilt_index_matches_inline(spark):
     key = lambda r: (r.query_id, r.rk)
     assert sorted(inline, key=key) == sorted(split, key=key)
     assert len(inline) == 9
+
+
+def test_countmin_never_undercounts(spark):
+    """The count-min guarantee: est >= exact for EVERY probed key
+    (min over rows of non-negative bucket sums can only overcount),
+    and keys absent from the data still satisfy it with exact 0."""
+    from echem_dft_etl_spark.registry import all_queries
+
+    rows = all_queries()["x06_countmin_est"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.overcount >= 0, r
+        assert r.est_count == r.exact_count + r.overcount
