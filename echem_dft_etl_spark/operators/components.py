@@ -740,9 +740,11 @@ def kcore_nodes(
     The k-core is the classic graph-quality filter (spam/link-farm
     pruning keeps the dense core; sparse tendrils fall away), and
     peeling is its textbook distributed form: each round is one
-    map-side-combinable degree aggregation plus two semi-joins that
-    shrink the edge list — cost tracks the SURVIVING edges, so rounds
-    get cheaper as the graph contracts. Like
+    map-side-combinable degree aggregation plus two dropped-set
+    anti-joins that shrink the edge list — cost tracks the SURVIVING
+    edges (and the drop side tracks the peel cascade, so AQE
+    broadcasts it once the core stabilizes), so rounds get cheaper as
+    the graph contracts. Like
     :func:`integer_pagerank`, the round count is FIXED rather than
     converged: a fixed-round fixpoint prefix is bit-identical in any
     engine (and in the unrolled-CTE oracle), where a "loop until no
@@ -780,12 +782,23 @@ def kcore_nodes(
                     .groupBy("v")
                     .agg(F.count(F.lit(1)).alias("deg"))
                 )
-                keep = deg.filter(F.col("deg") >= k).select("v")
+                # Filter by the DROPPED set (deg < k) with anti-joins,
+                # not the kept set with semi-joins: every edge endpoint
+                # appears in deg (deg is computed from ed) and ids are
+                # non-null, so "both endpoints kept" ⟺ "neither endpoint
+                # dropped" — identical edge set. The dropped side is the
+                # peel CASCADE (shrinks toward zero as the core
+                # stabilizes), so AQE broadcasts it from runtime size
+                # and the surviving edge list is never shuffled for the
+                # filter; worst case (first round of a sparse graph) the
+                # anti-join degrades to the same shuffled join the
+                # semi-join form always paid.
+                drop = deg.filter(F.col("deg") < k).select("v")
                 ed = (
                     ed.join(
-                        keep.select(F.col("v").alias("a")), "a", "left_semi"
+                        drop.select(F.col("v").alias("a")), "a", "left_anti"
                     ).join(
-                        keep.select(F.col("v").alias("b")), "b", "left_semi"
+                        drop.select(F.col("v").alias("b")), "b", "left_anti"
                     )
                 )
                 # checkpoint every second round + the final round: the
@@ -882,11 +895,15 @@ def coreness_grid(
                         .groupBy("v")
                         .agg(F.count(F.lit(1)).alias("deg"))
                     )
-                    keep = deg.filter(F.col("deg") >= k).select("v")
+                    # dropped-set anti-join: see kcore_nodes — same
+                    # edge set, but the (cascade-sized) drop side is
+                    # AQE-broadcastable so the surviving edges are not
+                    # shuffled for the filter
+                    drop = deg.filter(F.col("deg") < k).select("v")
                     ed = ed.join(
-                        keep.select(F.col("v").alias("a")), "a", "left_semi"
+                        drop.select(F.col("v").alias("a")), "a", "left_anti"
                     ).join(
-                        keep.select(F.col("v").alias("b")), "b", "left_semi"
+                        drop.select(F.col("v").alias("b")), "b", "left_anti"
                     )
                     if i % 2 == 1 or i == rounds - 1:
                         round_ids: list = []

@@ -2794,22 +2794,42 @@ def x05_bfs_distances(spark, sf_dir):
     from .operators.components import bfs_distances
 
     li = _ld(spark, sf_dir, "lineitem")
-    l1 = li.select(
-        F.col("l_orderkey").alias("k"),
-        F.col("l_linenumber").alias("i"),
-        F.col("l_partkey").alias("a"),
+    # Adjacent-line chain in ONE lineitem scan (the x05_kcore
+    # collect_set trim applied to this construction): collect each
+    # order's (linenumber, partkey) rows and expand successor pairs
+    # (y.ln = x.ln + 1, different parts) in-row, instead of the
+    # (orderkey, linenumber+1) self-join — which scans and shuffles
+    # lineitem twice. The in-row expansion is exact for duplicated
+    # line numbers too (the corpus has them): every cross pair of a
+    # line and its successor line is emitted, exactly like the join.
+    # Fan-out is bounded by lines-per-order², the same bound the
+    # co-order pair expansion rides.
+    grp = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("pk"),
+            )
+        ).alias("ls")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k"),
-        (F.col("l_linenumber") - 1).alias("i"),
-        F.col("l_partkey").alias("b"),
+    pair_arr = F.flatten(
+        F.transform(
+            "ls",
+            lambda x: F.transform(
+                F.filter(
+                    F.col("ls"),
+                    lambda y: (y["ln"] == x["ln"] + 1) & (x["pk"] != y["pk"]),
+                ),
+                lambda y: F.struct(
+                    F.least(x["pk"], y["pk"]).alias("a"),
+                    F.greatest(x["pk"], y["pk"]).alias("b"),
+                ),
+            ),
+        )
     )
     chain = (
-        l1.join(l2, ["k", "i"])
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
     seeds = spark.createDataFrame([(1,), (2,), (3,)], "v bigint")
@@ -3892,8 +3912,9 @@ def x05_kcore(spark, sf_dir):
     the classic web-graph quality filter — spam/link-farm pruning
     keeps the dense core) over the co-order part graph: 8 rounds of
     "drop nodes with degree < 80, recompute" peeling. The co-order graph is dense (min degree ~40, median ~115), so the threshold is calibrated to the measured core structure: k=80 peels a 143-node cascade over five rounds into a stable 1857-node core (k>=90 collapses the whole graph; k<=(min degree) peels nothing) — a fixpoint with real dynamics inside the fixed 8 rounds. Each round is one
-    map-side-combinable degree aggregation plus two semi-joins that
-    only ever SHRINK the edge list, re-checkpointed every second round
+    map-side-combinable degree aggregation plus two dropped-set
+    anti-joins (AQE-broadcastable: the drop side is the peel cascade)
+    that only ever SHRINK the edge list, re-checkpointed every second round
     with tracked release (the components.py storage discipline); round
     count fixed rather than converged so the result is bit-identical
     to the unrolled-CTE oracle in any engine (the integer_pagerank
