@@ -534,8 +534,19 @@ def write_zordered(
     dimension — the multi-dimensional layout OPTIMIZE ZORDER BY
     provides in managed formats, from two exchanges: one tiny
     bounds aggregate (the only full-scan extra) and the range write
-    itself. The interleave is a closed-form column expression
-    (sequence/aggregate over bit positions) — JVM-side, no UDF.
+    itself. The interleave is the closed-form BIT-SPREAD ladder
+    (the classic Morton ``x |= x << 16 … & 0x5555…`` doubling
+    sequence): ~10 whole-stage-codegen integer ops per dimension,
+    where the previous ``aggregate(sequence(0, bits-1), …)`` spelling
+    ran an INTERPRETED higher-order fold that re-evaluated both
+    scaled dimensions per bit — and the range write evaluates the key
+    twice (sampling + write). Measured interleaved same-session A/B
+    at sf0.1 orders: full write 4.32 s (fold) → 1.99 s (ladder),
+    min-of-4. Bit-identical z
+    values (the ladder places bit i of the scaled value at position
+    2i, exactly the fold's shift). Valid for ``bits <= 31`` (the
+    interleaved key must stay inside the bigint sign bit — same
+    bound the fold form had).
     """
     bounds = df.agg(
         F.min(col_a).alias("a_min"),
@@ -553,19 +564,37 @@ def write_zordered(
             f"CAST(CAST({c} AS BIGINT) - {lo} AS BIGINT) * {top} DIV {span}"
         )
 
-    # fully parenthesized: SQL shift does NOT bind tighter than &, so
-    # `x & 1 << n` would parse as `x & (1 << n)`
-    z = F.expr(
-        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
-        f" (acc, i) -> acc"
-        f"  | (((({_scaled(col_a, a_min, a_max)}) >> i) & 1) << (2 * i + 1))"
-        f"  | (((({_scaled(col_b, b_min, b_max)}) >> i) & 1) << (2 * i)))"
-    )
+    def _spread(attr: str) -> str:
+        """Even-position bit spread: bit i of ``attr`` → bit 2i.
+
+        The masks are the 64-bit Morton doubling constants; every
+        step is fully parenthesized (SQL ``<<`` does NOT bind tighter
+        than ``&``). ``attr`` must be a plain column attribute: the
+        ladder references it 2^5 times and an inlined non-cheap
+        expression would be re-evaluated at every reference."""
+        s = f"({attr})"
+        for sh, m in (
+            (16, 281470681808895),  # 0x0000FFFF0000FFFF
+            (8, 71777214294589695),  # 0x00FF00FF00FF00FF
+            (4, 1085102592571150095),  # 0x0F0F0F0F0F0F0F0F
+            (2, 3689348814741910323),  # 0x3333333333333333
+            (1, 6148914691236517205),  # 0x5555555555555555
+        ):
+            s = f"(({s} | ({s} << {sh})) & {m})"
+        return s
+
+    # The scaled ranks land in their own projection (plain attributes
+    # _za/_zb): CollapseProject keeps non-cheap expressions out of
+    # multi-reference inlining, so each DIV-scaling runs once per row
+    # and the spread ladder duplicates only attribute references.
+    z = F.expr(f"({_spread('_za')} << 1) | {_spread('_zb')}")
     (
-        df.withColumn("_z", z)
+        df.withColumn("_za", F.expr(_scaled(col_a, a_min, a_max)))
+        .withColumn("_zb", F.expr(_scaled(col_b, b_min, b_max)))
+        .withColumn("_z", z)
         .repartitionByRange(n_ranges, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_za", "_zb")
         .write.mode(mode)
         .parquet(path)
     )
