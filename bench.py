@@ -245,10 +245,18 @@ def main() -> None:
         measured against a clean heap, not the accumulated storage of
         everything before them (the whole registry shares this JVM)."""
         try:
+            # NOTE (r12 measurement fix): py4j's JavaMap implements the
+            # Python MutableMapping protocol, so .values() returns a
+            # Python ValuesView (no .iterator()); the previous
+            # Java-style `m.values().iterator()` spelling raised
+            # AttributeError into the except — which silently skipped
+            # BOTH the unpersist sweep and clearCache(), letting every
+            # query's checkpoint blocks accumulate in the shared JVM
+            # for the whole suite. Python-style iteration actually
+            # runs the documented hygiene.
             m = spark.sparkContext._jsc.getPersistentRDDs()
-            it = m.values().iterator()
-            while it.hasNext():
-                it.next().unpersist(False)
+            for rdd in m.values():
+                rdd.unpersist(False)
             spark.catalog.clearCache()
         except Exception:
             pass
