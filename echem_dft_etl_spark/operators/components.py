@@ -965,6 +965,12 @@ def label_communities(
     size, the sanctioned mechanism) and two map-side-combinable
     aggregations ((node, label) counts, then per-node argmax via one
     ``max(struct(count, -label))`` — no window over node partitions).
+    Round 1 is computed in CLOSED FORM: identity starting labels over
+    a distinct edge list mean every neighbor label occurs exactly
+    once, so the count-then-min argmax is just ``min(neighbor id)`` —
+    one aggregation instead of the initial distinct-label build plus
+    the first join and both first-round aggregations (interleaved A/B
+    at sf0.1: 6.46 → 5.38 s min-of-4 through x05_label_communities).
     Per-round wire cost is O(E) label rows — never the text, never
     pairs of anything.
 
@@ -992,32 +998,43 @@ def label_communities(
         ).unionByName(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
-        labels = (
-            sym.select(F.col("src").alias("v"))
-            .distinct()
-            .withColumn("label", F.col("v"))
-        )
+        labels = None
         for i in range(rounds):
-            cnt = (
-                sym.join(
-                    labels.select(F.col("v").alias("src"), "label"), "src"
+            if i == 0:
+                # Round 1 in closed form: labels start as the identity
+                # over a DISTINCT edge list, so every neighbor label
+                # occurs exactly once and the count-then-min argmax
+                # reduces to the minimum neighbor id — one
+                # map-side-combinable aggregation replaces the initial
+                # distinct-label build, the first join and both
+                # first-round aggregations. Exact: sym is symmetric, so
+                # groupBy(dst) covers every node, matching the old
+                # distinct-over-src node set.
+                labels = sym.groupBy("dst").agg(F.min("src").alias("label"))
+            else:
+                cnt = (
+                    sym.join(
+                        labels.select(F.col("dst").alias("src"), "label"),
+                        "src",
+                    )
+                    .groupBy("dst", "label")
+                    .agg(F.count(F.lit(1)).alias("c"))
                 )
-                .groupBy("dst", "label")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            best = cnt.groupBy("dst").agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            labels = best.select(
-                F.col("dst").alias("v"), (-F.col("m")["nl"]).alias("label")
-            )
+                labels = (
+                    cnt.groupBy("dst")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                        ).alias("m")
+                    )
+                    .select("dst", (-F.col("m")["nl"]).alias("label"))
+                )
             if checkpoint_every and i % checkpoint_every == checkpoint_every - 1:
                 round_ids: list = []
                 labels = _tracked_checkpoint(labels, round_ids)
                 _release_rdds(spark, owned)
                 owned = round_ids
+        labels = labels.select(F.col("dst").alias("v"), "label")
         sizes = labels.groupBy("label").agg(
             F.count(F.lit(1)).cast("bigint").alias("community_size")
         )

@@ -194,18 +194,19 @@ def test_engine_wide_plan_hygiene(spark):
     # lazy plan by design (a shallow fixed prefix is one job; per-round
     # eager checkpoints cost rounds+1 job submissions — see the
     # operator docstring), so the static plan prints the pair
-    # construction once per round-reference (2·rounds sym legs + the
-    # label-init distinct) plus 3 exchanges per round — ~48 prints that
-    # collapse to one construction stage + per-round stages via
-    # ReusedExchange, the d14/d16/x05_triangle static-vs-runtime
-    # multiplicity
+    # construction once per round-reference (2·rounds sym legs) plus
+    # the per-round exchanges — ~35 prints (down from ~48 before round
+    # 1's closed-form min-neighbor replaced the label-init distinct +
+    # first join + first-round aggregations) that collapse to one
+    # construction stage + per-round stages via ReusedExchange, the
+    # d14/d16/x05_triangle static-vs-runtime multiplicity
     exchange_budget = {
         "d14_ngram_jaccard": 12,
         "d16_semdedup": 18,
         "d20_training_pipeline": 16,
         "x05_triangle_counts": 24,
         "d26_containment_pairs": 24,
-        "x05_label_communities": 52,
+        "x05_label_communities": 40,
     }
     # x01_skyline_pareto: the two-phase distributed skyline runs TWO
     # windows per phase (strict-cheaper range min + equal-price min,
