@@ -2794,42 +2794,34 @@ def x05_bfs_distances(spark, sf_dir):
     from .operators.components import bfs_distances
 
     li = _ld(spark, sf_dir, "lineitem")
-    # Adjacent-line chain in ONE lineitem scan (the x05_kcore
-    # collect_set trim applied to this construction): collect each
-    # order's (linenumber, partkey) rows and expand successor pairs
-    # (y.ln = x.ln + 1, different parts) in-row, instead of the
-    # (orderkey, linenumber+1) self-join — which scans and shuffles
-    # lineitem twice. The in-row expansion is exact for duplicated
-    # line numbers too (the corpus has them): every cross pair of a
-    # line and its successor line is emitted, exactly like the join.
-    # Fan-out is bounded by lines-per-order², the same bound the
-    # co-order pair expansion rides.
-    grp = li.groupBy("l_orderkey").agg(
-        F.collect_list(
-            F.struct(
-                F.col("l_linenumber").alias("ln"),
-                F.col("l_partkey").alias("pk"),
-            )
-        ).alias("ls")
+    # Adjacent-line chain via the (orderkey, linenumber+1) SELF-JOIN.
+    # r12 replaced this with a one-scan collect_list + in-row successor
+    # expansion (oracle-exact under duplicated line numbers, like the
+    # join); the r13 reconciliation A/B (VERDICT r12 item 1,
+    # plans/r13/ab_bfs_chain.json: interleaved min-of-8 at sf0.1 after
+    # a proven chain symmetric-difference of 0) measured the two forms
+    # tied on min (3.52 vs 3.57 s) with the self-join 10% better on
+    # median (3.81 vs 4.22 s) — matching the driver's r12 observation
+    # (one-scan −29%). Neither form wins reproducibly on min, so the
+    # self-join stays: it shuffles narrow (k, i, partkey) rows with no
+    # per-order fan-out buffer, where the one-scan form's
+    # collect_list holds lines-per-order² struct expansions per row.
+    l1 = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("i"),
+        F.col("l_partkey").alias("a"),
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ls",
-            lambda x: F.transform(
-                F.filter(
-                    F.col("ls"),
-                    lambda y: (y["ln"] == x["ln"] + 1) & (x["pk"] != y["pk"]),
-                ),
-                lambda y: F.struct(
-                    F.least(x["pk"], y["pk"]).alias("a"),
-                    F.greatest(x["pk"], y["pk"]).alias("b"),
-                ),
-            ),
-        )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_linenumber") - 1).alias("i"),
+        F.col("l_partkey").alias("b"),
     )
     chain = (
-        grp.select(F.explode(pair_arr).alias("p"))
-        .select("p.a", "p.b")
+        l1.join(l2, ["k", "i"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
         .distinct()
     )
     seeds = spark.createDataFrame([(1,), (2,), (3,)], "v bigint")

@@ -723,7 +723,11 @@ def x10_stream_stateful_profile(spark, sf_dir):
     from .streaming.windows import read_events_stream, run_to_memory
 
     ev = read_events_stream(spark, sf_dir).select("user_id", "ts")
-    out = run_to_memory(user_activity_profile(ev), spark, mode="update")
+    # width 8: per-key Python execution, not state commits, is the
+    # per-batch cost here (see run_to_memory's state_width note)
+    out = run_to_memory(
+        user_activity_profile(ev), spark, mode="update", state_width=8
+    )
     w = W.partitionBy("user_id").orderBy(F.col("version").desc())
     return (
         out.withColumn("_rn", F.row_number().over(w))
@@ -5437,7 +5441,11 @@ def x10_stream_cusum(spark, sf_dir):
         F.col("event_id").alias("pid"),
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    out = run_to_memory(user_cusum_alarms(ev), spark, mode="update")
+    # width 8: per-key Python execution, not state commits, is the
+    # per-batch cost here (see run_to_memory's state_width note)
+    out = run_to_memory(
+        user_cusum_alarms(ev), spark, mode="update", state_width=8
+    )
     w = W.partitionBy("user_id").orderBy(F.col("version").desc())
     return (
         out.withColumn("_rn", F.row_number().over(w))

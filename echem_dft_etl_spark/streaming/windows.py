@@ -15,12 +15,30 @@ at scale; only the reader line changes.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, prepare_session
+
+#: Shuffle width (= state-store instances per stateful operator) for the
+#: bounded fixture replays. Stateful streams instantiate one state store
+#: per shuffle partition and pay a per-instance commit every micro-batch
+#: — a fixed machinery cost independent of data volume — so the width
+#: should track STATE KEY CARDINALITY, not the batch session's scan
+#: width. The fixture corpora carry O(10³) state keys (users, windows),
+#: where 4 partitions keep every core busy with real work while halving
+#: the r12 width's per-batch commit count (measured interleaved A/B at
+#: sf0.1, min-of-3: stream_stream_join 2.89→2.31 s, dedup_keys
+#: 1.15→1.05 s, sessions 1.68→1.60 s, tumbling/foreach_merge flat —
+#: plans/r13/stream_phase_before.json phase splits attribute the gap to
+#: state-store commits). A production deployment sizes this ONCE at
+#: first start from its key cardinality (the checkpoint then pins it for
+#: the query's lifetime) — that is why it is an env knob and not a
+#: constant buried in the runner.
+STREAM_STATE_WIDTH = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4"))
 
 
 def _as_stream_dir(sf_dir: str, table: str = "events") -> str:
@@ -140,7 +158,10 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
 
 
 def run_to_memory(
-    stream_df: DataFrame, spark: SparkSession, mode: str = "append"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    state_width: int | None = None,
 ) -> DataFrame:
     """Execute a bounded stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame.
@@ -166,12 +187,21 @@ def run_to_memory(
     query's lifetime (the width is baked in at stream START and, for a
     checkpointed production query, pinned by the checkpoint — sized
     once to key cardinality there) and restores it after.
+
+    ``state_width`` overrides :data:`STREAM_STATE_WIDTH` for streams
+    whose per-batch cost is NOT the state commits: the
+    ``applyInPandasWithState`` operators execute per-key Python work
+    per batch, so their width is Python-task parallelism first and
+    commit count second (measured interleaved A/B at sf0.1:
+    stateful_profile 1.63 s at width 8 vs 2.30 s at width 4, cusum
+    1.72 vs 2.10 — the inverse of the built-in stateful operators).
     """
     conf_key = "spark.sql.shuffle.partitions"
     saved_width = spark.conf.get(conf_key)
+    width = state_width if state_width is not None else STREAM_STATE_WIDTH
     last_exc: Exception | None = None
     try:
-        spark.conf.set(conf_key, str(min(int(saved_width), 8)))
+        spark.conf.set(conf_key, str(min(int(saved_width), width)))
         for _attempt in range(2):
             name = f"sink_{uuid.uuid4().hex[:12]}"
             q = (
@@ -223,7 +253,7 @@ def run_processing_time(
     saved_width = spark.conf.get(conf_key)
     try:
         # Same state-store-width rationale as run_to_memory.
-        spark.conf.set(conf_key, str(min(int(saved_width), 8)))
+        spark.conf.set(conf_key, str(min(int(saved_width), STREAM_STATE_WIDTH)))
         return _run_processing_time_inner(
             stream_df, spark, mode, interval, drain_timeout
         )
@@ -263,14 +293,18 @@ def _run_processing_time_inner(
                     and not s["isDataAvailable"]
                     and not s["isTriggerActive"]
                 ):
-                    # two consecutive idle polls: not a gap between
-                    # file-listing and batch start
+                    # three consecutive idle polls (0.3 s of proven
+                    # quiet, same guarantee class as the old 2 x 0.25 s):
+                    # not a gap between file-listing and batch start
                     drained_polls += 1
-                    if drained_polls >= 2:
+                    if drained_polls >= 3:
                         break
                 else:
                     drained_polls = 0
-                time.sleep(0.25)
+                # 0.1 s cadence: the watch is pure idle time after the
+                # last batch; finer polls shave the post-drain tail
+                # without loosening the two-phase quiet proof above
+                time.sleep(0.1)
             else:
                 raise TimeoutError(
                     f"stream did not drain in {drain_timeout}s"
@@ -424,7 +458,7 @@ def stream_merge_latest(
     saved_width = spark.conf.get(conf_key)
     last_exc: Exception | None = None
     try:
-        spark.conf.set(conf_key, str(min(int(saved_width), 8)))
+        spark.conf.set(conf_key, str(min(int(saved_width), STREAM_STATE_WIDTH)))
         for _attempt in range(2):
             q = (
                 latest.writeStream.outputMode("update")
