@@ -52,22 +52,20 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE rewrite sort-merge joins to shuffled-hash at RUNTIME
-        # when every post-shuffle build partition is under the
-        # threshold (default 0 = never). The gate is a per-partition
-        # SIZE bound, so it is scale-adaptive by construction: a
-        # 100 TB join whose partitions run at the advisory size keeps
-        # sort-merge (graceful spill); a build side that lands small
-        # per partition skips both sorts. 64 MB/task of hash table is
-        # modest on any executor profile; override via env for
-        # clusters that want it off ("0") or bigger. Measured
-        # interleaved A/B at sf0.1 on the SMJ-heavy iteratives:
-        # x05_pagerank 5.37→5.16 s, d16_semdedup 3.69→3.15 s,
-        # d25_entity_resolution 4.19→3.66 s (min-of-3, calm host).
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
-        )
+        # NOTE (r13): the r12 session set
+        # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m
+        # (AQE SMJ→SHJ runtime conversion) on a 3-query interleaved
+        # win. The r13 suite-wide validation (VERDICT r12 item 2)
+        # REMOVED it: a full-registry interleaved A/B (246 queries × 2
+        # samples/arm, plans/r13/ab_shj_suite.json) measured 64m-vs-0
+        # flat (sum-of-mins ratio 0.987, median 0.990 — the r12 wins
+        # were host noise), and post-AQE FINAL plans captured for the
+        # motivating queries (x05_pagerank, d16_semdedup,
+        # d25_entity_resolution, plus d29/d14/s15/bfs;
+        # plans/r13/*_final_shj*.txt, isFinalPlan=true) contain ZERO
+        # ShuffledHashJoin under 64m and even under a 1g threshold —
+        # the conversion never fires in this deployment, so the conf
+        # was a placebo. Spark's default (0 = never) returns.
         # Runtime Bloom-filter join pruning (off by default in Spark):
         # for selective joins the build side's keys prune the probe-side
         # scan before the shuffle. The size thresholds (scan >= 10 GB)

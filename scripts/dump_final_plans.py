@@ -87,7 +87,7 @@ def main() -> None:
                 "generated_by": "scripts/dump_final_plans.py",
                 "sf_dir": sf_dir,
                 "shj_threshold_env": __import__("os").environ.get(
-                    "SPARK_GRAFT_SHJ_THRESHOLD", "(default 64m)"
+                    "SPARK_GRAFT_SHJ_THRESHOLD", "(session default)"
                 ),
                 "queries": summary,
             },

@@ -670,6 +670,42 @@ def main() -> None:
     results: dict[str, dict] = {}
     cc_rounds: dict[int, list] = {}
     bfs_rounds: dict[int, list] = {}
+    # Per-rung host-load gate (r13, VERDICT r12 item 7): the r12
+    # artifact's K=8 rungs ran under loadavg 10-17.6 — the probe's own
+    # earlier rungs plus ambient noise — which manufactured a 6x knee
+    # on a FIXED-OUTPUT twin whose isolated re-run measured ~1.2x.
+    # Waiting for the 1-min load to decay between rungs (same gate
+    # style as bench.py; budget-bounded, waivers recorded) makes the
+    # high rungs comparable to the low ones instead of measuring the
+    # queue behind them.
+    gate = float(os.environ.get("SPARK_GRAFT_PROBE_LOAD_GATE", "3.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_PROBE_LOAD_WAIT", "300"))
+    gate_events: list[dict] = []
+
+    def _load1() -> float:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except Exception:
+            return -1.0
+
+    def wait_calm(stage: str) -> None:
+        t0 = time.time()
+        before = _load1()
+        la = before
+        while la > gate and time.time() - t0 < gate_wait:
+            time.sleep(10)
+            la = _load1()
+        gate_events.append(
+            {
+                "stage": stage,
+                "loadavg_before": before,
+                "loadavg_after": la,
+                "waited_seconds": round(time.time() - t0, 1),
+                "waived": la > gate,
+            }
+        )
+
     # main ladder runs every family; the join and graph families get
     # one extra high rung to tighten their exponent fits.
     rungs = [(k, None) for k in ks]
@@ -677,6 +713,7 @@ def main() -> None:
         rungs.append((EXTRA_RUNG_K, set(EXTRA_RUNG_FAMILIES)))
     try:
         for k, families in rungs:
+            wait_calm(f"rung_k{k}")
             cc_stats: list = []
             bfs_stats: list = []
             for entry in build_probes(
@@ -766,6 +803,12 @@ def main() -> None:
         },
         "loadavg_start": load0,
         "cpus": os.cpu_count(),
+        "load_gate": {
+            "gate": gate,
+            "wait_budget_seconds": gate_wait,
+            "events": gate_events,
+            "waived": any(e["waived"] for e in gate_events),
+        },
         "probes": results,
         "cc_round_stats": {str(k): v for k, v in cc_rounds.items()},
         "bfs_round_stats": {str(k): v for k, v in bfs_rounds.items()},
