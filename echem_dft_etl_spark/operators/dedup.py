@@ -334,6 +334,38 @@ def jaccard_verify(
     return out.select("a", "b", "n_inter", "na", "nb", "jaccard")
 
 
+def _df_cap(shingled: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles with document frequency above ``max_df`` from the
+    (doc_id, shingle) index (the web-scale stop-phrase cut; see
+    ngram_jaccard_pairs for the semantics).
+
+    Spelled as one per-shingle count window: a single fused
+    Exchange(shingle) + WindowExec + filter whose exchange doubles as
+    the downstream consumers' runtime reuse point. The r13 audit
+    (VERDICT r12 item 6) tried both join spellings — drop-set
+    broadcast anti-join (aggregate → df > max_df tail → anti-join, the
+    kcore-peel shape) and the oracle's keep-join (HAVING ≤ max_df +
+    inner join) — proved all three row-identical at a biting cap
+    (symmetric difference 0 at max_df=5), and measured the window
+    FASTER at sf0.1 on both consumers (interleaved min-of-4,
+    plans/r13/ab_df_cap.json: d14 2.02 s window vs 2.85 anti / 2.56
+    keep-join; d26 2.11 vs 2.40 / 2.41): the join forms pay a second
+    pass over the index plus an extra aggregate exchange, which the
+    fused window avoids. The window's known scale caveat stands —
+    window partitions cannot be AQE-skew-split, so a genuinely hot
+    shingle (df ≫ max_df) pins its postings into one counting task; a
+    boilerplate-heavy 100 TB corpus should swap in the drop-set
+    anti-join spelling above (bounded per-task work, broadcastable
+    tail, results proven identical) — a contained one-line change.
+    """
+    w_df = Window.partitionBy("shingle")
+    return (
+        shingled.withColumn("_df", F.count("*").over(w_df))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
 def near_dup_pairs_minhash(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -404,12 +436,7 @@ def ngram_jaccard_pairs(
     require_at_least("shingle_n", shingle_n, 1)
     shingled = doc_shingles(docs, shingle_n)
     if max_df is not None:
-        w_df = Window.partitionBy("shingle")
-        shingled = (
-            shingled.withColumn("_df", F.count("*").over(w_df))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+        shingled = _df_cap(shingled, max_df)
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("b"), "shingle")
@@ -925,12 +952,7 @@ def containment_pairs(
     """
     shingled = doc_shingles(docs, shingle_n)
     if max_df is not None:
-        w_df = Window.partitionBy("shingle")
-        shingled = (
-            shingled.withColumn("_df", F.count("*").over(w_df))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+        shingled = _df_cap(shingled, max_df)
     if checkpoint:
         shingled = shingled.localCheckpoint(eager=True)
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
